@@ -1,0 +1,35 @@
+"""Decoder configuration.
+
+Reference analogue: AVOptions on AVCodecContext (thread_count, LOW_DELAY flag,
+/root/reference/libavcodec/vvc/vvcdec.c:932-954) plus our TPU-specific knobs
+(mesh shape, GOP pipeline depth).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class DecoderConfig:
+    # Number of frames decoded in flight (reference: VVC_MAX_DELAYED_FRAMES=16,
+    # vvcdec.c:932; LOW_DELAY forces 1).
+    max_delayed_frames: int = 16
+    low_delay: bool = False
+
+    # Host-side parse workers (CABAC entry points are batched across
+    # tiles/WPP-rows/frames on host cores).
+    parse_workers: int = 0  # 0 = auto
+
+    # Device execution: "tpu" runs the Pallas/XLA pixel pipeline; "golden"
+    # runs the scalar NumPy golden model (bit-exact oracle used by tests).
+    backend: str = "tpu"
+
+    # Mesh for multi-device decode: (gop, tile) axes. (1, 1) = single chip.
+    mesh_shape: tuple = (1, 1)
+
+    # Emit per-stage timing.
+    profile: bool = False
+
+    # Output: if True, frames are returned in display (POC/bumping) order as
+    # the reference does; if False, decode order.
+    reorder_output: bool = True
