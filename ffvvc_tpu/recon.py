@@ -1,0 +1,862 @@
+"""Golden scalar reconstruction (bit-exact NumPy model) — intra path.
+
+This plays the role the scalar C templates play in the reference: the
+bit-exact model every TPU kernel is validated against.  It is itself
+validated against the reference decoder on forged streams.
+
+Reference analogue: /root/reference/libavcodec/vvc/vvc_intra.c (recon walk
+:498, dequant :277-417, LFNST :65-127, transform type :130-164, itransform
+:432), vvc_intra_template.c (edge prep :467, planar/DC/angular/MIP
+:686-1001), vvcdsp.c itx_2d :94-117.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ctu import (MODE_INTRA, MODE_IBC, MODE_PLT, INTRA_PLANAR, INTRA_DC,
+                  INTRA_HORZ, INTRA_VERT, INTRA_DIAG, INTRA_VDIAG,
+                  INTRA_LT_CCLM, INTRA_T_CCLM, ISP_NO_SPLIT, ISP_HOR_SPLIT,
+                  ISP_VER_SPLIT, DUAL_TREE_CHROMA, DUAL_TREE_LUMA, SINGLE_TREE,
+                  LUMA, CB, CR, JCBCR, MTS_DCT2_DCT2)
+from .ops import data as D
+from .residual import ilog2
+
+DCT2, DST7, DCT8 = 0, 1, 2
+
+_ANGLES = (0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29,
+           32, 35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512)
+
+
+def intra_pred_angle(mode: int) -> int:
+    if mode > INTRA_DIAG:
+        idx = mode - INTRA_VERT
+    elif mode > 0:
+        idx = INTRA_HORZ - mode
+    else:
+        idx = INTRA_HORZ - 2 - mode
+    sign = 1
+    if idx < 0:
+        idx, sign = -idx, -1
+    return sign * _ANGLES[idx]
+
+
+def intra_inv_angle(angle: int) -> int:
+    f = 32 * 512.0 / angle
+    return int(-(-f + 0.5)) if f < 0 else int(f + 0.5)
+
+
+def ref_filter_flag(mode: int) -> bool:
+    return mode in (-14, -12, -10, -6, INTRA_PLANAR, 2, 34, 66, 72, 76, 78, 80)
+
+
+def wide_angle_map(cu, tb_w, tb_h, c_idx, mode):
+    if cu.isp_split_type == ISP_NO_SPLIT or c_idx:
+        nw, nh = tb_w, tb_h
+    else:
+        nw, nh = cu.cb_width, cu.cb_height
+    ratio = abs(ilog2(nw) - ilog2(nh))
+    mx = 8 + 2 * ratio if ratio > 1 else 8
+    mn = 60 - 2 * ratio if ratio > 1 else 60
+    if nw > nh and 2 <= mode < mx:
+        mode += 65
+    elif nh > nw and mode <= 66 and mode > mn:
+        mode -= 67
+    return mode
+
+
+def nscale_derive(w, h, mode):
+    if mode in (INTRA_PLANAR, INTRA_DC, INTRA_HORZ, INTRA_VERT):
+        return (ilog2(w) + ilog2(h) - 2) >> 2
+    angle = intra_pred_angle(mode)
+    inv = intra_inv_angle(angle)
+    side = h if mode >= INTRA_VERT else w
+    return min(2, ilog2(side) - ilog2(3 * inv - 2) + 8)
+
+
+def need_pdpc(w, h, bdpcm, mode, ref_idx):
+    if w >= 4 and h >= 4 and not ref_idx and not bdpcm:
+        if mode in (INTRA_PLANAR, INTRA_DC, INTRA_HORZ, INTRA_VERT):
+            return 1
+        if INTRA_HORZ < mode < INTRA_VERT:
+            return 0
+        return int(nscale_derive(w, h, mode) >= 0)
+    return 0
+
+
+def is_cclm(mode):
+    return INTRA_LT_CCLM <= mode <= INTRA_T_CCLM
+
+
+class FrameBuffer:
+    """Decoded picture planes (int32 working precision)."""
+
+    def __init__(self, sps, pps):
+        self.sps = sps
+        self.pps = pps
+        self.planes = []
+        for c in range(3 if sps.chroma_format_idc else 1):
+            w = pps.width >> sps.hshift[c]
+            h = pps.height >> sps.vshift[c]
+            self.planes.append(np.full((h, w), 1 << (sps.bit_depth - 1),
+                                       dtype=np.int32))
+
+    def to_yuv_bytes(self) -> bytes:
+        bd = self.sps.bit_depth
+        out = b""
+        for p in self.planes:
+            if bd == 8:
+                out += p.astype(np.uint8).tobytes()
+            else:
+                out += p.astype("<u2").tobytes()
+        return out
+
+
+class Reconstructor:
+    """Sequential golden intra reconstruction over parsed frame data."""
+
+    def __init__(self, sps, pps, tabs, fb: FrameBuffer, nbr):
+        self.sps = sps
+        self.pps = pps
+        self.tabs = tabs
+        self.fb = fb
+        self.nbr = nbr  # CtuCoder-like neighbour context (flags per CTU)
+        self.ras = [[], []]  # reconstructed areas per ch_type, per CTU
+        self.cu = None
+
+    # --- CTU walk ----------------------------------------------------------
+
+    def reconstruct_ctu(self, rs, rx, ry):
+        self.nbr.decode_neighbour(rx << self.sps.ctb_log2_size_y,
+                                  ry << self.sps.ctb_log2_size_y, rx, ry, rs)
+        self.ras = [[], []]
+        for cu in self.tabs.cus[rs]:
+            self.reconstruct_cu(cu)
+
+    def reconstruct_cu(self, cu):
+        self.cu = cu
+        start = 1 if cu.tree_type == DUAL_TREE_CHROMA else 0
+        end = 1 if (self.sps.chroma_format_idc and
+                    cu.tree_type != DUAL_TREE_LUMA) else 0
+        for ch_type in range(start, end + 1):
+            for i, tu in enumerate(cu.tus):
+                self.predict_intra(cu, tu, i, ch_type)
+                self.itransform(cu, tu, i, ch_type)
+
+    def add_ra(self, ch_type, x0, y0, w, h):
+        hs = self.sps.hshift[ch_type]
+        vs = self.sps.vshift[ch_type]
+        self.ras[ch_type].append((x0 >> hs, y0 >> vs, w >> hs, h >> vs))
+
+    def _get_ra(self, x, y, c_idx):
+        ch = int(c_idx > 0)
+        for a in reversed(self.ras[ch]):
+            ax, ay, aw, ah = a
+            if ax <= x < ax + aw and ay <= y < ay + ah:
+                return a
+            if x >= ax + aw and y >= ay + ah:
+                break
+        return None
+
+    def get_top_available(self, x, y, target, c_idx):
+        sps, pps = self.sps, self.pps
+        nbr = self.nbr
+        hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+        log2_ctb_v = sps.ctb_log2_size_y - vs
+        end_of_ctb_x = ((self.cu.x0 >> sps.ctb_log2_size_y) + 1) << sps.ctb_log2_size_y
+        y0b = y & ((1 << log2_ctb_v) - 1)
+        max_x = min(pps.width, end_of_ctb_x) >> hs
+        if not y0b:
+            if not nbr.ctb_up_flag:
+                return 0
+            target = min(target, (nbr.end_of_tiles_x >> hs) - x)
+            if sps.r.sps_entropy_coding_sync_enabled_flag:
+                target = min(target, (end_of_ctb_x >> hs) - x)
+            return target
+        target = max(0, min(target, max_x - x))
+        px = x
+        while target > 0:
+            a = self._get_ra(px, y - 1, c_idx)
+            if a is None:
+                break
+            sz = min(target, a[0] + a[2] - px)
+            px += sz
+            target -= sz
+        return px - x
+
+    def get_left_available(self, x, y, target, c_idx):
+        sps, pps = self.sps, self.pps
+        nbr = self.nbr
+        hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+        log2_ctb_h = sps.ctb_log2_size_y - hs
+        x0b = x & ((1 << log2_ctb_h) - 1)
+        end_of_ctb_y = ((self.cu.y0 >> sps.ctb_log2_size_y) + 1) << sps.ctb_log2_size_y
+        max_y = min(pps.height, end_of_ctb_y) >> vs
+        if not x0b and not nbr.ctb_left_flag:
+            return 0
+        target = max(0, min(target, max_y - y))
+        if not x0b:
+            return target
+        py = y
+        while target > 0:
+            a = self._get_ra(x - 1, py, c_idx)
+            if a is None:
+                break
+            sz = min(target, a[1] + a[3] - py)
+            py += sz
+            target -= sz
+        return py - y
+
+    # --- intra prediction ---------------------------------------------------
+
+    def predict_intra(self, cu, tu, idx, target_ch_type):
+        if cu.pred_mode != MODE_INTRA:
+            self.add_ra(target_ch_type, tu.x0, tu.y0, tu.width, tu.height)
+            return
+        if not target_ch_type and cu.tree_type != DUAL_TREE_CHROMA:
+            unit = self._luma_predict_unit(cu, tu, idx)
+            if unit:
+                x0, y0, w, h = unit
+                self.nbr.set_neighbour_available(x0, y0, w, h)
+                self.intra_pred(cu, x0, y0, w, h, 0)
+                self.add_ra(0, x0, y0, w, h)
+        if target_ch_type and cu.tree_type != DUAL_TREE_LUMA:
+            unit = self._chroma_predict_unit(cu, tu, idx)
+            if unit:
+                x0, y0, w, h = unit
+                self.nbr.set_neighbour_available(x0, y0, w, h)
+                if is_cclm(cu.intra_pred_mode_c):
+                    raise NotImplementedError("CCLM prediction")
+                self.intra_pred(cu, x0, y0, w, h, 1)
+                self.intra_pred(cu, x0, y0, w, h, 2)
+                self.add_ra(1, x0, y0, w, h)
+
+    def _luma_predict_unit(self, cu, tu, idx):
+        # reference get_luma_predict_unit: ISP predicts per sub-TU; otherwise
+        # per TU rect (for CUs split into multiple TUs)
+        if cu.isp_split_type == ISP_NO_SPLIT:
+            return (tu.x0, tu.y0, tu.width, tu.height)
+        return (tu.x0, tu.y0, tu.width, tu.height)
+
+    def _chroma_predict_unit(self, cu, tu, idx):
+        has_chroma = any(tb.c_idx for tb in tu.tbs)
+        if cu.isp_split_type == ISP_NO_SPLIT:
+            if not has_chroma and cu.tree_type == SINGLE_TREE:
+                return None
+            return (tu.x0, tu.y0, tu.width, tu.height)
+        if idx == cu.num_intra_subpartitions - 1:
+            return (cu.x0, cu.y0, cu.cb_width, cu.cb_height)
+        return None
+
+    def intra_pred(self, cu, x0, y0, width, height, c_idx):
+        sps = self.sps
+        fb = self.fb
+        hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+        x, y = x0 >> hs, y0 >> vs
+        w, h = width >> hs, height >> vs
+        plane = fb.planes[c_idx]
+        pred_mode = cu.intra_pred_mode_c if c_idx else cu.intra_pred_mode_y
+        mode = wide_angle_map(cu, w, h, c_idx, pred_mode)
+        xc4, yc4 = x0 >> 2, y0 >> 2
+        intra_mip = int(self.tabs.imf[yc4, xc4])
+        is_mip = intra_mip and (not c_idx or cu.mip_chroma_direct_flag)
+        ref_idx = 0 if c_idx else cu.intra_luma_ref_idx
+        pdpc = need_pdpc(w, h, cu.bdpcm_flag[c_idx], mode, ref_idx) \
+            if not is_mip else 0
+        left, top, filter_flag = self._edge_params(
+            cu, plane, x, y, w, h, c_idx, is_mip, mode, ref_idx, pdpc)
+        if is_mip:
+            out = self._pred_mip(plane, left, top, x, y, w, h,
+                                 int(self.tabs.imm[yc4, xc4]),
+                                 int(self.tabs.imtf[yc4, xc4]))
+        elif mode == INTRA_PLANAR:
+            out = self._pred_planar(left, top, w, h)
+        elif mode == INTRA_DC:
+            out = self._pred_dc(left, top, w, h)
+        elif mode == INTRA_VERT:
+            out = np.broadcast_to(top.arr(0, w)[None, :], (h, w)).copy()
+        elif mode == INTRA_HORZ:
+            out = np.broadcast_to(left.arr(0, h)[:, None], (h, w)).copy()
+        elif mode >= INTRA_DIAG:
+            out = self._pred_angular_v(left, top, w, h, c_idx, mode, ref_idx,
+                                       filter_flag, pdpc)
+        else:
+            out = self._pred_angular_h(left, top, w, h, c_idx, mode, ref_idx,
+                                       filter_flag, pdpc)
+        if pdpc and not is_mip and mode in (INTRA_PLANAR, INTRA_DC,
+                                            INTRA_VERT, INTRA_HORZ):
+            out = self._pdpc_hv(out, left, top, w, h, mode)
+        plane[y:y + h, x:x + w] = out
+
+    def _edge_params(self, cu, plane, x, y, w, h, c_idx, is_mip, mode,
+                     ref_idx, pdpc):
+        """prepare_intra_edge_params (vvc_intra_template.c:467)."""
+        sps = self.sps
+        rff = 0 if is_mip else int(ref_filter_flag(mode))
+        filter_smoothing = (not ref_idx and w * h > 32 and not c_idx and
+                            cu.isp_split_type == ISP_NO_SPLIT and rff)
+        ref_line = -4 if ref_idx == 3 else -1 - ref_idx
+        refw = refh = 0
+        angle = inv_angle = 0
+        if is_mip or mode == INTRA_PLANAR:
+            left_size, top_size = h + 1, w + 1
+            unf_left = left_size + filter_smoothing
+            unf_top = top_size + filter_smoothing
+        elif mode == INTRA_DC:
+            unf_left = left_size = h
+            unf_top = top_size = w
+        elif mode == INTRA_VERT:
+            unf_left = left_size = h if pdpc else 1
+            unf_top = top_size = w
+        elif mode == INTRA_HORZ:
+            unf_left = left_size = h
+            unf_top = top_size = w if pdpc else 1
+        else:
+            if cu.isp_split_type == ISP_NO_SPLIT or c_idx:
+                refw, refh = w * 2, h * 2
+            else:
+                hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+                refw = (cu.cb_width >> hs) + w
+                refh = (cu.cb_height >> vs) + h
+            angle = intra_pred_angle(mode)
+            inv_angle = intra_inv_angle(angle)
+            unf_top = top_size = refw
+            unf_left = left_size = refh
+        # gather with offset arrays: index 0 == position 0; negative via dict
+        PAD = 68
+        left = np.zeros(PAD + 2 * 64 + 16, dtype=np.int64)
+        top = np.zeros(PAD + 2 * 64 + 16, dtype=np.int64)
+        L = lambda i: PAD + i
+
+        left_avail = self.get_left_available(x, y, unf_left, c_idx)
+        for i in range(left_avail):
+            left[L(i)] = plane[y + i, x + ref_line]
+        top_avail = self.get_top_available(x, y, unf_top, c_idx)
+        if top_avail:
+            top[L(0):L(top_avail)] = plane[y + ref_line, x:x + top_avail]
+        cand_up_left = self.nbr.na.cand_up_left
+        for i in range(-1, ref_line - 1, -1):
+            if cand_up_left:
+                left[L(i)] = plane[y + i, x + ref_line]
+                top[L(i)] = plane[y + ref_line, x + i]
+            elif left_avail:
+                left[L(i)] = top[L(i)] = left[L(0)]
+            elif top_avail:
+                left[L(i)] = top[L(i)] = top[L(0)]
+            else:
+                left[L(i)] = top[L(i)] = 1 << (sps.bit_depth - 1)
+        if top_avail < unf_top:
+            top[L(top_avail):L(unf_top)] = top[L(max(top_avail - 1, -1))] \
+                if top_avail else top[L(-1)]
+            fillv = top[L(top_avail - 1)] if top_avail else top[L(-1)]
+            top[L(top_avail):L(unf_top)] = fillv
+        if left_avail < unf_left:
+            fillv = left[L(left_avail - 1)] if left_avail else left[L(-1)]
+            left[L(left_avail):L(unf_left)] = fillv
+        if rff and filter_smoothing:
+            unfilter_last = int(left_size == unf_left)
+            fl = left.copy()
+            ft = top.copy()
+            fl[L(-1)] = ft[L(-1)] = (left[L(0)] + 2 * left[L(-1)] + top[L(0)] + 2) >> 2
+            for i in range(unf_left - unfilter_last):
+                fl[L(i)] = (left[L(i - 1)] + 2 * left[L(i)] + left[L(i + 1)] + 2) >> 2
+            for i in range(unf_top - unfilter_last):
+                ft[L(i)] = (top[L(i - 1)] + 2 * top[L(i)] + top[L(i + 1)] + 2) >> 2
+            if unfilter_last:
+                ft[L(top_size - 1)] = top[L(top_size - 1)]
+                fl[L(left_size - 1)] = left[L(left_size - 1)]
+            left, top = fl, ft
+        filter_flag = 0
+        if not is_mip and mode not in (INTRA_PLANAR, INTRA_DC):
+            if rff or ref_idx or cu.isp_split_type != ISP_NO_SPLIT:
+                filter_flag = 0
+            else:
+                min_dist = min(abs(mode - 50), abs(mode - 18))
+                thres = (24, 14, 2, 0, 0)
+                ntbs = (ilog2(w) + ilog2(h)) >> 1
+                filter_flag = int(min_dist > thres[ntbs - 2])
+            if mode not in (INTRA_VERT, INTRA_HORZ):
+                if mode >= INTRA_DIAG:
+                    if angle < 0:
+                        for xx in range(-h, 0):
+                            idx = -1 - ref_idx + min((xx * inv_angle + 256) >> 9, h)
+                            top[L(xx - (ref_idx + 1))] = left[L(idx)]
+                    else:
+                        for i in range(refw, refw + max(1, w // h) * ref_idx + 2):
+                            top[L(i)] = top[L(refw - 1)]
+                else:
+                    if angle < 0:
+                        for xx in range(-w, 0):
+                            idx = -1 - ref_idx + min((xx * inv_angle + 256) >> 9, w)
+                            left[L(xx - (ref_idx + 1))] = top[L(idx)]
+                    else:
+                        for i in range(refh, refh + max(1, h // w) * ref_idx + 2):
+                            left[L(i)] = left[L(refh - 1)]
+        # return views offset so that index [PAD] == 0
+        return _OffsetArray(left, PAD), _OffsetArray(top, PAD), filter_flag
+
+    def _pred_planar(self, left, top, w, h):
+        logw, logh = ilog2(w), ilog2(h)
+        shift = logw + logh + 1
+        xs = np.arange(w, dtype=np.int64)
+        ys = np.arange(h, dtype=np.int64)
+        t = top.arr(0, w)
+        l = left.arr(0, h)
+        pred_v = ((h - 1 - ys)[:, None] * t[None, :] +
+                  (ys + 1)[:, None] * left[h]) << logw
+        pred_h = ((w - 1 - xs)[None, :] * l[:, None] +
+                  (xs + 1)[None, :] * top[w]) << logh
+        return (pred_v + pred_h + w * h) >> shift
+
+    def _pred_dc(self, left, top, w, h):
+        offset = (w << 1) if w == h else max(w, h)
+        shift = ilog2(offset)
+        offset >>= 1
+        s = 0
+        if w >= h:
+            s += int(top.arr(0, w).sum())
+        if w <= h:
+            s += int(left.arr(0, h).sum())
+        dc = (s + offset) >> shift
+        return np.full((h, w), dc, dtype=np.int64)
+
+    def _pdpc_hv(self, out, left, top, w, h, mode):
+        scale = (ilog2(w) + ilog2(h) - 2) >> 2
+        mx = (1 << self.sps.bit_depth) - 1
+        res = out.astype(np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                if mode in (INTRA_PLANAR, INTRA_DC):
+                    l, t = left[yy], top[xx]
+                    wl = 32 >> min((xx << 1) >> scale, 31)
+                    wt = 32 >> min((yy << 1) >> scale, 31)
+                else:
+                    val0 = res[yy, xx]
+                    l = left[yy] - left[-1] + val0
+                    t = top[xx] - top[-1] + val0
+                    wl = (32 >> min((xx << 1) >> scale, 31)) if mode == INTRA_VERT else 0
+                    wt = (32 >> min((yy << 1) >> scale, 31)) if mode == INTRA_HORZ else 0
+                val = res[yy, xx]
+                pred = val + ((wl * (l - val) + wt * (t - val) + 32) >> 6)
+                res[yy, xx] = max(0, min(mx, pred))
+        return res
+
+    def _pred_angular_v(self, left, top, w, h, c_idx, mode, ref_idx,
+                        filter_flag, pdpc):
+        sps = self.sps
+        mx = (1 << sps.bit_depth) - 1
+        angle = intra_pred_angle(mode)
+        pos = (1 + ref_idx) * angle
+        out = np.zeros((h, w), dtype=np.int64)
+        is_luma = not c_idx
+        if pdpc:
+            inv_angle = intra_inv_angle(angle)
+            nscale = nscale_derive(w, h, mode)
+        fC = D.intra_filter(0)
+        fG = D.intra_filter(1)
+        for yy in range(h):
+            idx = (pos >> 5) + ref_idx
+            fact = pos & 31
+            base = idx - (1 + ref_idx)
+            if not fact and (not is_luma or not filter_flag):
+                for xx in range(w):
+                    out[yy, xx] = top[xx + base + 1]
+            elif is_luma:
+                f = (fG if filter_flag else fC)[fact]
+                for xx in range(w):
+                    p = xx + base
+                    v = (top[p] * f[0] + top[p + 1] * f[1] +
+                         top[p + 2] * f[2] + top[p + 3] * f[3] + 32) >> 6
+                    out[yy, xx] = max(0, min(mx, v))
+            else:
+                for xx in range(w):
+                    p = xx + base
+                    out[yy, xx] = ((32 - fact) * top[p + 1] +
+                                   fact * top[p + 2] + 16) >> 5
+            if pdpc:
+                s = 256 + inv_angle
+                for xx in range(min(w, 3 << nscale)):
+                    l = left[yy + (s >> 9)]
+                    val = out[yy, xx]
+                    wl = 32 >> ((xx << 1) >> nscale)
+                    out[yy, xx] = max(0, min(mx, val + (((l - val) * wl + 32) >> 6)))
+                    s += inv_angle
+            pos += angle
+        return out
+
+    def _pred_angular_h(self, left, top, w, h, c_idx, mode, ref_idx,
+                        filter_flag, pdpc):
+        sps = self.sps
+        mx = (1 << sps.bit_depth) - 1
+        angle = intra_pred_angle(mode)
+        out = np.zeros((h, w), dtype=np.int64)
+        is_luma = not c_idx
+        if pdpc:
+            inv_angle = intra_inv_angle(angle)
+            inv_angle_sum = 256 + inv_angle
+            nscale = nscale_derive(w, h, mode)
+        fC = D.intra_filter(0)
+        fG = D.intra_filter(1)
+        for yy in range(h):
+            pos = (1 + ref_idx) * angle
+            if pdpc:
+                wt = 32 >> min(31, (yy * 2) >> nscale)
+            for xx in range(w):
+                idx = (pos >> 5) + ref_idx
+                fact = pos & 31
+                base = yy + idx - (1 + ref_idx)
+                if not fact and (not is_luma or not filter_flag):
+                    pred = int(left[base + 1])
+                elif is_luma:
+                    f = (fG if filter_flag else fC)[fact]
+                    pred = (left[base] * f[0] + left[base + 1] * f[1] +
+                            left[base + 2] * f[2] + left[base + 3] * f[3] + 32) >> 6
+                    pred = max(0, min(mx, pred))
+                else:
+                    pred = ((32 - fact) * left[base + 1] +
+                            fact * left[base + 2] + 16) >> 5
+                if pdpc and yy < (3 << nscale):
+                    t = top[xx + (inv_angle_sum >> 9)]
+                    pred = max(0, min(mx, pred + (((t - pred) * wt + 32) >> 6)))
+                out[yy, xx] = pred
+                pos += angle
+            if pdpc:
+                inv_angle_sum += inv_angle
+        return out
+
+    def _pred_mip(self, plane, left, top, x, y, w, h, mode_id, transposed):
+        sps = self.sps
+        mx = (1 << sps.bit_depth) - 1
+        if w == 4 and h == 4:
+            size_id = 0
+        elif w == 4 or h == 4 or (w == 8 and h == 8):
+            size_id = 1
+        else:
+            size_id = 2
+        boundary_size = (2, 4, 4)[size_id]
+        pred_size = (4, 4, 8)[size_id]
+        in_size = 2 * boundary_size - (1 if size_id == 2 else 0)
+        matrix = D.tables()[("mip_4x4", "mip_8x8", "mip_16x16")[size_id]][mode_id]
+        matrix = matrix.reshape(pred_size * pred_size, -1).astype(np.int64)
+
+        def downsample(ref, n):
+            b_dwn = n // boundary_size
+            if b_dwn == 1:
+                return [int(ref[i]) for i in range(n)]
+            log2 = ilog2(b_dwn)
+            out = []
+            k = 0
+            for i in range(boundary_size):
+                r = 0
+                for j in range(b_dwn):
+                    r += int(ref[k])
+                    k += 1
+                out.append((r + (1 << (log2 - 1))) >> log2)
+            return out
+
+        red_t = downsample(top, w)
+        red_l = downsample(left, h)
+        reduced = (red_l + red_t) if transposed else (red_t + red_l)
+        temp0 = reduced[0]
+        if size_id != 2:
+            off = 0
+            ow = (1 << (sps.bit_depth - 1)) - temp0
+        else:
+            off = 1
+            ow = reduced[1] - temp0
+        red = [0] * in_size
+        red[0] = ow
+        acc = ow
+        for i in range(1, in_size):
+            red[i] = reduced[i + off] - temp0
+            acc += red[i]
+        ow = 32 - 32 * acc
+        up_hor = w // pred_size
+        up_ver = h // pred_size
+        # reduced prediction
+        out = plane[y:y + h, x:x + w]
+        predbuf = np.zeros((h, w), dtype=np.int64)
+        predbuf[:] = out  # keep untouched positions
+        m = 0
+        for yy in range(pred_size):
+            for xx in range(pred_size):
+                pred = 0
+                for i in range(in_size):
+                    pred += red[i] * int(matrix[m, i])
+                m += 1
+                pred = ((pred + ow) >> 6) + temp0
+                pred = max(0, min(mx, pred))
+                if transposed:
+                    predbuf[xx * up_ver + up_ver - 1, yy * up_hor + up_hor - 1] = pred
+                else:
+                    predbuf[yy * up_ver + up_ver - 1, xx * up_hor + up_hor - 1] = pred
+        if up_hor > 1:
+            # horizontal upsampling along rows at sampled vertical positions
+            for yy in range(up_ver - 1, h, up_ver):
+                before = int(left[yy])
+                for j in range(pred_size):
+                    after = int(predbuf[yy, j * up_hor + up_hor - 1])
+                    for k in range(1, up_hor):
+                        mid = (up_hor - k) * before + k * after
+                        predbuf[yy, j * up_hor + k - 1] = (mid + up_hor // 2) // up_hor
+                    before = after
+        if up_ver > 1:
+            for xx in range(w):
+                before = int(top[xx])
+                for j in range(pred_size):
+                    after = int(predbuf[j * up_ver + up_ver - 1, xx])
+                    for k in range(1, up_ver):
+                        mid = (up_ver - k) * before + k * after
+                        predbuf[j * up_ver + k - 1, xx] = (mid + up_ver // 2) // up_ver
+                    before = after
+        return predbuf
+
+    # --- dequant / inverse transform ----------------------------------------
+
+    def itransform(self, cu, tu, tu_idx, target_ch_type):
+        sps = self.sps
+        for tb in tu.tbs:
+            c_idx = tb.c_idx
+            ch_type = int(c_idx > 0)
+            if ch_type != target_ch_type or not tb.has_coeffs:
+                continue
+            if cu.bdpcm_flag[c_idx]:
+                self._transform_bdpcm(cu, tb)
+            self._dequant(cu, tu, tb)
+            if not tb.ts:
+                if cu.apply_lfnst_flag[c_idx]:
+                    self._ilfnst(cu, tb)
+                trh, trv = self._transform_type(cu, tb)
+                self._itx_2d(tb, trh, trv)
+            res = tb.coeffs
+            plane = self.fb.planes[c_idx]
+            hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+            x, y = tb.x0 >> hs, tb.y0 >> vs
+            mxv = (1 << sps.bit_depth) - 1
+            blk = plane[y:y + tb.h, x:x + tb.w] + res
+            plane[y:y + tb.h, x:x + tb.w] = np.clip(blk, 0, mxv)
+            if tu.joint_cbcr_residual_flag and c_idx:
+                self._jcbcr(cu, tu, tb)
+
+    def _jcbcr(self, cu, tu, tb):
+        """add_residual_for_joint_coding_chroma (vvc_intra.c:166).
+
+        The co-coded chroma plane gets (res * c_sign) >> shift added, where
+        shift = coded_flag[CB] ^ coded_flag[CR], target c_idx = 1 + coded[CB].
+        """
+        sps = self.sps
+        c_sign = 1 - 2 * self.ph_r.ph_joint_cbcr_sign_flag
+        shift = tu.coded_flag[CB] ^ tu.coded_flag[CR]
+        c_idx = 1 + tu.coded_flag[CB]
+        out = np.right_shift(tb.coeffs * c_sign, shift)
+        plane = self.fb.planes[c_idx]
+        hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+        x, y = tb.x0 >> hs, tb.y0 >> vs
+        mxv = (1 << sps.bit_depth) - 1
+        blk = plane[y:y + tb.h, x:x + tb.w] + out
+        plane[y:y + tb.h, x:x + tb.w] = np.clip(blk, 0, mxv)
+
+    ph_r = None  # set by decoder per frame
+    dep_quant = 0
+
+    def _dequant(self, cu, tu, tb):
+        """derive_qp + derive_scale + scale_coeff (vvc_intra.c:277-417)."""
+        sps = self.sps
+        log2_range = max(15, min(20, sps.bit_depth + 6)) \
+            if sps.r.sps_extended_precision_flag else 15
+        if tb.c_idx == 0:
+            qp = cu.qp[LUMA] + sps.qp_bd_offset
+        else:
+            is_jcbcr = tu.joint_cbcr_residual_flag and tu.coded_flag[CB] and \
+                tu.coded_flag[CR]
+            idx = JCBCR if is_jcbcr else tb.c_idx
+            qp = cu.qp[idx]
+        if tb.ts:
+            qp_prime_ts_min = 4 + 6 * sps.r.sps_min_qp_prime_ts
+            qp = max(qp_prime_ts_min, min(63 + sps.qp_bd_offset, qp))
+            rect_non_ts = 0
+            bd_shift = 10
+        else:
+            log_sum = tb.log2_w + tb.log2_h
+            rect_non_ts = log_sum & 1
+            qp = max(0, min(63 + sps.qp_bd_offset, qp))
+            bd_shift = sps.bit_depth + rect_non_ts + (log_sum // 2) + 10 - \
+                log2_range + self.dep_quant
+        bd_offset = (1 << bd_shift) >> 1
+        addin = self.dep_quant and not tb.ts
+        q = qp + addin
+        scale = int(D.LEVEL_SCALE[rect_non_ts][q % 6]) << (q // 6)
+        scale_m = 16  # flat default matrix (explicit scaling lists later)
+        c = tb.coeffs.astype(np.int64)
+        c = (c * scale * scale_m + bd_offset) >> bd_shift
+        lo, hi = -(1 << log2_range), (1 << log2_range) - 1
+        tb.coeffs = np.clip(c, lo, hi)
+        self._log2_range = log2_range
+
+    def _transform_bdpcm(self, cu, tb):
+        mode = cu.intra_pred_mode_c if tb.c_idx else cu.intra_pred_mode_y
+        vertical = mode == INTRA_VERT
+        c = tb.coeffs.astype(np.int64)
+        log2_range = max(15, min(20, self.sps.bit_depth + 6)) \
+            if self.sps.r.sps_extended_precision_flag else 15
+        lo, hi = -(1 << log2_range), (1 << log2_range) - 1
+        if vertical:
+            c = np.clip(np.cumsum(c, axis=0), lo, hi)
+            tb.max_scan_y = tb.h - 1
+        else:
+            c = np.clip(np.cumsum(c, axis=1), lo, hi)
+            tb.max_scan_x = tb.w - 1
+        tb.coeffs = c
+
+    def _ilfnst(self, cu, tb):
+        """LFNST inverse secondary transform (vvc_intra.c:65-127)."""
+        sps = self.sps
+        w, h = tb.w, tb.h
+        n_out = 48 if (w >= 8 and h >= 8) else 16
+        log2_size = 3 if (w >= 8 and h >= 8) else 2
+        n_size = 1 << log2_size
+        non_zero = 8 if ((w == 8 and h == 8) or (w == 4 and h == 4)) else 16
+        pred_mode = self._ilfnst_pred_mode(cu, tb)
+        transpose = pred_mode > 34
+        scan = D.diag_scan(4, 4)
+        u = np.zeros(16, dtype=np.int64)
+        for i in range(non_zero):
+            u[i] = tb.coeffs[scan[i][1], scan[i][0]]
+        t = D.tables()
+        set_idx = 1 if pred_mode < 0 else int(t["lfnst_tr_set_index"][pred_mode])
+        mat = (t["lfnst_8x8"] if n_out > 16 else t["lfnst_4x4"])[
+            set_idx][cu.lfnst_idx - 1].astype(np.int64)
+        v = (u[:non_zero] @ mat[:non_zero]).astype(np.int64)
+        log2_range = self._log2_range
+        lo, hi = -(1 << log2_range), (1 << log2_range) - 1
+        v = np.clip((v + 64) >> 7, lo, hi)
+        out = np.zeros((h, w), dtype=np.int64)
+        if transpose:
+            if n_size == 4:
+                out[:4, :4] = v[:16].reshape(4, 4).T
+            else:
+                for yy in range(8):
+                    out[yy, 0] = v[yy]
+                    out[yy, 1] = v[8 + yy]
+                    out[yy, 2] = v[16 + yy]
+                    out[yy, 3] = v[24 + yy]
+                    if yy < 4:
+                        out[yy, 4] = v[32 + yy]
+                        out[yy, 5] = v[36 + yy]
+                        out[yy, 6] = v[40 + yy]
+                        out[yy, 7] = v[44 + yy]
+        else:
+            k = 0
+            for yy in range(n_size):
+                size = n_size if yy < 4 else 4
+                out[yy, :size] = v[k:k + size]
+                k += size
+        tb.coeffs = out
+        tb.max_scan_x = n_size - 1
+        tb.max_scan_y = n_size - 1
+
+    def _ilfnst_pred_mode(self, cu, tb):
+        sps = self.sps
+        tabs = self.tabs
+        x_tb, y_tb = tb.x0 >> 2, tb.y0 >> 2
+        x_c = (tb.x0 + (tb.w << sps.hshift[1] >> 1)) >> 2
+        y_c = (tb.y0 + (tb.h << sps.vshift[1] >> 1)) >> 2
+        mip = int(tabs.imf[y_tb, x_tb])
+        mode = cu.intra_pred_mode_y if tb.c_idx == 0 else cu.intra_pred_mode_c
+        if mip and not tb.c_idx:
+            mode = INTRA_PLANAR
+        elif is_cclm(mode):
+            if int(tabs.imf[y_c, x_c]):
+                mode = INTRA_PLANAR
+            elif int(tabs.cpm[0][y_c, x_c]) in (MODE_IBC, MODE_PLT):
+                mode = INTRA_DC
+            else:
+                mode = int(tabs.ipm[y_c, x_c])
+        return wide_angle_map(cu, tb.w, tb.h, tb.c_idx, mode)
+
+    def _transform_type(self, cu, tb):
+        sps = self.sps
+        if tb.c_idx or (cu.isp_split_type != ISP_NO_SPLIT and cu.lfnst_idx):
+            return DCT2, DCT2
+        implicit = False
+        if sps.r.sps_mts_enabled_flag:
+            if cu.isp_split_type != ISP_NO_SPLIT or \
+                    (cu.sbt_flag and max(tb.w, tb.h) <= 32) or \
+                    (not sps.r.sps_explicit_mts_intra_enabled_flag and
+                     cu.pred_mode == MODE_INTRA and not cu.lfnst_idx and
+                     not cu.intra_mip_flag):
+                implicit = True
+        if implicit:
+            if cu.sbt_flag:
+                trh = DST7 if (cu.sbt_horizontal_flag or cu.sbt_pos_flag) else DCT8
+                trv = DST7 if (not cu.sbt_horizontal_flag or cu.sbt_pos_flag) else DCT8
+            else:
+                trh = DST7 if 4 <= tb.w <= 16 else DCT2
+                trv = DST7 if 4 <= tb.h <= 16 else DCT2
+            return trh, trv
+        to_trh = (DCT2, DST7, DCT8, DST7, DCT8)
+        to_trv = (DCT2, DST7, DST7, DCT8, DCT8)
+        return to_trh[cu.mts_idx], to_trv[cu.mts_idx]
+
+    def _itx_2d(self, tb, trh, trv):
+        """itx_2d / itx_1d (vvcdsp.c:94-140) on int64 matrices."""
+        sps = self.sps
+        log2_range = self._log2_range
+        bd = sps.bit_depth
+        w, h = tb.w, tb.h
+        nzw, nzh = tb.max_scan_x + 1, tb.max_scan_y + 1
+        c = tb.coeffs.astype(np.int64)
+        mats = {DCT2: D.dct2_matrix, DST7: D.dst7_matrix, DCT8: D.dct8_matrix}
+        lo, hi = -(1 << log2_range), (1 << log2_range) - 1
+        if w == 1 or h == 1:
+            shift = 6 + log2_range - bd
+            add = 1 << (shift - 1)
+            if nzw == 1 and nzh == 1 and trh == DCT2 and trv == DCT2:
+                dc = (int(c[0, 0]) * 64 + add) >> shift
+                tb.coeffs = np.full((h, w), dc, dtype=np.int64)
+                return
+            if w > 1:
+                m = mats[trh](w).astype(np.int64)
+                row = c[0, :nzw] @ m[:nzw]
+                c = ((row + add) >> shift)[None, :]
+            else:
+                m = mats[trv](h).astype(np.int64)
+                col = c[:nzh, 0] @ m[:nzh]
+                c = ((col + add) >> shift)[:, None]
+            tb.coeffs = c
+            return
+        shift0 = 7
+        shift1 = 5 + log2_range - bd
+        if w == h and nzw == 1 and nzh == 1 and trh == DCT2 and trv == DCT2:
+            t = (int(c[0, 0]) * 64 + (1 << (shift0 - 1))) >> shift0
+            dc = (t * 64 + (1 << (shift1 - 1))) >> shift1
+            tb.coeffs = np.full((h, w), dc, dtype=np.int64)
+            return
+        mv = mats[trv](h).astype(np.int64)
+        mh = mats[trh](w).astype(np.int64)
+        # column pass over the first nzw columns, nzh input rows
+        tmp = np.zeros((h, w), dtype=np.int64)
+        tmp[:, :nzw] = mv[:nzh].T @ c[:nzh, :nzw]
+        tmp = np.clip((tmp + (1 << (shift0 - 1))) >> shift0, lo, hi)
+        tmp[:, nzw:] = 0
+        out = tmp[:, :nzw] @ mh[:nzw]
+        out = (out + (1 << (shift1 - 1))) >> shift1
+        tb.coeffs = out
+
+
+class _OffsetArray:
+    """1-D array with negative indexing around an origin."""
+
+    __slots__ = ("a", "off")
+
+    def __init__(self, a, off):
+        self.a = a
+        self.off = off
+
+    def __getitem__(self, i):
+        return int(self.a[self.off + i])
+
+    def __setitem__(self, i, v):
+        self.a[self.off + i] = v
+
+    def arr(self, start, n):
+        return self.a[self.off + start:self.off + start + n]

@@ -1,0 +1,34 @@
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+ORACLE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".refbuild", "ffmpeg")
+
+
+def have_oracle():
+    return os.path.exists(ORACLE)
+
+
+@pytest.fixture
+def oracle_path():
+    if not have_oracle():
+        pytest.skip("reference oracle not built (.refbuild/ffmpeg)")
+    return ORACLE
+
+
+def oracle_decode(stream: bytes, tmp_path) -> bytes:
+    """Decode Annex-B bytes with the reference decoder; returns raw YUV."""
+    import subprocess
+    bit = tmp_path / "t.bit"
+    yuv = tmp_path / "t.yuv"
+    bit.write_bytes(stream)
+    r = subprocess.run(
+        [ORACLE, "-hide_banner", "-loglevel", "error", "-f", "vvc",
+         "-i", str(bit), "-f", "rawvideo", "-y", str(yuv)],
+        capture_output=True, timeout=120)
+    assert r.returncode == 0 and not r.stderr, r.stderr.decode()
+    return yuv.read_bytes()

@@ -1,0 +1,55 @@
+"""Forged-stream conformance: our decoder must match the reference decoder
+byte-for-byte on synthesized streams (the in-repo analogue of FATE/JVET)."""
+import sys
+import os
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from conftest import oracle_decode, have_oracle
+from ffvvc_tpu.decoder import VVCDecoder
+
+pytestmark = pytest.mark.skipif(not have_oracle(),
+                                reason="oracle not built")
+
+
+def _forge(level, seed=0, w=64, h=64, qp=32, deblock=False):
+    from forge import (build_sps, build_pps, forge_frame, FlatPolicy,
+                       FuzzPolicy, write_nal, write_sps, write_pps, NalType)
+    if level == 0:
+        sps_r = build_sps(w, h, min_qt_log2=5, max_mtt_depth=0)
+        policy = FlatPolicy()
+    else:
+        sps_r = build_sps(w, h, min_qt_log2=2, max_mtt_depth=2)
+        policy = FuzzPolicy(seed)
+    kw = {}
+    if not deblock:
+        kw = dict(pps_deblocking_filter_control_present_flag=1,
+                  pps_deblocking_filter_disabled_flag=1)
+    pps_r = build_pps(sps_r, **kw)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0)
+    return stream + nal
+
+
+def _check(stream, tmp_path):
+    ref = oracle_decode(stream, tmp_path)
+    frames = VVCDecoder().decode(stream)
+    assert len(frames) == 1
+    mine = frames[0].to_yuv_bytes()
+    assert mine == ref, "decoded YUV differs from reference"
+
+
+def test_l0_flat(tmp_path):
+    _check(_forge(0), tmp_path)
+
+
+@pytest.mark.parametrize("seed,w,h,qp", [
+    (1, 64, 64, 32),
+    (2, 96, 64, 27),
+    (3, 64, 96, 37),
+])
+def test_l1_intra_fuzz(seed, w, h, qp, tmp_path):
+    _check(_forge(1, seed, w, h, qp), tmp_path)

@@ -1,0 +1,289 @@
+"""Stream forge: synthesizes legal VVC bitstreams for differential testing.
+
+Since no conformance bitstreams ship with this environment, the forge plays
+the role of the JVET suite: each "level" exercises a growing toolset.  Every
+forged stream is decoded by the reference decoder (bit-exact oracle) and by
+ffvvc_tpu; outputs must match byte-for-byte.
+
+The forge drives the SAME bidirectional CTU syntax coder as the decoder
+(ffvvc_tpu.ctu.CtuCoder in encode mode), so encoder/decoder context
+derivations agree by construction; the reference decoder then arbitrates
+spec correctness.
+"""
+from __future__ import annotations
+
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from ffvvc_tpu.bitstream import write_nal, NalType, BitReader
+from ffvvc_tpu.bitstream.h266 import SyntaxObj, H266ParamSets, read_sps, read_pps
+from ffvvc_tpu.bitstream.h266_write import (write_sps, write_pps,
+                                            write_slice_header)
+from ffvvc_tpu import ps as derived
+from ffvvc_tpu.cabac.engine import CabacEncoder, make_states
+from ffvvc_tpu.ctu import CtuCoder, FrameTabs, SPLIT_NONE, SINGLE_TREE, \
+    MODE_TYPE_ALL, SAO_NOT_APPLIED
+from ffvvc_tpu.bitstream.h266 import SLICE_I
+
+
+def build_sps(width, height, bit_depth=8, ctu_log2=5, min_qt_log2=5,
+              max_mtt_depth=0, chroma=1, **kw):
+    sps = SyntaxObj()
+    sps.sps_seq_parameter_set_id = 0
+    sps.sps_video_parameter_set_id = 0
+    sps.sps_max_sublayers_minus1 = 0
+    sps.sps_chroma_format_idc = chroma
+    sps.sps_log2_ctu_size_minus5 = ctu_log2 - 5
+    sps.sps_ptl_dpb_hrd_params_present_flag = 1
+    ptl = SyntaxObj()
+    ptl.general_profile_idc = 1
+    ptl.general_tier_flag = 0
+    ptl.general_level_idc = 35
+    ptl.ptl_frame_only_constraint_flag = 1
+    ptl.ptl_multilayer_enabled_flag = 0
+    ptl.general_constraints_info = None
+    ptl.ptl_sublayer_level_present_flag = []
+    ptl.ptl_num_sub_profiles = 0
+    sps.profile_tier_level = ptl
+    sps.sps_pic_width_max_in_luma_samples = width
+    sps.sps_pic_height_max_in_luma_samples = height
+    dpb = SyntaxObj()
+    dpb.dpb_max_dec_pic_buffering_minus1 = [7]
+    dpb.dpb_max_num_reorder_pics = [0]
+    dpb.dpb_max_latency_increase_plus1 = [0]
+    sps.sps_dpb_params = dpb
+    sps.sps_bitdepth_minus8 = bit_depth - 8
+    sps.sps_log2_max_pic_order_cnt_lsb_minus4 = 4
+    sps.sps_log2_min_luma_coding_block_size_minus2 = 0
+    # partition config
+    sps.sps_log2_diff_min_qt_min_cb_intra_slice_luma = min_qt_log2 - 2
+    sps.sps_max_mtt_hierarchy_depth_intra_slice_luma = max_mtt_depth
+    if max_mtt_depth:
+        sps.sps_log2_diff_max_bt_min_qt_intra_slice_luma = \
+            min(6, ctu_log2) - min_qt_log2
+        sps.sps_log2_diff_max_tt_min_qt_intra_slice_luma = \
+            min(6, ctu_log2) - min_qt_log2
+    if chroma:
+        sps.sps_same_qp_table_for_chroma_flag = 1
+        sps.sps_qp_table_start_minus26 = [0]
+        sps.sps_num_points_in_qp_table_minus1 = [0]
+        sps.sps_delta_qp_in_val_minus1 = [[0]]
+        sps.sps_delta_qp_diff_val = [[0]]
+        sps.sps_chroma_horizontal_collocated_flag = 1
+        sps.sps_chroma_vertical_collocated_flag = 1
+    sps.sps_num_ref_pic_lists = [0, 0]
+    sps.sps_ref_pic_list_struct = [[], []]
+    sps.sps_rpl1_same_as_rpl0_flag = 1
+    for k, v in kw.items():
+        setattr(sps, k, v)
+    return sps
+
+
+def build_pps(sps, **kw):
+    pps = SyntaxObj()
+    pps.pps_pic_parameter_set_id = 0
+    pps.pps_seq_parameter_set_id = 0
+    pps.pps_pic_width_in_luma_samples = sps.sps_pic_width_max_in_luma_samples
+    pps.pps_pic_height_in_luma_samples = sps.sps_pic_height_max_in_luma_samples
+    pps.pps_no_pic_partition_flag = 1
+    pps.pps_num_ref_idx_default_active_minus1 = [0, 0]
+    pps.pps_init_qp_minus26 = 0
+    for k, v in kw.items():
+        setattr(pps, k, v)
+    return pps
+
+
+class FlatPolicy:
+    """L0: no splits (guaranteed by SPS config), planar, no residual."""
+
+    def __call__(self, tag, **ctx):
+        if tag == "intra_luma_mode":
+            return 0  # planar
+        if tag == "intra_chroma_mode":
+            return 4  # derived from luma
+        return 0
+
+    def coeffs(self, tb):
+        raise AssertionError("flat policy codes no residuals")
+
+
+class FuzzPolicy:
+    """Random-legal syntax choices + sparse random residuals."""
+
+    def __init__(self, seed, max_level=40, density=0.15, split_p=0.5,
+                 residual_p=0.7):
+        self.rng = random.Random(seed)
+        self.nrng = np.random.default_rng(seed)
+        self.max_level = max_level
+        self.density = density
+        self.split_p = split_p
+        self.residual_p = residual_p
+        self._coeff_cache = {}
+
+    def __call__(self, tag, **ctx):
+        r = self.rng
+        if tag == "split_cu_flag":
+            return int(r.random() < self.split_p)
+        if tag in ("split_qt_flag", "mtt_vertical", "mtt_binary", "isp_split",
+                   "bdpcm_luma_dir", "bdpcm_chroma_dir", "mip_transposed"):
+            return r.randrange(2)
+        if tag == "intra_luma_mode":
+            return r.randrange(0, 67)
+        if tag == "intra_chroma_mode":
+            return r.randrange(0, 5)
+        if tag == "tu_y_coded":
+            return self._gen_coeffs(ctx, 0)
+        if tag == "tu_cb_coded":
+            return self._gen_coeffs(ctx, 1)
+        if tag == "tu_cr_coded":
+            return self._gen_coeffs(ctx, 2)
+        if tag in ("sao_merge_left", "sao_merge_up"):
+            return 0
+        if tag == "sao_type":
+            return SAO_NOT_APPLIED
+        return 0
+
+    def _gen_coeffs(self, ctx, c_idx):
+        key = (ctx["x0"], ctx["y0"], c_idx)
+        if self.rng.random() > self.residual_p:
+            return 0
+        w, h = ctx["w"], ctx["h"]
+        if c_idx:
+            w >>= 1  # 4:2:0 assumed for the fuzz levels
+            h >>= 1
+        n = max(1, int(w * h * self.density * self.rng.random()))
+        c = np.zeros((h, w), dtype=np.int32)
+        xs = self.nrng.integers(0, w, n)
+        ys = self.nrng.integers(0, h, n)
+        vals = self.nrng.integers(-self.max_level, self.max_level + 1, n)
+        c[ys, xs] = vals
+        if not c.any():
+            c[0, 0] = 1
+        self._coeff_cache[key] = c
+        return 1
+
+    def coeffs(self, tb):
+        key = (tb.x0, tb.y0, tb.c_idx)
+        if key in self._coeff_cache:
+            return self._coeff_cache[key].astype(np.int32)
+        # joint-cbcr / inferred cbf paths: generate on demand
+        c = np.zeros((tb.h, tb.w), dtype=np.int32)
+        c[0, 0] = self.rng.randrange(1, 8)
+        return c
+
+
+def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True):
+    """Encode one intra frame; returns the slice NAL bytes."""
+    ps0 = H266ParamSets()
+    sps_rb = write_sps(sps_r)
+    pps_rb = write_pps(pps_r, sps_r)
+    sps_raw = read_sps(BitReader(sps_rb))
+    ps0.store_sps(sps_raw)
+    pps_raw = read_pps(BitReader(pps_rb), ps0)
+    sps = derived.SPS(sps_raw)
+    pps = derived.PPS(pps_raw, sps)
+
+    ph = SyntaxObj()
+    ph.ph_gdr_or_irap_pic_flag = 1 if idr else 0
+    ph.ph_inter_slice_allowed_flag = 0
+    ph.ph_intra_slice_allowed_flag = 1
+    ph.ph_pic_parameter_set_id = 0
+    ph.ph_pic_order_cnt_lsb = poc & 0xFF
+    ph.ph_pic_output_flag = 1
+    # partition params inferred from SPS
+    ph.ph_log2_diff_min_qt_min_cb_intra_slice_luma = \
+        sps_raw.sps_log2_diff_min_qt_min_cb_intra_slice_luma
+    ph.ph_max_mtt_hierarchy_depth_intra_slice_luma = \
+        sps_raw.sps_max_mtt_hierarchy_depth_intra_slice_luma
+    ph.ph_log2_diff_max_bt_min_qt_intra_slice_luma = \
+        sps_raw.sps_log2_diff_max_bt_min_qt_intra_slice_luma
+    ph.ph_log2_diff_max_tt_min_qt_intra_slice_luma = \
+        sps_raw.sps_log2_diff_max_tt_min_qt_intra_slice_luma
+    ph.ph_log2_diff_min_qt_min_cb_intra_slice_chroma = \
+        sps_raw.sps_log2_diff_min_qt_min_cb_intra_slice_chroma
+    ph.ph_max_mtt_hierarchy_depth_intra_slice_chroma = \
+        sps_raw.sps_max_mtt_hierarchy_depth_intra_slice_chroma
+    ph.ph_log2_diff_max_bt_min_qt_intra_slice_chroma = \
+        sps_raw.sps_log2_diff_max_bt_min_qt_intra_slice_chroma
+    ph.ph_log2_diff_max_tt_min_qt_intra_slice_chroma = \
+        sps_raw.sps_log2_diff_max_tt_min_qt_intra_slice_chroma
+
+    nal_type = NalType.IDR_N_LP if idr else NalType.TRAIL
+    sh_r = SyntaxObj()
+    sh_r.nal_unit_type = int(nal_type)
+    sh_r.sh_picture_header_in_slice_header_flag = 1
+    sh_r.sh_slice_type = SLICE_I
+    sh_r.sh_qp_delta = qp - 26 - pps_raw.pps_init_qp_minus26
+    sh_r.ph = ph
+    w = write_slice_header(sh_r, sps_raw, pps_raw, ph)
+    sh_bytes = w.bytes()
+
+    sh = derived.SH(sh_r, ph, sps, pps)
+    tabs = FrameTabs(sps, pps)
+    engine = CabacEncoder()
+    coder = CtuCoder(engine, sps, pps, sh, tabs, policy=policy)
+    coder.coeff_enc_cb = policy.coeffs
+    data = b""
+    started = False
+    ctu_addrs = sh.ctu_addrs
+    for ctu_idx, rs in enumerate(ctu_addrs):
+        rx = rs % pps.ctb_width
+        ry = rs // pps.ctb_width
+        first_in_tile = rx == pps.ctb_to_col_bd[rx] and ry == pps.ctb_to_row_bd[ry]
+        if ctu_idx == 0 or first_in_tile:
+            if started:
+                data += engine.bytes_aligned()
+                engine = CabacEncoder()
+                coder.e = engine
+            qpc = max(0, min(63, sh.slice_qp_y))
+            engine.states = make_states(qpc, sh.cabac_init_type)
+            coder.init_stat_coeff()
+            started = True
+        coder.coding_tree_unit(ctu_idx, rs, rx, ry, len(ctu_addrs), 0)
+    data += engine.bytes_aligned()
+    slice_rbsp = sh_bytes + data
+    return write_nal(nal_type, slice_rbsp), tabs
+
+
+def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
+                 nframes=1):
+    """Returns Annex-B bytes for the given forge level."""
+    if level == 0:
+        sps_r = build_sps(width, height, bit_depth=bit_depth,
+                          min_qt_log2=5, max_mtt_depth=0)
+        policy = FlatPolicy()
+    elif level == 1:
+        sps_r = build_sps(width, height, bit_depth=bit_depth,
+                          min_qt_log2=2, max_mtt_depth=2)
+        policy = FuzzPolicy(seed)
+    else:
+        raise ValueError(f"unknown forge level {level}")
+    pps_r = build_pps(sps_r)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    for i in range(nframes):
+        nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=(i == 0))
+        stream += nal
+    return stream
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("output")
+    ap.add_argument("--level", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--height", type=int, default=64)
+    ap.add_argument("--qp", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=1)
+    args = ap.parse_args()
+    data = forge_stream(args.level, args.seed, args.width, args.height,
+                        args.qp, nframes=args.frames)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(f"wrote {len(data)} bytes")
