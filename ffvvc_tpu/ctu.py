@@ -1470,7 +1470,9 @@ class CtuCoder:
         return MTS_DCT2_DCT2
 
     def set_cu_tabs(self, cu):
+        """set_cu_tabs (vvc_ctu.c:1229): per-CU maps + per-TB chroma QP/pcmf."""
         tabs = self.tabs
+        sps = self.sps
         x0, y0, w, h = cu.x0, cu.y0, cu.cb_width, cu.cb_height
         ch = cu.ch_type
         set_grid(tabs.cb_pos_x[ch], x0, y0, w, h, x0)
@@ -1478,10 +1480,17 @@ class CtuCoder:
         set_grid(tabs.cb_width[ch], x0, y0, w, h, w)
         set_grid(tabs.cb_height[ch], x0, y0, w, h, h)
         set_grid(tabs.cqt_depth[ch], x0, y0, w, h, cu.cqt_depth)
-        set_grid(tabs.skip, x0, y0, w, h, cu.skip_flag)
-        for i in range(3):
-            if cu.bdpcm_flag[i]:
-                set_grid(tabs.pcmf[min(i, 1)], x0, y0, w, h, 1)
+        if cu.tree_type != DUAL_TREE_CHROMA:
+            set_grid(tabs.skip, x0, y0, w, h, cu.skip_flag)
+        for tu in cu.tus:
+            for tb in tu.tbs:
+                if tb.c_idx != LUMA:
+                    is_jcbcr = tu.joint_cbcr_residual_flag and \
+                        tu.coded_flag[CB] and tu.coded_flag[CR]
+                    idx = JCBCR if is_jcbcr else tb.c_idx
+                    self._set_tb_grid(tabs.qp[tb.c_idx], tb, cu.qp[idx])
+                if tb.c_idx != CR and cu.bdpcm_flag[tb.c_idx]:
+                    self._set_tb_grid(tabs.pcmf[tb.c_idx], tb, 1)
 
     # --- SAO / ALF / deblock per-CTU params (vvc_ctu.c:2147-2266) -----------
 

@@ -1,0 +1,652 @@
+"""Golden deblocking filter (H.266 8.8.3), scalar NumPy model.
+
+Whole-picture two-pass structure per spec: all vertical edges first, then all
+horizontal edges.  Reference analogue: /root/reference/libavcodec/vvc/
+vvc_filter.c (boundary_strength :308, bs derivation :399-783, drivers
+:861-1000) and vvc_filter_template.c / h2656_deblock_template.c (luma
+strong/weak/large, chroma strong/one-side/weak filters).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ctu import MODE_INTRA, LUMA, CB, CR
+
+DEBLOCK_STEP = 8
+LUMA_GRID = 4
+CHROMA_GRID = 8
+DEFAULT_INTRA_TC_OFFSET = 2
+
+TC_TABLE = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 3, 4, 4, 4, 4, 5, 5, 5, 5, 7, 7, 8, 9, 10,
+    10, 11, 13, 14, 15, 17, 19, 21, 24, 25, 29, 33, 36, 41, 45, 51,
+    57, 64, 71, 80, 89, 100, 112, 125, 141, 157, 177, 198, 222, 250, 280, 314,
+    352, 395)
+BETA_TABLE = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24,
+    26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56,
+    58, 60, 62, 64, 66, 68, 70, 72, 74, 76, 78, 80, 82, 84, 86, 88)
+
+
+def clip(v, lo, hi):
+    return lo if v < lo else (hi if v > hi else v)
+
+
+class _Edge:
+    """Sample accessor for one 8-line (or 4/2-line) edge segment.
+
+    For vertical edges: x advances across the edge (xstride=1 in plane),
+    lines advance down.  For horizontal edges the roles swap.
+    """
+    __slots__ = ("plane", "x", "y", "vertical")
+
+    def __init__(self, plane, x, y, vertical):
+        self.plane = plane
+        self.x = x
+        self.y = y
+        self.vertical = vertical
+
+    def get(self, off, line):
+        if self.vertical:
+            return int(self.plane[self.y + line, self.x + off])
+        return int(self.plane[self.y + off, self.x + line])
+
+    def set(self, off, line, v):
+        if self.vertical:
+            self.plane[self.y + line, self.x + off] = v
+        else:
+            self.plane[self.y + off, self.x + line] = v
+
+
+class Deblocker:
+    def __init__(self, sps, pps, tabs, fb):
+        self.sps = sps
+        self.pps = pps
+        self.tabs = tabs
+        self.fb = fb
+        h4 = tabs.h4
+        w4 = tabs.w4
+        g = lambda: np.zeros((h4, w4), dtype=np.int32)
+        self.vertical_bs = [g(), g(), g()]
+        self.horizontal_bs = [g(), g(), g()]
+        self.vertical_p = g()
+        self.vertical_q = g()
+        self.horizontal_p = g()
+        self.horizontal_q = g()
+        self.pixel_max = (1 << sps.bit_depth) - 1
+
+    # --- frame entry --------------------------------------------------------
+
+    def deblock_frame(self):
+        pps = self.pps
+        for vertical in (True, False):
+            for ry in range(pps.ctb_height):
+                for rx in range(pps.ctb_width):
+                    rs = ry * pps.ctb_width + rx
+                    if not self.tabs.deblock_disabled[rs]:
+                        self.deblock_ctb(rx, ry, vertical)
+
+    def _boundary_flags(self, rx, ry):
+        pps = self.pps
+        tabs = self.tabs
+        rs = ry * pps.ctb_width + rx
+        left_tile = rx > 0 and pps.ctb_to_col_bd[rx] != pps.ctb_to_col_bd[rx - 1]
+        left_slice = rx > 0 and \
+            tabs.slice_idx[ry, rx] != tabs.slice_idx[ry, rx - 1]
+        up_tile = ry > 0 and pps.ctb_to_row_bd[ry] != pps.ctb_to_row_bd[ry - 1]
+        up_slice = ry > 0 and \
+            tabs.slice_idx[ry, rx] != tabs.slice_idx[ry - 1, rx]
+        return left_tile, left_slice, up_tile, up_slice
+
+    def deblock_ctb(self, rx, ry, vertical):
+        sps, pps = self.sps, self.pps
+        ctb = sps.ctb_size_y
+        x0, y0 = rx * ctb, ry * ctb
+        self._compute_bs(rx, ry, x0, y0, vertical)
+        x_end = min(x0 + ctb, pps.width)
+        y_end = min(y0 + ctb, pps.height)
+        rs = ry * pps.ctb_width + rx
+        c_end = 3 if sps.chroma_format_idc else 1
+        tabs = self.tabs
+        for c_idx in range(c_end):
+            hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+            beta_off = int(tabs.deblock_beta[rs, c_idx])
+            tc_off = int(tabs.deblock_tc[rs, c_idx])
+            if vertical:
+                grid = (CHROMA_GRID << hs) if c_idx else LUMA_GRID
+                step = DEBLOCK_STEP << vs
+                n = DEBLOCK_STEP >> (2 - vs) if c_idx else 2
+                if not c_idx:
+                    n = DEBLOCK_STEP >> 2
+                bs_tab = self.vertical_bs[c_idx]
+                for y in range(y0, y_end, step):
+                    x = x0 if x0 else grid
+                    while x < x_end:
+                        self._filter_edge(c_idx, x, y, y_end, True, n, grid,
+                                          beta_off, tc_off, bs_tab, False)
+                        x += grid
+            else:
+                grid = (CHROMA_GRID << vs) if c_idx else LUMA_GRID
+                step = DEBLOCK_STEP << hs
+                n = DEBLOCK_STEP >> (2 - hs) if c_idx else DEBLOCK_STEP >> 2
+                bs_tab = self.horizontal_bs[c_idx]
+                for y in range(y0, y_end, grid):
+                    if y == 0:
+                        continue
+                    hor_ctu_edge = (y % sps.ctb_size_y) == 0
+                    for x in range(x0, x_end, step):
+                        self._filter_edge(c_idx, x, y, x_end, False, n, grid,
+                                          beta_off, tc_off, bs_tab,
+                                          hor_ctu_edge)
+
+    def _filter_edge(self, c_idx, x, y, end, vertical, n, grid, beta_off,
+                     tc_off, bs_tab, hor_ctu_edge):
+        sps = self.sps
+        bd = sps.bit_depth
+        bs = [0] * 4
+        beta = [0] * 4
+        tc = [0] * 4
+        mlp = [0] * 4
+        mlq = [0] * 4
+        all_zero = True
+        for i in range(n):
+            d = i << 2
+            if vertical:
+                pos_x, pos_y = x, y + d
+                in_range = pos_y < end
+            else:
+                pos_x, pos_y = x + d, y
+                in_range = pos_x < end
+            bs[i] = int(bs_tab[pos_y >> 2, pos_x >> 2]) if in_range else 0
+            if bs[i]:
+                qp = self._edge_qp(pos_x, pos_y, c_idx, vertical)
+                beta[i] = BETA_TABLE[clip(qp + beta_off, 0, 63)]
+                tc[i] = TC_TABLE[clip(qp + DEFAULT_INTRA_TC_OFFSET * (bs[i] - 1)
+                                      + (tc_off & -2), 0, 65)]
+                mlp[i], mlq[i] = self._max_filter_length(
+                    pos_x, pos_y, c_idx, vertical, hor_ctu_edge, bs[i])
+                all_zero = False
+            else:
+                tc[i] = 0
+        if all_zero:
+            return
+        hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+        plane = self.fb.planes[c_idx]
+        px, py = x >> hs, y >> vs
+        if c_idx == 0:
+            self._filter_luma(plane, px, py, vertical, beta, tc, mlp, mlq,
+                              hor_ctu_edge)
+        else:
+            shift = vs if vertical else hs
+            self._filter_chroma(plane, px, py, vertical, beta, tc, mlp, mlq,
+                                shift)
+
+    def _edge_qp(self, x, y, c_idx, vertical):
+        tabs = self.tabs
+        sps = self.sps
+        dx = 1 if vertical else 0
+        dy = 0 if vertical else 1
+        if c_idx == 0:
+            qp_p = int(tabs.qp[LUMA][(y - dy) >> 2, (x - dx) >> 2])
+            qp_q = int(tabs.qp[LUMA][y >> 2, x >> 2])
+            return (qp_p + qp_q + 1) >> 1
+        qp_p = int(tabs.qp[c_idx][(y - dy) >> 2, (x - dx) >> 2])
+        qp_q = int(tabs.qp[c_idx][y >> 2, x >> 2])
+        return (qp_p + qp_q - 2 * sps.qp_bd_offset + 1) >> 1
+
+    def _max_filter_length(self, qx, qy, c_idx, vertical, hor_ctu_edge, bs):
+        tabs = self.tabs
+        if c_idx == 0:
+            t_p = self.vertical_p if vertical else self.horizontal_p
+            t_q = self.vertical_q if vertical else self.horizontal_q
+            return int(t_p[qy >> 2, qx >> 2]), int(t_q[qy >> 2, qx >> 2])
+        px = qx - 1 if vertical else qx
+        py = qy - 1 if not vertical else qy
+        tb_size = tabs.tb_width[1] if vertical else tabs.tb_height[1]
+        size_p = int(tb_size[py >> 2, px >> 2])
+        size_q = int(tb_size[qy >> 2, qx >> 2])
+        if size_p >= 8 and size_q >= 8:
+            mlp = mlq = 3
+            if hor_ctu_edge:
+                mlp = 1
+            return mlp, mlq
+        v = int(bs == 2)
+        return v, v
+
+    # --- BS computation ------------------------------------------------------
+
+    def _compute_bs(self, rx, ry, x0, y0, vertical):
+        sps, pps = self.sps, self.pps
+        tabs = self.tabs
+        x_end4 = min(x0 + sps.ctb_size_y, pps.width) >> 2
+        y_end4 = min(y0 + sps.ctb_size_y, pps.height) >> 2
+        flags = self._boundary_flags(rx, ry)
+        for is_chroma in (0, 1) if sps.chroma_format_idc else (0,):
+            hs = sps.hshift[is_chroma]
+            vs = sps.vshift[is_chroma]
+            for y4 in range(y0 >> 2, y_end4):
+                for x4 in range(x0 >> 2, x_end4):
+                    if (int(tabs.tb_pos_x[is_chroma][y4, x4]) >> 2) == x4 and \
+                            (int(tabs.tb_pos_y[is_chroma][y4, x4]) >> 2) == y4:
+                        w = int(tabs.tb_width[is_chroma][y4, x4]) << hs
+                        h = int(tabs.tb_height[is_chroma][y4, x4]) << vs
+                        if is_chroma:
+                            self._bs_chroma(x4 << 2, y4 << 2, w, h, vertical,
+                                            flags)
+                        else:
+                            self._bs_luma(x4 << 2, y4 << 2, w, h, vertical,
+                                          flags)
+
+    def _is_intra(self, x, y):
+        return int(self.tabs.cpm[0][y >> 2, x >> 2]) == MODE_INTRA
+
+    def _bs_luma(self, x0, y0, width, height, vertical, flags):
+        """vvc_deblock_bs_luma_{vertical,horizontal} (intra + cbf rules;
+        inter MV rules arrive with the inter milestone)."""
+        sps, pps = self.sps, self.pps
+        tabs = self.tabs
+        left_tile, left_slice, up_tile, up_slice = flags
+        ctb_mask = sps.ctb_size_y - 1
+        if vertical:
+            boundary = x0 > 0 and not (x0 & 3)
+            if boundary and ((not pps.r.pps_loop_filter_across_slices_enabled_flag
+                              and left_slice and (x0 & ctb_mask) == 0) or
+                             (not pps.r.pps_loop_filter_across_tiles_enabled_flag
+                              and left_tile and (x0 & ctb_mask) == 0)):
+                boundary = False
+            if not boundary:
+                return
+            for i in range(0, height, 4):
+                y = y0 + i
+                p_intra = self._is_intra(x0 - 1, y)
+                q_intra = self._is_intra(x0, y)
+                p_cbf = int(tabs.tu_coded_flag[LUMA][y >> 2, (x0 - 1) >> 2])
+                q_cbf = int(tabs.tu_coded_flag[LUMA][y >> 2, x0 >> 2])
+                pcmf = int(tabs.pcmf[LUMA][y >> 2, (x0 - 1) >> 2]) and \
+                    int(tabs.pcmf[LUMA][y >> 2, x0 >> 2])
+                if pcmf:
+                    bs = 0
+                elif p_intra or q_intra:
+                    bs = 2
+                elif p_cbf or q_cbf:
+                    bs = 1
+                else:
+                    bs = self._bs_inter(x0, y, vertical)
+                self.vertical_bs[LUMA][y >> 2, x0 >> 2] = bs
+                mlp, mlq = self._max_len_luma(x0, y, vertical)
+                self.vertical_p[y >> 2, x0 >> 2] = mlp
+                self.vertical_q[y >> 2, x0 >> 2] = mlq
+        else:
+            boundary = y0 > 0 and not (y0 & 3)
+            if boundary and ((not pps.r.pps_loop_filter_across_slices_enabled_flag
+                              and up_slice and (y0 & ctb_mask) == 0) or
+                             (not pps.r.pps_loop_filter_across_tiles_enabled_flag
+                              and up_tile and (y0 & ctb_mask) == 0)):
+                boundary = False
+            if not boundary:
+                return
+            for i in range(0, width, 4):
+                x = x0 + i
+                p_intra = self._is_intra(x, y0 - 1)
+                q_intra = self._is_intra(x, y0)
+                p_cbf = int(tabs.tu_coded_flag[LUMA][(y0 - 1) >> 2, x >> 2])
+                q_cbf = int(tabs.tu_coded_flag[LUMA][y0 >> 2, x >> 2])
+                pcmf = int(tabs.pcmf[LUMA][(y0 - 1) >> 2, x >> 2]) and \
+                    int(tabs.pcmf[LUMA][y0 >> 2, x >> 2])
+                if pcmf:
+                    bs = 0
+                elif p_intra or q_intra:
+                    bs = 2
+                elif p_cbf or q_cbf:
+                    bs = 1
+                else:
+                    bs = self._bs_inter(x, y0, vertical)
+                self.horizontal_bs[LUMA][y0 >> 2, x >> 2] = bs
+                mlp, mlq = self._max_len_luma(x, y0, vertical)
+                self.horizontal_p[y0 >> 2, x >> 2] = mlp
+                self.horizontal_q[y0 >> 2, x >> 2] = mlq
+
+    def _bs_inter(self, x, y, vertical):
+        # inter MV-based BS: needs the MV field (inter milestone).  Until
+        # then every non-intra, non-cbf edge would be inside a CU (bs 0) —
+        # replicate the off_x/off_y rule conservatively.
+        tabs = self.tabs
+        dx = 1 if vertical else 0
+        dy = 0 if vertical else 1
+        cb_x = int(tabs.cb_pos_x[0][y >> 2, x >> 2])
+        cb_y = int(tabs.cb_pos_y[0][y >> 2, x >> 2])
+        off = (x - cb_x) if vertical else (y - cb_y)
+        if off:
+            return 0
+        return 1  # CU boundary between two inter CUs: conservative until MVs
+
+    def _max_len_luma(self, qx, qy, vertical):
+        """derive_max_filter_length_luma (vvc_filter.c:375)."""
+        tabs = self.tabs
+        px = qx - 1 if vertical else qx
+        py = qy - 1 if not vertical else qy
+        tb_size = tabs.tb_width[0] if vertical else tabs.tb_height[0]
+        size_p = int(tb_size[py >> 2, px >> 2])
+        size_q = int(tb_size[qy >> 2, qx >> 2])
+        if size_p <= 4 or size_q <= 4:
+            return 1, 1
+        mlp = 7 if size_p >= 32 else 3
+        mlq = 7 if size_q >= 32 else 3
+        # subblock (affine/sbtmvp) clamps arrive with inter
+        if int(tabs.msf[py >> 2, px >> 2]) or int(tabs.iaf[py >> 2, px >> 2]):
+            mlp = min(5, mlp)
+        return mlp, mlq
+
+    def _bs_chroma(self, x0, y0, width, height, vertical, flags):
+        sps, pps = self.sps, self.pps
+        tabs = self.tabs
+        left_tile, left_slice, up_tile, up_slice = flags
+        ctb_mask = sps.ctb_size_y - 1
+        if vertical:
+            boundary = x0 > 0 and not (x0 & ((CHROMA_GRID << sps.hshift[1]) - 1))
+            if boundary and ((not pps.r.pps_loop_filter_across_slices_enabled_flag
+                              and left_slice and (x0 & ctb_mask) == 0) or
+                             (not pps.r.pps_loop_filter_across_tiles_enabled_flag
+                              and left_tile and (x0 & ctb_mask) == 0)):
+                boundary = False
+            if not boundary:
+                return
+            for i in range(0, height, 2):
+                y = y0 + i
+                self._bs_chroma_one(x0 - 1, y, x0, y, x0, y, True)
+        else:
+            boundary = y0 > 0 and not (y0 & ((CHROMA_GRID << sps.vshift[1]) - 1))
+            if boundary and ((not pps.r.pps_loop_filter_across_slices_enabled_flag
+                              and up_slice and (y0 & ctb_mask) == 0) or
+                             (not pps.r.pps_loop_filter_across_tiles_enabled_flag
+                              and up_tile and (y0 & ctb_mask) == 0)):
+                boundary = False
+            if not boundary:
+                return
+            for i in range(0, width, 2):
+                x = x0 + i
+                self._bs_chroma_one(x, y0 - 1, x, y0, x, y0, False)
+
+    def _bs_chroma_one(self, px, py, qx, qy, ex, ey, vertical):
+        tabs = self.tabs
+        p4 = (py >> 2, px >> 2)
+        q4 = (qy >> 2, qx >> 2)
+        pcmf = int(tabs.pcmf[1][p4]) and int(tabs.pcmf[1][q4])
+        p_intra = int(tabs.cpm[0][p4]) == MODE_INTRA
+        q_intra = int(tabs.cpm[0][q4]) == MODE_INTRA
+        for c in (CB, CR):
+            cbf = int(tabs.tu_coded_flag[c][p4]) | int(tabs.tu_coded_flag[c][q4]) | \
+                int(tabs.tu_joint_cbcr[p4]) | int(tabs.tu_joint_cbcr[q4])
+            if pcmf:
+                bs = 0
+            elif p_intra or q_intra:
+                bs = 2
+            elif cbf:
+                bs = 1
+            else:
+                bs = 0
+            if vertical:
+                self.vertical_bs[c][ey >> 2, ex >> 2] = bs
+            else:
+                self.horizontal_bs[c][ey >> 2, ex >> 2] = bs
+
+    # --- pixel filters -------------------------------------------------------
+
+    def _filter_luma(self, plane, px, py, vertical, beta_a, tc_a, mlp_a, mlq_a,
+                     hor_ctu_edge):
+        bd = self.sps.bit_depth
+        for i in range(2):
+            tc0 = tc_a[i]
+            if bd < 10:
+                tc = (tc0 + (1 << (9 - bd))) >> (10 - bd)
+            else:
+                tc = tc0 << (bd - 10)
+            if not tc:
+                continue
+            e = _Edge(plane, px, py + i * 4, vertical) if vertical else \
+                _Edge(plane, px + i * 4, py, vertical)
+            P = lambda k, line: e.get(-k - 1, line)
+            Q = lambda k, line: e.get(k, line)
+            dp0 = abs(P(2, 0) - 2 * P(1, 0) + P(0, 0))
+            dq0 = abs(Q(2, 0) - 2 * Q(1, 0) + Q(0, 0))
+            dp3 = abs(P(2, 3) - 2 * P(1, 3) + P(0, 3))
+            dq3 = abs(Q(2, 3) - 2 * Q(1, 3) + Q(0, 3))
+            d0 = dp0 + dq0
+            d3 = dp3 + dq3
+            tc25 = (tc * 5 + 1) >> 1
+            max_len_p = mlp_a[i]
+            max_len_q = mlq_a[i]
+            large_p = max_len_p > 3 and not hor_ctu_edge
+            large_q = max_len_q > 3
+            beta = beta_a[i] << (bd - 8)
+            beta_3 = beta >> 3
+            beta_2 = beta >> 2
+            if large_p or large_q:
+                dp0l = ((dp0 + abs(P(5, 0) - 2 * P(4, 0) + P(3, 0)) + 1) >> 1) \
+                    if large_p else dp0
+                dq0l = ((dq0 + abs(Q(5, 0) - 2 * Q(4, 0) + Q(3, 0)) + 1) >> 1) \
+                    if large_q else dq0
+                dp3l = ((dp3 + abs(P(5, 3) - 2 * P(4, 3) + P(3, 3)) + 1) >> 1) \
+                    if large_p else dp3
+                dq3l = ((dq3 + abs(Q(5, 3) - 2 * Q(4, 3) + Q(3, 3)) + 1) >> 1) \
+                    if large_q else dq3
+                d0l = dp0l + dq0l
+                d3l = dp3l + dq3l
+                beta53 = beta * 3 >> 5
+                beta_4 = beta >> 4
+                ml_p = max_len_p if large_p else 3
+                ml_q = max_len_q if large_q else 3
+                if d0l + d3l < beta:
+                    sp0l = abs(P(3, 0) - P(0, 0)) + \
+                        (abs(P(7, 0) - P(6, 0) - P(5, 0) + P(4, 0)) if ml_p == 7 else 0)
+                    sq0l = abs(Q(0, 0) - Q(3, 0)) + \
+                        (abs(Q(4, 0) - Q(5, 0) - Q(6, 0) + Q(7, 0)) if ml_q == 7 else 0)
+                    sp3l = abs(P(3, 3) - P(0, 3)) + \
+                        (abs(P(7, 3) - P(6, 3) - P(5, 3) + P(4, 3)) if ml_p == 7 else 0)
+                    sq3l = abs(Q(0, 3) - Q(3, 3)) + \
+                        (abs(Q(4, 3) - Q(5, 3) - Q(6, 3) + Q(7, 3)) if ml_q == 7 else 0)
+                    sp0 = ((sp0l + abs(P(3, 0) - P(ml_p, 0)) + 1) >> 1) if large_p else sp0l
+                    sp3 = ((sp3l + abs(P(3, 3) - P(ml_p, 3)) + 1) >> 1) if large_p else sp3l
+                    sq0 = ((sq0l + abs(Q(3, 0) - Q(ml_q, 0)) + 1) >> 1) if large_q else sq0l
+                    sq3 = ((sq3l + abs(Q(3, 3) - Q(ml_q, 3)) + 1) >> 1) if large_q else sq3l
+                    if sp0 + sq0 < beta53 and abs(P(0, 0) - Q(0, 0)) < tc25 and \
+                            sp3 + sq3 < beta53 and abs(P(0, 3) - Q(0, 3)) < tc25 and \
+                            (d0l << 1) < beta_4 and (d3l << 1) < beta_4:
+                        self._luma_large(e, tc, ml_p, ml_q)
+                        continue
+            if d0 + d3 < beta:
+                if max_len_p > 2 and max_len_q > 2 and \
+                        abs(P(3, 0) - P(0, 0)) + abs(Q(3, 0) - Q(0, 0)) < beta_3 and \
+                        abs(P(0, 0) - Q(0, 0)) < tc25 and \
+                        abs(P(3, 3) - P(0, 3)) + abs(Q(3, 3) - Q(0, 3)) < beta_3 and \
+                        abs(P(0, 3) - Q(0, 3)) < tc25 and \
+                        (d0 << 1) < beta_2 and (d3 << 1) < beta_2:
+                    self._luma_strong(e, tc)
+                else:
+                    nd_p = nd_q = 1
+                    if max_len_p > 1 and max_len_q > 1:
+                        if dp0 + dp3 < ((beta + (beta >> 1)) >> 3):
+                            nd_p = 2
+                        if dq0 + dq3 < ((beta + (beta >> 1)) >> 3):
+                            nd_q = 2
+                    self._luma_weak(e, tc, nd_p, nd_q)
+
+    def _luma_large(self, e, tc, ml_p, ml_q):
+        for d in range(4):
+            p = [e.get(-k - 1, d) for k in range(8)]
+            q = [e.get(k, d) for k in range(8)]
+            if ml_p == 5 and ml_q == 5:
+                m = (p[4] + p[3] + 2 * (p[2] + p[1] + p[0] + q[0] + q[1] + q[2])
+                     + q[3] + q[4] + 8) >> 4
+            elif ml_p == ml_q:
+                m = (p[6] + p[5] + p[4] + p[3] + p[2] + p[1] +
+                     2 * (p[0] + q[0]) + q[1] + q[2] + q[3] + q[4] + q[5] +
+                     q[6] + 8) >> 4
+            elif ml_p + ml_q == 12:
+                m = (p[5] + p[4] + p[3] + p[2] +
+                     2 * (p[1] + p[0] + q[0] + q[1]) + q[2] + q[3] + q[4] +
+                     q[5] + 8) >> 4
+            elif ml_p + ml_q == 8:
+                m = (p[3] + p[2] + p[1] + p[0] + q[0] + q[1] + q[2] + q[3] + 4) >> 3
+            elif ml_q == 7:
+                m = (2 * (p[2] + p[1] + p[0] + q[0]) + p[0] + p[1] + q[1] +
+                     q[2] + q[3] + q[4] + q[5] + q[6] + 8) >> 4
+            else:
+                m = (p[6] + p[5] + p[4] + p[3] + p[2] + p[1] +
+                     2 * (q[2] + q[1] + q[0] + p[0]) + q[0] + q[1] + 8) >> 4
+            refp = (p[ml_p] + p[ml_p - 1] + 1) >> 1
+            refq = (q[ml_q] + q[ml_q - 1] + 1) >> 1
+            coef = {3: (53, 32, 11), 5: (58, 45, 32, 19, 6),
+                    7: (59, 50, 41, 32, 23, 14, 5)}
+            cp = coef[ml_p]
+            tc_w_p = {3: (6, 4, 2), 5: (6, 5, 4, 3, 2),
+                      7: (6, 5, 4, 3, 2, 1, 1)}[ml_p]
+            for k in range(ml_p):
+                v = p[k] + clip(((m * cp[k] + refp * (64 - cp[k]) + 32) >> 6) - p[k],
+                                -(tc * tc_w_p[k] >> 1), tc * tc_w_p[k] >> 1)
+                e.set(-k - 1, d, v)
+            cq = coef[ml_q]
+            tc_w_q = {3: (6, 4, 2), 5: (6, 5, 4, 3, 2),
+                      7: (6, 5, 4, 3, 2, 1, 1)}[ml_q]
+            for k in range(ml_q):
+                v = q[k] + clip(((m * cq[k] + refq * (64 - cq[k]) + 32) >> 6) - q[k],
+                                -(tc * tc_w_q[k] >> 1), tc * tc_w_q[k] >> 1)
+                e.set(k, d, v)
+
+    def _luma_strong(self, e, tc):
+        tc2, tc3 = tc << 1, tc * 3
+        for d in range(4):
+            p3, p2, p1, p0 = (e.get(-4, d), e.get(-3, d), e.get(-2, d),
+                              e.get(-1, d))
+            q0, q1, q2, q3 = (e.get(0, d), e.get(1, d), e.get(2, d),
+                              e.get(3, d))
+            e.set(-1, d, p0 + clip(((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3) - p0, -tc3, tc3))
+            e.set(-2, d, p1 + clip(((p2 + p1 + p0 + q0 + 2) >> 2) - p1, -tc2, tc2))
+            e.set(-3, d, p2 + clip(((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3) - p2, -tc, tc))
+            e.set(0, d, q0 + clip(((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3) - q0, -tc3, tc3))
+            e.set(1, d, q1 + clip(((p0 + q0 + q1 + q2 + 2) >> 2) - q1, -tc2, tc2))
+            e.set(2, d, q2 + clip(((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3) - q2, -tc, tc))
+
+    def _luma_weak(self, e, tc, nd_p, nd_q):
+        mx = self.pixel_max
+        tc_2 = tc >> 1
+        for d in range(4):
+            p2, p1, p0 = e.get(-3, d), e.get(-2, d), e.get(-1, d)
+            q0, q1, q2 = e.get(0, d), e.get(1, d), e.get(2, d)
+            delta0 = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+            if abs(delta0) < 10 * tc:
+                delta0 = clip(delta0, -tc, tc)
+                e.set(-1, d, clip(p0 + delta0, 0, mx))
+                e.set(0, d, clip(q0 - delta0, 0, mx))
+                if nd_p > 1:
+                    dp1 = clip((((p2 + p0 + 1) >> 1) - p1 + delta0) >> 1,
+                               -tc_2, tc_2)
+                    e.set(-2, d, clip(p1 + dp1, 0, mx))
+                if nd_q > 1:
+                    dq1 = clip((((q2 + q0 + 1) >> 1) - q1 - delta0) >> 1,
+                               -tc_2, tc_2)
+                    e.set(1, d, clip(q1 + dq1, 0, mx))
+
+    def _filter_chroma(self, plane, px, py, vertical, beta_a, tc_a, mlp_a,
+                       mlq_a, shift):
+        bd = self.sps.bit_depth
+        size = 2 if shift else 4
+        end = 8 // size
+        for i in range(end):
+            tc0 = tc_a[i]
+            if bd < 10:
+                tc = (tc0 + (1 << (9 - bd))) >> (10 - bd)
+            else:
+                tc = tc0 << (bd - 10)
+            if not tc:
+                continue
+            e = _Edge(plane, px, py + i * size, vertical) if vertical else \
+                _Edge(plane, px + i * size, py, vertical)
+            max_len_p = mlp_a[i]
+            max_len_q = mlq_a[i]
+            if not max_len_p or not max_len_q:
+                continue
+            beta = beta_a[i] << (bd - 8)
+            beta_3 = beta >> 3
+            beta_2 = beta >> 2
+            tc25 = (tc * 5 + 1) >> 1
+            P = lambda k, line: e.get(-k - 1, line)
+            Q = lambda k, line: e.get(k, line)
+            if max_len_q == 3:
+                nline = 1 if shift else 3
+                p1n = P(1, nline)
+                p2n = P(1, nline) if max_len_p == 1 else P(2, nline)
+                p0n = P(0, nline)
+                q0n, q1n, q2n = Q(0, nline), Q(1, nline), Q(2, nline)
+                p3 = P(1, 0) if max_len_p == 1 else P(3, 0)
+                p2 = P(1, 0) if max_len_p == 1 else P(2, 0)
+                p1, p0 = P(1, 0), P(0, 0)
+                dp0 = abs(p2 - 2 * p1 + p0)
+                dq0 = abs(Q(2, 0) - 2 * Q(1, 0) + Q(0, 0))
+                dp1 = abs(p2n - 2 * p1n + p0n)
+                dq1 = abs(q2n - 2 * q1n + q0n)
+                d0 = dp0 + dq0
+                d1 = dp1 + dq1
+                if d0 + d1 < beta:
+                    p3n = p1n if max_len_p == 1 else P(3, nline)
+                    q3n = Q(3, nline)
+                    dsam0 = (d0 << 1) < beta_2 and \
+                        (abs(p3 - p0) + abs(Q(0, 0) - Q(3, 0)) < beta_3) and \
+                        abs(p0 - Q(0, 0)) < tc25
+                    dsam1 = (d1 << 1) < beta_2 and \
+                        (abs(p3n - p0n) + abs(q0n - q3n) < beta_3) and \
+                        abs(p0n - q0n) < tc25
+                    if not dsam0 or not dsam1:
+                        max_len_p = max_len_q = 1
+                else:
+                    max_len_p = max_len_q = 1
+            if max_len_p == 3 and max_len_q == 3:
+                self._chroma_strong(e, size, tc)
+            elif max_len_q == 3:
+                self._chroma_strong_one_side(e, size, tc)
+            else:
+                self._chroma_weak(e, size, tc)
+
+    def _chroma_strong(self, e, size, tc):
+        for d in range(size):
+            p3, p2, p1, p0 = (e.get(-4, d), e.get(-3, d), e.get(-2, d),
+                              e.get(-1, d))
+            q0, q1, q2, q3 = (e.get(0, d), e.get(1, d), e.get(2, d),
+                              e.get(3, d))
+            e.set(-1, d, clip((p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3,
+                              p0 - tc, p0 + tc))
+            e.set(-2, d, clip((2 * p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3,
+                              p1 - tc, p1 + tc))
+            e.set(-3, d, clip((3 * p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3,
+                              p2 - tc, p2 + tc))
+            e.set(0, d, clip((p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3,
+                             q0 - tc, q0 + tc))
+            e.set(1, d, clip((p1 + p0 + q0 + 2 * q1 + q2 + 2 * q3 + 4) >> 3,
+                             q1 - tc, q1 + tc))
+            e.set(2, d, clip((p0 + q0 + q1 + 2 * q2 + 3 * q3 + 4) >> 3,
+                             q2 - tc, q2 + tc))
+
+    def _chroma_strong_one_side(self, e, size, tc):
+        for d in range(size):
+            p1, p0 = e.get(-2, d), e.get(-1, d)
+            q0, q1, q2, q3 = (e.get(0, d), e.get(1, d), e.get(2, d),
+                              e.get(3, d))
+            e.set(-1, d, clip((3 * p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3,
+                              p0 - tc, p0 + tc))
+            e.set(0, d, clip((2 * p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3,
+                             q0 - tc, q0 + tc))
+            e.set(1, d, clip((p1 + p0 + q0 + 2 * q1 + q2 + 2 * q3 + 4) >> 3,
+                             q1 - tc, q1 + tc))
+            e.set(2, d, clip((p0 + q0 + q1 + 2 * q2 + 3 * q3 + 4) >> 3,
+                             q2 - tc, q2 + tc))
+
+    def _chroma_weak(self, e, size, tc):
+        mx = self.pixel_max
+        for d in range(size):
+            p1, p0 = e.get(-2, d), e.get(-1, d)
+            q0, q1 = e.get(0, d), e.get(1, d)
+            delta0 = clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
+            e.set(-1, d, clip(p0 + delta0, 0, mx))
+            e.set(0, d, clip(q0 - delta0, 0, mx))

@@ -116,6 +116,9 @@ class VVCDecoder:
             sh = derived.SH(sh_r, ph, sps, pps)
             self._decode_slice(nal, sh, sh_end_bits, tabs, fb,
                                slice_idx_in_frame)
+        # in-loop filters (whole-frame passes per spec 8.8)
+        from .deblock import Deblocker
+        Deblocker(sps, pps, tabs, fb).deblock_frame()
         return DecodedFrame(poc=poc, buffer=fb, tabs=tabs)
 
     def _entry_point_offsets(self, nal, sh_r, sh_end_bits):

@@ -53,3 +53,8 @@ def test_l0_flat(tmp_path):
 ])
 def test_l1_intra_fuzz(seed, w, h, qp, tmp_path):
     _check(_forge(1, seed, w, h, qp), tmp_path)
+
+
+@pytest.mark.parametrize("seed,qp", [(1, 32), (4, 38)])
+def test_l2_deblock(seed, qp, tmp_path):
+    _check(_forge(1, seed, 64, 64, qp, deblock=True), tmp_path)
