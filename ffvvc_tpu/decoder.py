@@ -112,10 +112,19 @@ class VVCDecoder:
         tabs = FrameTabs(sps, pps)
         fb = FrameBuffer(sps, pps)
 
+        recon_jobs = []
         for slice_idx_in_frame, (nal, sh_r, sh_end_bits) in enumerate(slices):
             sh = derived.SH(sh_r, ph, sps, pps)
-            self._decode_slice(nal, sh, sh_end_bits, tabs, fb,
-                               slice_idx_in_frame)
+            recon_jobs.extend(self._parse_slice(nal, sh, sh_end_bits, tabs, fb,
+                                                slice_idx_in_frame))
+        if self.config.backend == "tpu":
+            # batched inverse transforms on device (one launch per TB bucket);
+            # host recon below then only adds the precomputed residuals
+            from .ops.itx import frame_device_residuals
+            frame_device_residuals(recon_jobs, tabs, sps.bit_depth)
+        for rec, ctus in recon_jobs:
+            for rs, rx, ry in ctus:
+                rec.reconstruct_ctu(rs, rx, ry)
         # in-loop filters (whole-frame passes per spec 8.8)
         from .deblock import Deblocker
         Deblocker(sps, pps, tabs, fb).deblock_frame()
@@ -143,15 +152,16 @@ class VVCDecoder:
         ranges.append((pos, len(nal.rbsp)))
         return ranges
 
-    def _decode_slice(self, nal, sh, sh_end_bits, tabs, fb, slice_idx):
+    def _parse_slice(self, nal, sh, sh_end_bits, tabs, fb, slice_idx):
+        """CABAC-parse one slice; returns recon jobs [(Reconstructor,
+        [(rs, rx, ry), ...])] to run after the (optional) device itx pass."""
         sps, pps = self.sps, self.pps
         eps = self._entry_point_offsets(nal, sh.r, sh_end_bits)
         ctu_addrs = sh.ctu_addrs
         ctu_index = {rs: i for i, rs in enumerate(ctu_addrs)}
         # partition CTUs across entry points (tiles / WPP rows)
         ep_ctus = self._partition_ctus(ctu_addrs, len(eps))
-        nbr_recon = None
-        states = None
+        jobs = []
         for ep_idx, (ep_range, ctus) in enumerate(zip(eps, ep_ctus)):
             engine = CabacDecoder(nal.rbsp, ep_range[0] * 8)
             coder = CtuCoder(engine, sps, pps, sh, tabs)
@@ -160,6 +170,7 @@ class VVCDecoder:
             rec = Reconstructor(sps, pps, tabs, fb, coder)
             rec.ph_r = sh.ph
             rec.dep_quant = sh.r.sh_dep_quant_used_flag
+            job_ctus = []
             for i, rs in enumerate(ctus):
                 rx = rs % pps.ctb_width
                 ry = rs // pps.ctb_width
@@ -179,7 +190,9 @@ class VVCDecoder:
                     coder.init_stat_coeff()
                 coder.coding_tree_unit(ctu_idx, rs, rx, ry, len(ctu_addrs),
                                        slice_idx)
-                rec.reconstruct_ctu(rs, rx, ry)
+                job_ctus.append((rs, rx, ry))
+            jobs.append((rec, job_ctus))
+        return jobs
 
     def _partition_ctus(self, ctu_addrs, n_eps):
         """Split a slice's CTUs into entry-point groups (tiles or WPP rows)."""

@@ -619,14 +619,8 @@ class Reconstructor:
             ch_type = int(c_idx > 0)
             if ch_type != target_ch_type or not tb.has_coeffs:
                 continue
-            if cu.bdpcm_flag[c_idx]:
-                self._transform_bdpcm(cu, tb)
-            self._dequant(cu, tu, tb)
-            if not tb.ts:
-                if cu.apply_lfnst_flag[c_idx]:
-                    self._ilfnst(cu, tb)
-                trh, trv = self._transform_type(cu, tb)
-                self._itx_2d(tb, trh, trv)
+            if not getattr(tb, "residual_ready", False):
+                self.compute_residual(cu, tu, tb)
             res = tb.coeffs
             plane = self.fb.planes[c_idx]
             hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
@@ -657,6 +651,41 @@ class Reconstructor:
 
     ph_r = None  # set by decoder per frame
     dep_quant = 0
+
+    def compute_residual(self, cu, tu, tb):
+        """Full host residual chain for one TB (golden path)."""
+        if cu.bdpcm_flag[tb.c_idx]:
+            self._transform_bdpcm(cu, tb)
+        self._dequant(cu, tu, tb)
+        if not tb.ts:
+            if cu.apply_lfnst_flag[tb.c_idx]:
+                self._ilfnst(cu, tb)
+            trh, trv = self._transform_type(cu, tb)
+            self._itx_2d(tb, trh, trv)
+        tb.residual_ready = True
+
+    def prepare_tb_for_itx(self, cu, tu, tb):
+        """Host prep only (BDPCM + dequant + LFNST + transform-type decision);
+        leaves tb.coeffs ready for the batched device inverse transform.
+
+        Returns (trh, trv, log2_range) or None when no device itx is needed
+        (transform-skip: tb.coeffs is already the final residual)."""
+        if cu.bdpcm_flag[tb.c_idx]:
+            self._transform_bdpcm(cu, tb)
+        self._dequant(cu, tu, tb)
+        if tb.ts:
+            tb.residual_ready = True
+            return None
+        if cu.apply_lfnst_flag[tb.c_idx]:
+            self._ilfnst(cu, tb)
+        trh, trv = self._transform_type(cu, tb)
+        if self._log2_range > 15:
+            # extended-precision coeffs can overflow the device int32 dot;
+            # rare (sps_extended_precision_flag) -> host int64 path
+            self._itx_2d(tb, trh, trv)
+            tb.residual_ready = True
+            return None
+        return trh, trv, self._log2_range
 
     def _dequant(self, cu, tu, tb):
         """derive_qp + derive_scale + scale_coeff (vvc_intra.c:277-417)."""

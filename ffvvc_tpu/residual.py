@@ -26,7 +26,7 @@ def ilog2(v) -> int:
 class TransformBlock:
     __slots__ = ("x0", "y0", "w", "h", "log2_w", "log2_h", "c_idx", "ts",
                  "coeffs", "max_scan_x", "max_scan_y", "min_scan_x",
-                 "min_scan_y", "has_coeffs")
+                 "min_scan_y", "has_coeffs", "residual_ready", "itx_queued")
 
     def __init__(self, x0, y0, w, h, c_idx):
         self.x0 = x0
@@ -41,6 +41,8 @@ class TransformBlock:
         self.coeffs = None  # np.int32 [h, w], filled by residual coding
         self.max_scan_x = self.max_scan_y = 0
         self.min_scan_x = self.min_scan_y = 0
+        self.residual_ready = False
+        self.itx_queued = False
 
 
 class ResidualCtx:

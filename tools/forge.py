@@ -266,7 +266,8 @@ def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
     stream = write_nal(NalType.SPS, write_sps(sps_r))
     stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
     for i in range(nframes):
-        nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=(i == 0))
+        # all-intra: every frame IDR until the forge writes ref pic lists
+        nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=True)
         stream += nal
     return stream
 
