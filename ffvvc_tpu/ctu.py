@@ -47,7 +47,7 @@ class CodingUnit:
         "isp_split_type", "num_intra_subpartitions", "bdpcm_flag",
         "mip_chroma_direct_flag", "lfnst_idx", "mts_idx", "apply_lfnst_flag",
         "sbt_flag", "sbt_horizontal_flag", "sbt_pos_flag",
-        "qp", "tus", "pu", "act_enabled_flag")
+        "qp", "tus", "pu", "act_enabled_flag", "ciip_flag")
 
     def __init__(self, x0, y0, w, h, cqt_depth, tree_type):
         self.x0 = x0
@@ -77,9 +77,49 @@ class CodingUnit:
         self.sbt_horizontal_flag = 0
         self.sbt_pos_flag = 0
         self.act_enabled_flag = 0
+        self.ciip_flag = 0
         self.qp = [0, 0, 0, 0]
         self.tus = []
         self.pu = None
+
+
+class MotionInfo:
+    """Reference MotionInfo (vvc_ctu.h): up to 3 control-point MVs per list."""
+    __slots__ = ("pred_flag", "mv", "ref_idx", "bcw_idx", "hpel_if_idx",
+                 "motion_model_idc", "num_sb_x", "num_sb_y")
+
+    def __init__(self):
+        self.pred_flag = 0
+        self.mv = [[[0, 0], [0, 0], [0, 0]], [[0, 0], [0, 0], [0, 0]]]
+        self.ref_idx = [0, 0]
+        self.bcw_idx = 0
+        self.hpel_if_idx = 0
+        self.motion_model_idc = 0
+        self.num_sb_x = self.num_sb_y = 1
+
+
+class PredictionUnit:
+    """Reference PredictionUnit (vvc_ctu.h)."""
+    __slots__ = ("general_merge_flag", "mmvd_merge_flag", "merge_gpm_flag",
+                 "gpm_partition_idx", "gpm_mv", "inter_affine_flag",
+                 "merge_subblock_flag", "sym_mvd_flag", "dmvr_flag",
+                 "bdof_flag", "cb_prof_flag", "diff_mv_x", "diff_mv_y", "mi")
+
+    def __init__(self):
+        self.general_merge_flag = 0
+        self.mmvd_merge_flag = 0
+        self.merge_gpm_flag = 0
+        self.gpm_partition_idx = 0
+        self.gpm_mv = None
+        self.inter_affine_flag = 0
+        self.merge_subblock_flag = 0
+        self.sym_mvd_flag = 0
+        self.dmvr_flag = 0
+        self.bdof_flag = 0
+        self.cb_prof_flag = [0, 0]
+        self.diff_mv_x = [None, None]
+        self.diff_mv_y = [None, None]
+        self.mi = MotionInfo()
 
 
 class TransformUnit:
@@ -129,7 +169,18 @@ class FrameTabs:
         self.pcmf = [g(), g()]               # bdpcm per ch_type
         self.msf = g()                       # merge subblock flag (inter ctx)
         self.iaf = g()                       # inter affine flag (inter ctx)
-        self.mvf = None                      # MV field, filled by inter
+        # MV field grids, per 4x4 (reference fc->tab.mvf, vvcdec.h:140):
+        self.mvf_pf = np.zeros((h4, w4), dtype=np.uint8)   # PF_INTRA=0
+        self.mvf_mv = np.zeros((2, h4, w4, 2), dtype=np.int32)
+        self.mvf_ref = np.zeros((2, h4, w4), dtype=np.int8)
+        self.mvf_bcw = np.zeros((h4, w4), dtype=np.int8)
+        self.mvf_hpel = np.zeros((h4, w4), dtype=np.int8)
+        self.mvf_ciip = np.zeros((h4, w4), dtype=np.int8)
+        # post-DMVR MV grid used by later frames' TMVP (ref->tab_dmvr_mvf,
+        # vvc_ctu.c:1697 fill_dmvr_info / vvc_inter.c:750 set_dmvr_info)
+        self.col_pf = np.zeros((h4, w4), dtype=np.uint8)
+        self.col_mv = np.zeros((2, h4, w4, 2), dtype=np.int32)
+        self.col_ref = np.zeros((2, h4, w4), dtype=np.int8)
         self.slice_idx = np.full((pps.ctb_height, pps.ctb_width), -1,
                                  dtype=np.int32)
         # 32x32 multi-split map + 64x64 isp flag map (cclm derivation)
@@ -242,6 +293,12 @@ class CtuCoder:
             self.cu_chroma_qp_offset_subdiv = ph.ph_cu_chroma_qp_offset_subdiv_inter_slice
         self.cu = None
         self.coeff_enc_cb = None  # forge: callback returning TB coeffs
+        # per-slice inter state, attached by the decoder (reference
+        # SliceContext: rpl, ff_vvc_slice_rpl vvc_refs.c:415)
+        self.rpl = None             # [RefPicList, RefPicList]
+        self.poc = 0
+        self.collocated_ref = None  # DecodedFrame view for TMVP
+        self.pwt = getattr(sh, "pwt", None)
 
     def init_stat_coeff(self):
         sps = self.sps
@@ -1024,10 +1081,501 @@ class CtuCoder:
             cu.intra_pred_mode_c = mode_map_422[cu.intra_pred_mode_c]
 
     def set_intra_mvf(self, cu):
-        pass  # MV field for intra CUs: filled with zeros (inter milestone)
+        """ff_vvc_set_intra_mvf (vvc_mvs.c:265) + DMVR-grid copy."""
+        t = self.tabs
+        x0, y0 = cu.x0 >> 2, cu.y0 >> 2
+        x1 = (cu.x0 + cu.cb_width) >> 2
+        y1 = (cu.y0 + cu.cb_height) >> 2
+        t.mvf_pf[y0:y1, x0:x1] = 0  # PF_INTRA
+        t.col_pf[y0:y1, x0:x1] = 0
+
+    # --- inter prediction syntax (vvc_ctu.c:1318-1729) ---------------------
 
     def inter_data(self, cu):
-        raise NotImplementedError("inter prediction syntax (next milestone)")
+        from .mvs import MotionContext
+        mc = MotionContext(self)
+        pu = PredictionUnit()
+        cu.pu = pu
+        pu.general_merge_flag = 1
+        if not cu.skip_flag:
+            pu.general_merge_flag = self.bin(CTX.GENERAL_MERGE_FLAG,
+                                             "general_merge_flag",
+                                             x0=cu.x0, y0=cu.y0)
+        if pu.general_merge_flag:
+            self.hls_merge_data(cu, pu, mc)
+        elif cu.pred_mode == MODE_IBC:
+            raise NotImplementedError("IBC")
+        else:
+            self.mvp_data(cu, pu, mc)
+        if not pu.merge_gpm_flag and not pu.inter_affine_flag and \
+                not pu.merge_subblock_flag:
+            self.derive_dmvr_bdof_flag(cu, pu)
+            if pu.dmvr_flag or pu.bdof_flag:
+                pu.mi.num_sb_x = (cu.cb_width >> 4) if cu.cb_width > 16 else 1
+                pu.mi.num_sb_y = (cu.cb_height >> 4) if cu.cb_height > 16 else 1
+            mc.update_hmvp(cu)
+        if not pu.dmvr_flag:
+            self.fill_dmvr_info(cu)
+
+    def fill_dmvr_info(self, cu):
+        """fill_dmvr_info (vvc_ctu.c:1697): copy mvf grid -> per-frame
+        collocated grid (post-DMVR values land here for DMVR blocks)."""
+        t = self.tabs
+        x0, y0 = cu.x0 >> 2, cu.y0 >> 2
+        x1 = (cu.x0 + cu.cb_width) >> 2
+        y1 = (cu.y0 + cu.cb_height) >> 2
+        t.col_pf[y0:y1, x0:x1] = t.mvf_pf[y0:y1, x0:x1]
+        t.col_mv[:, y0:y1, x0:x1] = t.mvf_mv[:, y0:y1, x0:x1]
+        t.col_ref[:, y0:y1, x0:x1] = t.mvf_ref[:, y0:y1, x0:x1]
+
+    def hls_merge_data(self, cu, pu, mc):
+        from .mvs import mv_merge_refine_pred_flag
+        sps, ph = self.sps, self.sh.ph
+        pu.merge_gpm_flag = 0
+        pu.mi.num_sb_x = pu.mi.num_sb_y = 1
+        max_sb_cand = self.max_num_subblock_merge_cand()
+        if max_sb_cand > 0 and cu.cb_width >= 8 and cu.cb_height >= 8:
+            left, top = self._left_top_pair(self.tabs.msf, self.tabs.msf,
+                                            cu.x0, cu.y0, 0, 0)
+            la, ta = self._left_top_pair(self.tabs.iaf, self.tabs.iaf,
+                                         cu.x0, cu.y0, 0, 0)
+            inc = (left or la) + (top or ta)
+            pu.merge_subblock_flag = self.bin(
+                CTX.MERGE_SUBBLOCK_FLAG + inc, "merge_subblock_flag",
+                x0=cu.x0, y0=cu.y0)
+        if pu.merge_subblock_flag:
+            self.merge_data_subblock(cu, pu, mc)
+        else:
+            self.merge_data_block(cu, pu, mc)
+
+    def max_num_subblock_merge_cand(self):
+        """ph->max_num_subblock_merge_cand (vvc_ps.c:703)."""
+        sps, ph = self.sps, self.sh.ph
+        if sps.r.sps_affine_enabled_flag:
+            return 5 - sps.r.sps_five_minus_max_num_subblock_merge_cand
+        return int(sps.r.sps_sbtmvp_enabled_flag and
+                   ph.ph_temporal_mvp_enabled_flag)
+
+    def merge_data_subblock(self, cu, pu, mc):
+        raise NotImplementedError("subblock merge (SbTMVP/affine)")
+
+    def merge_data_block(self, cu, pu, mc):
+        """merge_data_block (vvc_ctu.c:1413)."""
+        sps, rsh = self.sps, self.sh.r
+        w, h = cu.cb_width, cu.cb_height
+        is_128 = w == 128 or h == 128
+        ciip_avail = sps.r.sps_ciip_enabled_flag and not cu.skip_flag and \
+            w * h >= 64
+        gpm_avail = sps.r.sps_gpm_enabled_flag and rsh.sh_slice_type == 0 and \
+            w >= 8 and h >= 8 and w < 8 * h and h < 8 * w
+        regular_merge_flag = 1
+        if not is_128 and (ciip_avail or gpm_avail):
+            inc = int(not cu.skip_flag)
+            regular_merge_flag = self.bin(CTX.REGULAR_MERGE_FLAG + inc,
+                                          "regular_merge_flag",
+                                          x0=cu.x0, y0=cu.y0)
+        if regular_merge_flag:
+            self.merge_data_regular(cu, pu, mc)
+        else:
+            if ciip_avail and gpm_avail:
+                cu.ciip_flag = self.bin(CTX.CIIP_FLAG, "ciip_flag",
+                                        x0=cu.x0, y0=cu.y0)
+            else:
+                cu.ciip_flag = int(sps.r.sps_ciip_enabled_flag and
+                                   not cu.skip_flag and not is_128 and
+                                   w * h >= 64)
+            if cu.ciip_flag:
+                self.merge_data_ciip(cu, pu, mc)
+            else:
+                self.merge_data_gpm(cu, pu, mc)
+
+    def merge_idx_decode(self, c_max):
+        if not self.bin(CTX.MERGE_IDX, "merge_idx_b0"):
+            return 0
+        i = 1
+        while i < c_max and self.bypass("merge_idx_ext"):
+            i += 1
+        return i
+
+    def merge_data_regular(self, cu, pu, mc):
+        """merge_data_regular (vvc_ctu.c:1333)."""
+        from .mvs import mv_merge_refine_pred_flag, round_mv, clip_mv
+        sps, ph = self.sps, self.sh.ph
+        merge_idx = 0
+        mmvd_offset = None
+        if sps.r.sps_mmvd_enabled_flag:
+            pu.mmvd_merge_flag = self.bin(CTX.MMVD_MERGE_FLAG,
+                                          "mmvd_merge_flag",
+                                          x0=cu.x0, y0=cu.y0)
+        if pu.mmvd_merge_flag:
+            mmvd_cand_flag = 0
+            if sps.max_num_merge_cand > 1:
+                mmvd_cand_flag = self.bin(CTX.MMVD_CAND_FLAG,
+                                          "mmvd_cand_flag")
+            mmvd_offset = self.mmvd_offset_coding(
+                ph.ph_mmvd_fullpel_only_flag)
+            merge_idx = mmvd_cand_flag
+        elif sps.max_num_merge_cand > 1:
+            merge_idx = self.merge_idx_decode(sps.max_num_merge_cand - 1)
+        mvf = mc.luma_mv_merge_mode(cu, merge_idx, 0)
+        if pu.mmvd_merge_flag:
+            self.derive_mmvd(mvf, mmvd_offset, mc)
+        mv_merge_refine_pred_flag(mvf, cu.cb_width, cu.cb_height)
+        mc.set_mvf(cu.x0, cu.y0, cu.cb_width, cu.cb_height, mvf)
+        self.mvf_to_mi(mvf, pu.mi)
+
+    def mvf_to_mi(self, mvf, mi):
+        mi.pred_flag = mvf.pred_flag
+        mi.bcw_idx = mvf.bcw_idx
+        mi.hpel_if_idx = mvf.hpel_if_idx
+        for i in range(2):
+            if mvf.pred_flag & (i + 1):
+                mi.mv[i][0] = list(mvf.mv[i])
+                mi.ref_idx[i] = mvf.ref_idx[i]
+
+    def mmvd_offset_coding(self, fullpel_only):
+        """ff_vvc_mmvd_offset_coding (vvc_cabac.c)."""
+        if not self.bin(CTX.MMVD_DISTANCE_IDX, "mmvd_distance_idx_b0"):
+            dist_idx = 0
+        else:
+            i = 1
+            while i < 7 and self.bypass("mmvd_distance_ext"):
+                i += 1
+            dist_idx = i
+        shift = 4 if fullpel_only else 2
+        distance = 1 << (dist_idx + shift)
+        dir_idx = (self.bypass("mmvd_dir0") << 1) | self.bypass("mmvd_dir1")
+        signs = ((1, 0), (-1, 0), (0, 1), (0, -1))
+        return [distance * signs[dir_idx][0], distance * signs[dir_idx][1]]
+
+    def derive_mmvd(self, mvf, mmvd_offset, mc):
+        """derive_mmvd (vvc_ctu.c:1244)."""
+        from .mvs import mv_scale, PF_L0, PF_BI
+        rpl = self.rpl
+        poc = self.poc
+        mmvd = [list(mmvd_offset), list(mmvd_offset)]
+        if mvf.pred_flag == PF_BI:
+            rp = (poc - rpl[0].poc_list[mvf.ref_idx[0]],
+                  poc - rpl[1].poc_list[mvf.ref_idx[1]])
+            if rp[0] == rp[1]:
+                pass
+            elif abs(rp[0]) >= abs(rp[1]):
+                i, o = 0, 1
+                if rpl[0].is_lt[mvf.ref_idx[0]] or \
+                        rpl[1].is_lt[mvf.ref_idx[1]]:
+                    mmvd[o][0] = mmvd[i][0] if rp[0] * rp[1] > 0 \
+                        else -mmvd[i][0]
+                    mmvd[o][1] = mmvd[i][1] if rp[0] * rp[1] > 0 \
+                        else -mmvd[i][1]
+                else:
+                    mmvd[o] = mv_scale(mmvd[i], rp[i], rp[o])
+            else:
+                i, o = 1, 0
+                if rpl[0].is_lt[mvf.ref_idx[0]] or \
+                        rpl[1].is_lt[mvf.ref_idx[1]]:
+                    mmvd[o][0] = mmvd[i][0] if rp[0] * rp[1] > 0 \
+                        else -mmvd[i][0]
+                    mmvd[o][1] = mmvd[i][1] if rp[0] * rp[1] > 0 \
+                        else -mmvd[i][1]
+                else:
+                    mmvd[o] = mv_scale(mmvd[i], rp[i], rp[o])
+            mvf.mv[0][0] += mmvd[0][0]
+            mvf.mv[0][1] += mmvd[0][1]
+            mvf.mv[1][0] += mmvd[1][0]
+            mvf.mv[1][1] += mmvd[1][1]
+        else:
+            idx = mvf.pred_flag - PF_L0
+            mvf.mv[idx][0] += mmvd_offset[0]
+            mvf.mv[idx][1] += mmvd_offset[1]
+
+    def merge_data_ciip(self, cu, pu, mc):
+        """merge_data_ciip (vvc_ctu.c:1393)."""
+        from .mvs import mv_merge_refine_pred_flag
+        sps = self.sps
+        merge_idx = 0
+        if sps.max_num_merge_cand > 1:
+            merge_idx = self.merge_idx_decode(sps.max_num_merge_cand - 1)
+        mvf = mc.luma_mv_merge_mode(cu, merge_idx, 1)
+        mv_merge_refine_pred_flag(mvf, cu.cb_width, cu.cb_height)
+        mc.set_mvf(cu.x0, cu.y0, cu.cb_width, cu.cb_height, mvf)
+        self.mvf_to_mi(mvf, pu.mi)
+        cu.intra_pred_mode_y = cu.intra_pred_mode_c = INTRA_PLANAR
+        cu.intra_luma_ref_idx = 0
+        cu.intra_mip_flag = 0
+
+    def merge_data_gpm(self, cu, pu, mc):
+        """merge_data_gpm (vvc_ctu.c:1376) + ff_vvc_store_gpm_mvf."""
+        sps = self.sps
+        pu.merge_gpm_flag = 1
+        idx0 = 0
+        for _ in range(6):
+            idx0 = (idx0 << 1) | self.bypass("gpm_partition_idx")
+        pu.gpm_partition_idx = idx0
+        merge_gpm_idx = [self.merge_idx_decode(
+            sps.max_num_gpm_merge_cand - 0 - 1), 0]
+        if sps.max_num_gpm_merge_cand > 2:
+            merge_gpm_idx[1] = self.merge_idx_decode(
+                sps.max_num_gpm_merge_cand - 1 - 1)
+        pu.gpm_mv = mc.luma_mv_merge_gpm(cu, merge_gpm_idx)
+        self.store_gpm_mvf(cu, pu, mc)
+
+    def store_gpm_mvf(self, cu, pu, mc):
+        """ff_vvc_store_gpm_mvf (vvc_mvs.c:449)."""
+        from .ops import data as D
+        from .mvs import MvField, PF_L0, PF_BI
+        t = D.tables()
+        angle_idx = int(t["gpm_angle_idx"][pu.gpm_partition_idx])
+        distance_idx = int(t["gpm_distance_idx"][pu.gpm_partition_idx])
+        displacement_x = int(t["gpm_distance_lut"][angle_idx])
+        displacement_y = int(t["gpm_distance_lut"][(angle_idx + 8) % 32])
+        is_flip = 13 <= angle_idx <= 27
+        shift_hor = 0 if (angle_idx % 16 == 8 or
+                          (angle_idx % 16 and
+                           cu.cb_height >= cu.cb_width)) else 1
+        sign = 1 if angle_idx < 16 else -1
+        off_x = (-cu.cb_width) >> 1
+        off_y = (-cu.cb_height) >> 1
+        if not shift_hor:
+            off_y += sign * ((distance_idx * cu.cb_height) >> 3)
+        else:
+            off_x += sign * ((distance_idx * cu.cb_width) >> 3)
+        for y in range(0, cu.cb_height, 4):
+            for x in range(0, cu.cb_width, 4):
+                motion_idx = (((x + off_x) << 1) + 5) * displacement_x + \
+                    (((y + off_y) << 1) + 5) * displacement_y
+                s_type = 2 if abs(motion_idx) < 32 else \
+                    ((1 - is_flip) if motion_idx <= 0 else int(is_flip))
+                pred_flag = pu.gpm_mv[0].pred_flag | pu.gpm_mv[1].pred_flag
+                x0, y0 = cu.x0 + x, cu.y0 + y
+                if not s_type:
+                    mc.set_mvf(x0, y0, 4, 4, pu.gpm_mv[0])
+                elif s_type == 1 or (s_type == 2 and pred_flag != PF_BI):
+                    mc.set_mvf(x0, y0, 4, 4, pu.gpm_mv[1])
+                else:
+                    mvf = pu.gpm_mv[0].copy()
+                    mv1 = pu.gpm_mv[1]
+                    lx = mv1.pred_flag - PF_L0
+                    mvf.pred_flag = PF_BI
+                    mvf.ref_idx[lx] = mv1.ref_idx[lx]
+                    mvf.mv[lx] = list(mv1.mv[lx])
+                    mc.set_mvf(x0, y0, 4, 4, mvf)
+
+    # --- AMVP / mvp_data (vvc_ctu.c:1466-1630) ----------------------------
+
+    def mvd_coding(self):
+        """hls_mvd_coding (vvc_ctu.c:1466)."""
+        mv = [0, 0]
+        for i in range(2):
+            mv[i] = self.bin(CTX.ABS_MVD_GREATER0_FLAG,
+                             "abs_mvd_greater0_flag")
+        for i in range(2):
+            if mv[i]:
+                mv[i] += self.bin(CTX.ABS_MVD_GREATER1_FLAG,
+                                  "abs_mvd_greater1_flag")
+        for i in range(2):
+            if mv[i] > 0:
+                if mv[i] == 2:
+                    mv[i] += self.egk_code("abs_mvd_minus2", 1, 15, 17)
+                sign = self.bypass("mvd_sign_flag")
+                mv[i] = (1 - 2 * sign) * mv[i]
+        return mv
+
+    def pred_flag_decode(self, cu, is_b):
+        """ff_vvc_pred_flag (vvc_cabac.c:1481)."""
+        from .mvs import PF_L0, PF_BI
+        w, h = cu.cb_width, cu.cb_height
+        if not is_b:
+            return PF_L0
+        if w + h > 12:
+            log2 = ilog2(w) + ilog2(h)
+            inc = 7 - ((1 + log2) >> 1)
+            if self.bin(CTX.INTER_PRED_IDC + inc, "inter_pred_idc",
+                        x0=cu.x0, y0=cu.y0):
+                return PF_BI
+        return PF_L0 + self.bin(CTX.INTER_PRED_IDC + 5, "inter_pred_idc_b5")
+
+    def ref_idx_decode(self, lx, sym_mvd_flag):
+        rsh = self.sh.r
+        if rsh.num_ref_idx_active[lx] > 1 and not sym_mvd_flag:
+            c_max = rsh.num_ref_idx_active[lx] - 1
+            max_ctx = min(c_max, 2)
+            i = 0
+            while i < max_ctx and self.bin(CTX.REF_IDX_LX + i, "ref_idx_lx"):
+                i += 1
+            if i == 2:
+                while i < c_max and self.bypass("ref_idx_lx_ext"):
+                    i += 1
+            return i
+        if sym_mvd_flag:
+            return self.sh.ref_idx_sym[lx]
+        return 0
+
+    def amvr_shift_decode(self, inter_affine_flag, pred_mode, enabled):
+        """ff_vvc_amvr_shift (vvc_cabac.c:1560)."""
+        amvr_shift = 2
+        if enabled:
+            if self.bin(CTX.AMVR_FLAG + inter_affine_flag, "amvr_flag"):
+                if inter_affine_flag:
+                    idx = self._amvr_precision_idx(2, 1)
+                    amvr_shift = idx * 4
+                elif pred_mode == MODE_IBC:
+                    idx = self._amvr_precision_idx(1, 1)
+                    amvr_shift = 4 + idx * 2
+                else:
+                    idx = self._amvr_precision_idx(0, 2)
+                    amvr_shift = (3, 4, 6)[idx]
+        return amvr_shift
+
+    def _amvr_precision_idx(self, inc, c_max):
+        if not self.bin(CTX.AMVR_PRECISION_IDX + inc, "amvr_precision_idx"):
+            return 0
+        i = 1
+        if i < c_max and self.bin(CTX.AMVR_PRECISION_IDX + 1,
+                                  "amvr_precision_idx1"):
+            i += 1
+        return i
+
+    def bcw_idx_decode(self, cu, mi):
+        """bcw_idx_decode (vvc_ctu.c:1490)."""
+        from .mvs import PF_BI
+        sps = self.sps
+        pwt = self.pwt
+        if sps.r.sps_bcw_enabled_flag and mi.pred_flag == PF_BI and \
+                not pwt.weight_flag(0, 0, mi.ref_idx[0]) and \
+                not pwt.weight_flag(1, 0, mi.ref_idx[1]) and \
+                not pwt.weight_flag(0, 1, mi.ref_idx[0]) and \
+                not pwt.weight_flag(1, 1, mi.ref_idx[1]) and \
+                cu.cb_width * cu.cb_height >= 256:
+            from .mvs import MotionContext
+            no_backward = MotionContext(self).no_backward_pred_flag()
+            c_max = 4 if no_backward else 2
+            if not self.bin(CTX.BCW_IDX, "bcw_idx"):
+                return 0
+            i = 1
+            while i < c_max and self.bypass("bcw_idx_ext"):
+                i += 1
+            return i
+        return 0
+
+    def mvp_data(self, cu, pu, mc):
+        """mvp_data (vvc_ctu.c:1570)."""
+        from .mvs import PF_L0, PF_L1, PF_BI, MvField
+        sps, ph, sh = self.sps, self.sh.ph, self.sh
+        rsh = sh.r
+        mi = pu.mi
+        is_b = rsh.sh_slice_type == 0
+        mvds = [[[0, 0], [0, 0], [0, 0]], [[0, 0], [0, 0], [0, 0]]]
+        mvp_lx_flag = [0, 0]
+        cu_affine_type_flag = 0
+        has_no_zero_mvd = 0
+
+        mi.pred_flag = self.pred_flag_decode(cu, is_b)
+        if sps.r.sps_affine_enabled_flag and cu.cb_width >= 16 and \
+                cu.cb_height >= 16:
+            la, ta = self._left_top_pair(self.tabs.msf, self.tabs.msf,
+                                         cu.x0, cu.y0, 0, 0)
+            lb, tb = self._left_top_pair(self.tabs.iaf, self.tabs.iaf,
+                                         cu.x0, cu.y0, 0, 0)
+            inc = (la or lb) + (ta or tb)
+            pu.inter_affine_flag = self.bin(CTX.INTER_AFFINE_FLAG + inc,
+                                            "inter_affine_flag")
+            set_grid(self.tabs.iaf, cu.x0, cu.y0, cu.cb_width, cu.cb_height,
+                     pu.inter_affine_flag)
+            if sps.r.sps_6param_affine_enabled_flag and pu.inter_affine_flag:
+                cu_affine_type_flag = self.bin(CTX.CU_AFFINE_TYPE_FLAG,
+                                               "cu_affine_type_flag")
+        mi.motion_model_idc = pu.inter_affine_flag + cu_affine_type_flag
+        num_cp_mv = mi.motion_model_idc + 1
+
+        if sps.r.sps_smvd_enabled_flag and not ph.ph_mvd_l1_zero_flag and \
+                mi.pred_flag == PF_BI and not pu.inter_affine_flag and \
+                sh.ref_idx_sym[0] > -1 and sh.ref_idx_sym[1] > -1:
+            pu.sym_mvd_flag = self.bin(CTX.SYM_MVD_FLAG, "sym_mvd_flag")
+
+        for i in range(2):
+            pf = PF_L0 + (1 - i)
+            if mi.pred_flag != pf:
+                mi.ref_idx[i] = self.ref_idx_decode(i, pu.sym_mvd_flag)
+                # mvds_decode (vvc_ctu.c:1524)
+                if i == 1 and ph.ph_mvd_l1_zero_flag and \
+                        mi.pred_flag == PF_BI:
+                    for j in range(num_cp_mv):
+                        mvds[1][j] = [0, 0]
+                else:
+                    if i == 1 and pu.sym_mvd_flag:
+                        mvds[1][0] = [-mvds[0][0][0], -mvds[0][0][1]]
+                    else:
+                        mvds[i][0] = self.mvd_coding()
+                    if mvds[i][0][0] or mvds[i][0][1]:
+                        has_no_zero_mvd = 1
+                    for j in range(1, num_cp_mv):
+                        d = self.mvd_coding()
+                        d[0] += mvds[i][0][0]
+                        d[1] += mvds[i][0][1]
+                        mvds[i][j] = d
+                        if d[0] or d[1]:
+                            has_no_zero_mvd = 1
+                mvp_lx_flag[i] = self.bin(CTX.MVP_LX_FLAG, "mvp_lx_flag")
+
+        amvr_enabled = sps.r.sps_amvr_enabled_flag \
+            if mi.motion_model_idc == 0 else \
+            sps.r.sps_affine_amvr_enabled_flag
+        amvr_enabled &= has_no_zero_mvd
+        amvr_shift = self.amvr_shift_decode(pu.inter_affine_flag,
+                                            cu.pred_mode, amvr_enabled)
+        mi.hpel_if_idx = int(amvr_shift == 3)
+        mi.bcw_idx = self.bcw_idx_decode(cu, mi)
+
+        if mi.motion_model_idc:
+            raise NotImplementedError("affine AMVP")
+        mc.ff_mvp(cu, mvp_lx_flag, amvr_shift, mi)
+
+        # mvp_add_difference (vvc_ctu.c:1556)
+        for i in range(2):
+            if mi.pred_flag & (i + 1):
+                for j in range(num_cp_mv):
+                    mi.mv[i][j][0] += mvds[i][j][0] * (1 << amvr_shift)
+                    mi.mv[i][j][1] += mvds[i][j][1] * (1 << amvr_shift)
+
+        # ff_vvc_store_mv (vvc_mvs.c:499)
+        mvf = MvField()
+        mvf.hpel_if_idx = mi.hpel_if_idx
+        mvf.bcw_idx = mi.bcw_idx
+        mvf.pred_flag = mi.pred_flag
+        for i in range(2):
+            if mi.pred_flag & (i + 1):
+                mvf.mv[i] = list(mi.mv[i][0])
+                mvf.ref_idx[i] = mi.ref_idx[i]
+        mc.set_mvf(cu.x0, cu.y0, cu.cb_width, cu.cb_height, mvf)
+
+    def derive_dmvr_bdof_flag(self, cu, pu):
+        """derive_dmvr_bdof_flag (vvc_ctu.c:1639)."""
+        from .mvs import PF_BI
+        ph, sh = self.sh.ph, self.sh
+        mi = pu.mi
+        rpl = self.rpl
+        pu.bdof_flag = 0
+        pu.dmvr_flag = 0
+        pwt = self.pwt
+        if mi.pred_flag == PF_BI and \
+                (self.poc - rpl[0].poc_list[mi.ref_idx[0]] ==
+                 rpl[1].poc_list[mi.ref_idx[1]] - self.poc) and \
+                not rpl[0].is_lt[mi.ref_idx[0]] and \
+                not rpl[1].is_lt[mi.ref_idx[1]] and \
+                not cu.ciip_flag and not mi.bcw_idx and \
+                not pwt.weight_flag(0, 0, mi.ref_idx[0]) and \
+                not pwt.weight_flag(1, 0, mi.ref_idx[1]) and \
+                not pwt.weight_flag(0, 1, mi.ref_idx[0]) and \
+                not pwt.weight_flag(1, 1, mi.ref_idx[1]) and \
+                cu.cb_width >= 8 and cu.cb_height >= 8 and \
+                cu.cb_width * cu.cb_height >= 128:
+            if not ph.ph_bdof_disabled_flag and \
+                    mi.motion_model_idc == 0 and \
+                    not pu.merge_subblock_flag and not pu.sym_mvd_flag:
+                pu.bdof_flag = 1
+            if not ph.ph_dmvr_disabled_flag and pu.general_merge_flag and \
+                    not pu.mmvd_merge_flag:
+                pu.dmvr_flag = 1
 
     def sbt_info(self, cu):
         if cu.pred_mode == MODE_INTER and self.sps.r.sps_sbt_enabled_flag:
@@ -1041,6 +1589,14 @@ class CtuCoder:
             return self.e.truncated_binary(c_max)
         v = int(self.policy(tag, c_max=c_max, **ctx))
         self.e.truncated_binary(v, c_max)
+        return v
+
+    def egk_code(self, tag, k, max_pre, trunc, **ctx):
+        """limited k-th order EGk (bypass)."""
+        if self.decode:
+            return self.e.limited_egk(k, max_pre, trunc)
+        v = int(self.policy(tag, **ctx))
+        self.e.limited_egk(v, k, max_pre, trunc)
         return v
 
     def tu_code(self, base_ctx, c_max, tag, ctx_step=1, **ctx):

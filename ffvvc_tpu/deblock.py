@@ -69,6 +69,7 @@ class Deblocker:
         h4 = tabs.h4
         w4 = tabs.w4
         g = lambda: np.zeros((h4, w4), dtype=np.int32)
+        self.slice_rpls = []   # per-slice [RefPicList, RefPicList]
         self.vertical_bs = [g(), g(), g()]
         self.horizontal_bs = [g(), g(), g()]
         self.vertical_p = g()
@@ -240,7 +241,10 @@ class Deblocker:
                                           flags)
 
     def _is_intra(self, x, y):
-        return int(self.tabs.cpm[0][y >> 2, x >> 2]) == MODE_INTRA
+        # reference checks tab_mvf pred_flag == PF_INTRA plus ciip_flag
+        # (vvc_filter.c:537, 568)
+        return int(self.tabs.mvf_pf[y >> 2, x >> 2]) == 0 or \
+            int(self.tabs.mvf_ciip[y >> 2, x >> 2])
 
     def _bs_luma(self, x0, y0, width, height, vertical, flags):
         """vvc_deblock_bs_luma_{vertical,horizontal} (intra + cbf rules;
@@ -309,18 +313,78 @@ class Deblocker:
                 self.horizontal_q[y0 >> 2, x >> 2] = mlq
 
     def _bs_inter(self, x, y, vertical):
-        # inter MV-based BS: needs the MV field (inter milestone).  Until
-        # then every non-intra, non-cbf edge would be inside a CU (bs 0) —
-        # replicate the off_x/off_y rule conservatively.
+        """Inter edge: off_x/off_y rule + boundary_strength
+        (vvc_filter.c:540-545, 308-371)."""
         tabs = self.tabs
         dx = 1 if vertical else 0
         dy = 0 if vertical else 1
-        cb_x = int(tabs.cb_pos_x[0][y >> 2, x >> 2])
-        cb_y = int(tabs.cb_pos_y[0][y >> 2, x >> 2])
-        off = (x - cb_x) if vertical else (y - cb_y)
-        if off:
+        q4 = (y >> 2, x >> 2)
+        cb_x = int(tabs.cb_pos_x[0][q4])
+        cb_y = int(tabs.cb_pos_y[0][q4])
+        has_sb = 0
+        if int(tabs.msf[q4]) or int(tabs.iaf[q4]):
+            size = int(tabs.cb_width[0][q4]) if vertical else \
+                int(tabs.cb_height[0][q4])
+            has_sb = int(size > 8)
+        off = (cb_x - x) if vertical else (cb_y - y)
+        if off and ((off % 8) or not has_sb):
             return 0
-        return 1  # CU boundary between two inter CUs: conservative until MVs
+        return self._boundary_strength(x, y, x - dx, y - dy)
+
+    def _mvf_at(self, x, y):
+        t = self.tabs
+        i = (y >> 2, x >> 2)
+        return (int(t.mvf_pf[i]),
+                (int(t.mvf_mv[0, i[0], i[1], 0]),
+                 int(t.mvf_mv[0, i[0], i[1], 1])),
+                (int(t.mvf_mv[1, i[0], i[1], 0]),
+                 int(t.mvf_mv[1, i[0], i[1], 1])),
+                int(t.mvf_ref[0, i[0], i[1]]),
+                int(t.mvf_ref[1, i[0], i[1]]))
+
+    def _rpl_at(self, x, y):
+        si = int(self.tabs.slice_idx[y >> self.sps.ctb_log2_size_y,
+                                     x >> self.sps.ctb_log2_size_y])
+        return self.slice_rpls[si]
+
+    def _boundary_strength(self, qx, qy, px, py):
+        """boundary_strength (vvc_filter.c:308)."""
+        PF_BI = 3
+        cpf, cmv0, cmv1, cr0, cr1 = self._mvf_at(qx, qy)
+        npf, nmv0, nmv1, nr0, nr1 = self._mvf_at(px, py)
+        rpl = self._rpl_at(qx, qy)
+        nrpl = self._rpl_at(px, py)
+
+        def far(a, b):
+            return abs(a[0] - b[0]) >= 8 or abs(a[1] - b[1]) >= 8
+        if cpf == PF_BI and npf == PF_BI:
+            c0 = rpl[0].poc_list[cr0]
+            c1 = rpl[1].poc_list[cr1]
+            n0 = nrpl[0].poc_list[nr0]
+            n1 = nrpl[1].poc_list[nr1]
+            if c0 == n0 and c0 == c1 and n0 == n1:
+                if (far(nmv0, cmv0) or far(nmv1, cmv1)) and \
+                        (far(nmv1, cmv0) or far(nmv0, cmv1)):
+                    return 1
+                return 0
+            if n0 == c0 and n1 == c1:
+                return 1 if (far(nmv0, cmv0) or far(nmv1, cmv1)) else 0
+            if n1 == c0 and n0 == c1:
+                return 1 if (far(nmv1, cmv0) or far(nmv0, cmv1)) else 0
+            return 1
+        if cpf != PF_BI and npf != PF_BI:
+            if cpf & 1:
+                a, ref_a = cmv0, rpl[0].poc_list[cr0]
+            else:
+                a, ref_a = cmv1, rpl[1].poc_list[cr1]
+            if npf & 1:
+                b, ref_b = nmv0, nrpl[0].poc_list[nr0]
+            else:
+                b, ref_b = nmv1, nrpl[1].poc_list[nr1]
+            if ref_a == ref_b:
+                return 1 if far(a, b) else 0
+            return 1
+        return 1
 
     def _max_len_luma(self, qx, qy, vertical):
         """derive_max_filter_length_luma (vvc_filter.c:375)."""
@@ -374,8 +438,8 @@ class Deblocker:
         p4 = (py >> 2, px >> 2)
         q4 = (qy >> 2, qx >> 2)
         pcmf = int(tabs.pcmf[1][p4]) and int(tabs.pcmf[1][q4])
-        p_intra = int(tabs.cpm[0][p4]) == MODE_INTRA
-        q_intra = int(tabs.cpm[0][q4]) == MODE_INTRA
+        p_intra = self._is_intra(px, py)
+        q_intra = self._is_intra(qx, qy)
         for c in (CB, CR):
             cbf = int(tabs.tu_coded_flag[c][p4]) | int(tabs.tu_coded_flag[c][q4]) | \
                 int(tabs.tu_joint_cbcr[p4]) | int(tabs.tu_joint_cbcr[q4])

@@ -25,19 +25,49 @@ from .recon import FrameBuffer, Reconstructor
 from .config import DecoderConfig
 
 
+# frame flags (reference VVC_FRAME_FLAG_*, vvc_refs.c)
+FLAG_OUTPUT, FLAG_SHORT_REF, FLAG_LONG_REF, FLAG_BUMPING = 1, 2, 4, 8
+
+
 @dataclasses.dataclass
 class DecodedFrame:
     poc: int
     buffer: FrameBuffer
     tabs: FrameTabs
+    flags: int = 0
+    sequence: int = 0
+    slice_rpls: list = dataclasses.field(default_factory=list)
 
     def to_yuv_bytes(self):
         return self.buffer.to_yuv_bytes()
 
+    # --- TMVP interface (reference ref->tab_dmvr_mvf + rpl_tab) -----------
+
+    def get_mvf(self, x, y):
+        """Collocated MV lookup from the post-DMVR grid."""
+        from .mvs import MvField
+        t = self.tabs
+        xi, yi = x >> 2, y >> 2
+        f = MvField()
+        f.pred_flag = int(t.col_pf[yi, xi])
+        f.mv = [[int(t.col_mv[0, yi, xi, 0]), int(t.col_mv[0, yi, xi, 1])],
+                [int(t.col_mv[1, yi, xi, 0]), int(t.col_mv[1, yi, xi, 1])]]
+        f.ref_idx = [int(t.col_ref[0, yi, xi]), int(t.col_ref[1, yi, xi])]
+        return f
+
+    def rpl_at(self, x, y):
+        """RPL of the slice containing (x, y) (ff_vvc_get_ref_list)."""
+        t = self.tabs
+        ctb_log2 = self._ctb_log2
+        si = int(t.slice_idx[y >> ctb_log2, x >> ctb_log2])
+        return self.slice_rpls[si]
+
+    _ctb_log2 = 6
+
 
 class VVCDecoder:
-    """VVC decoder: Annex-B bytes in, decoded frames out (decode order for
-    all-intra; POC reorder arrives with the inter/DPB milestone)."""
+    """VVC decoder: Annex-B bytes in, decoded frames out in output (POC
+    bumping) order, matching the reference DPB logic (vvc_refs.c:196-292)."""
 
     def __init__(self, config: DecoderConfig = None):
         self.config = config or DecoderConfig()
@@ -47,6 +77,9 @@ class VVCDecoder:
         self.ph = None
         self.prev_poc = 0
         self.frames = []
+        self.dpb = []           # DecodedFrame entries with flags
+        self.seq_decode = 0
+        self.seq_output = 0
 
     def decode(self, data: bytes):
         nals = split_annexb(data)
@@ -59,7 +92,7 @@ class VVCDecoder:
         def flush_frame():
             nonlocal cur_slices, cur_ph
             if cur_slices:
-                out.append(self._decode_frame(cur_ph, cur_slices))
+                out.extend(self._decode_frame(cur_ph, cur_slices))
             cur_slices = []
             cur_ph = None
 
@@ -94,7 +127,138 @@ class VVCDecoder:
                     self.last_sei = []
             # AUD/EOS/EOB/FD/OPI/DCI: no decoder state
         flush_frame()
+        out.extend(self._output_frames(flush=True))
         return out
+
+    # --- DPB / output order (vvc_refs.c:196-292) ---------------------------
+
+    def _dpb_max_buffering(self):
+        sps_r = self.sps.r if self.sps else None
+        if sps_r is None:
+            return 1
+        dpb = sps_r.sps_dpb_params
+        if not dpb:
+            return 1
+        return dpb.dpb_max_dec_pic_buffering_minus1[
+            sps_r.sps_max_sublayers_minus1] + 1
+
+    def _unref_check(self, f):
+        if not f.flags and f in self.dpb:
+            self.dpb.remove(f)
+
+    def _output_frames(self, flush=False, cur_poc=None):
+        out = []
+        while True:
+            cands = [f for f in self.dpb if (f.flags & FLAG_OUTPUT) and
+                     f.sequence == self.seq_output]
+            if not cands:
+                if self.seq_output != self.seq_decode:
+                    self.seq_output += 1
+                    continue
+                break
+            if not flush and self.seq_output == self.seq_decode and \
+                    len(cands) <= self._dpb_max_buffering():
+                break
+            f = min(cands, key=lambda fr: fr.poc)
+            f.flags &= ~(FLAG_OUTPUT | FLAG_BUMPING)
+            self._unref_check(f)
+            out.append(f)
+        return out
+
+    def _bump_frame(self, cur_poc):
+        """ff_vvc_bump_frame (vvc_refs.c:255)."""
+        dpb_n = sum(1 for f in self.dpb if f.flags and
+                    f.sequence == self.seq_output and f.poc != cur_poc)
+        if dpb_n >= self._dpb_max_buffering():
+            min_poc = None
+            for f in self.dpb:
+                if f.flags == FLAG_OUTPUT and f.sequence == self.seq_output \
+                        and f.poc != cur_poc:
+                    if min_poc is None or f.poc < min_poc:
+                        min_poc = f.poc
+            if min_poc is not None:
+                for f in self.dpb:
+                    if (f.flags & FLAG_OUTPUT) and \
+                            f.sequence == self.seq_output and \
+                            f.poc <= min_poc:
+                        f.flags |= FLAG_BUMPING
+
+    def _find_ref(self, poc, use_msb):
+        mask = ~0 if use_msb else self.sps.max_pic_order_cnt_lsb - 1
+        for f in self.dpb:
+            if f.sequence == self.seq_decode and (f.poc & mask) == poc:
+                return f
+        return None
+
+    def _generate_missing_ref(self, poc):
+        """generate_missing_ref (vvc_refs.c:316): mid-gray synthesized."""
+        fb = FrameBuffer(self.sps, self.pps)
+        tabs = FrameTabs(self.sps, self.pps)
+        tabs.slice_idx[:] = 0
+        f = DecodedFrame(poc=poc, buffer=fb, tabs=tabs,
+                         sequence=self.seq_decode)
+        f._ctb_log2 = self.sps.ctb_log2_size_y
+        f.slice_rpls = [[derived.RefPicList(), derived.RefPicList()]]
+        self.dpb.append(f)
+        return f
+
+    def _build_slice_rpl(self, frame, sh, poc):
+        """ff_vvc_slice_rpl (vvc_refs.c:415)."""
+        sps, pps = self.sps, self.pps
+        rsh, ph = sh.r, sh.ph
+        max_poc_lsb = sps.max_pic_order_cnt_lsb
+        ref_lists = ph.ph_ref_pic_lists if pps.r.pps_rpl_info_in_ph_flag \
+            else rsh.ref_pic_lists
+        rpl_pair = []
+        collocated = None
+        for lx in range(2):
+            rpls = ref_lists.rpl_ref_list[lx]
+            rpl = derived.RefPicList()
+            poc_base = poc
+            prev_delta_poc_msb = 0
+            j = 0
+            for i in range(rpls.num_ref_entries):
+                if rpls.inter_layer_ref_pic_flag and \
+                        rpls.inter_layer_ref_pic_flag[i]:
+                    raise NotImplementedError("inter-layer ref")
+                if rpls.st_ref_pic_flag[i]:
+                    # delta_poc_st (vvc_refs.c:391)
+                    abs_d = rpls.abs_delta_poc_st[i]
+                    if not ((sps.r.sps_weighted_pred_flag or
+                             sps.r.sps_weighted_bipred_flag) and i != 0):
+                        abs_d += 1
+                    p = poc_base + (1 - 2 * rpls.strp_entry_sign_flag[i]) * \
+                        abs_d
+                    poc_base = p
+                    is_lt, use_msb = False, True
+                else:
+                    use_msb = ref_lists.delta_poc_msb_cycle_present_flag[lx][j]
+                    lt_poc = ref_lists.poc_lsb_lt[lx][j] \
+                        if rpls.ltrp_in_header_flag else \
+                        rpls.rpls_poc_lsb_lt[j]
+                    if use_msb:
+                        delta = ref_lists.delta_poc_msb_cycle_lt[lx][j] + \
+                            prev_delta_poc_msb
+                        lt_poc += poc - delta * max_poc_lsb - \
+                            (poc & (max_poc_lsb - 1))
+                        prev_delta_poc_msb = delta
+                    p = lt_poc
+                    is_lt = True
+                    j += 1
+                ref = self._find_ref(p, use_msb)
+                if ref is frame:
+                    raise ValueError("current frame in its own RPL")
+                if ref is None:
+                    ref = self._generate_missing_ref(p)
+                rpl.add(p, is_lt, ref)
+                # mark_ref
+                ref.flags &= ~(FLAG_LONG_REF | FLAG_SHORT_REF)
+                ref.flags |= FLAG_LONG_REF if is_lt else FLAG_SHORT_REF
+            rpl_pair.append(rpl)
+        lx = 1 - rsh.sh_collocated_from_l0_flag
+        if rsh.sh_collocated_ref_idx < rpl_pair[lx].nb_refs:
+            collocated = rpl_pair[lx].frames[rsh.sh_collocated_ref_idx]
+        return rpl_pair, collocated
 
     def _decode_frame(self, ph, slices):
         nal0, sh0, _ = slices[0]
@@ -108,27 +272,82 @@ class VVCDecoder:
                                   not ph.ph_poc_msb_cycle_present_flag)
         if is_idr(nal0.nal_unit_type):
             poc = derived.compute_poc(sps, ph, 0, True)
+            # ff_vvc_clear_refs on IDR (vvcdec.c:583-585)
+            for f in self.dpb:
+                f.flags &= ~(FLAG_SHORT_REF | FLAG_LONG_REF)
+                self._unref_check(f)
         self.prev_poc = poc
         tabs = FrameTabs(sps, pps)
         fb = FrameBuffer(sps, pps)
 
+        # DPB admission + output/bumping (frame_start, vvcdec.c:596-628)
+        frame = DecodedFrame(poc=poc, buffer=fb, tabs=tabs,
+                             sequence=self.seq_decode)
+        frame._ctb_log2 = sps.ctb_log2_size_y
+        frame.flags = FLAG_SHORT_REF | \
+            (FLAG_OUTPUT if ph.ph_pic_output_flag else 0)
+        self.dpb.append(frame)
+        outputs = self._output_frames()
+        self._bump_frame(poc)
+
+        is_inter_frame = any(s[1].sh_slice_type != SLICE_I for s in slices)
+        if is_inter_frame:
+            # clear ref marks of all other frames; slice RPLs re-mark
+            # (ff_vvc_frame_rpl, vvc_refs.c:468)
+            for f in self.dpb:
+                if f is not frame:
+                    f.flags &= ~(FLAG_SHORT_REF | FLAG_LONG_REF)
+
         recon_jobs = []
+        inter_jobs = []
         for slice_idx_in_frame, (nal, sh_r, sh_end_bits) in enumerate(slices):
             sh = derived.SH(sh_r, ph, sps, pps)
-            recon_jobs.extend(self._parse_slice(nal, sh, sh_end_bits, tabs, fb,
-                                                slice_idx_in_frame))
+            if sh.slice_type != SLICE_I:
+                rpl, collocated = self._build_slice_rpl(frame, sh, poc)
+            else:
+                rpl, collocated = [derived.RefPicList(),
+                                   derived.RefPicList()], None
+            while len(frame.slice_rpls) <= sh.slice_idx:
+                frame.slice_rpls.append(rpl)
+            frame.slice_rpls[sh.slice_idx] = rpl
+            jobs = self._parse_slice(nal, sh, sh_end_bits, tabs, fb,
+                                     slice_idx_in_frame,
+                                     rpl=rpl, poc=poc, collocated=collocated)
+            recon_jobs.extend(jobs)
+            if sh.slice_type != SLICE_I:
+                from .inter import InterPredictor
+                for rec, ctus in jobs:
+                    ip = InterPredictor(sps, pps, tabs, fb, sh, rpl,
+                                        rec.nbr)
+                    rec.inter_pred = ip
+                    inter_jobs.append((ip, ctus))
+        # release frames left unreferenced after RPL marking
+        if is_inter_frame:
+            for f in list(self.dpb):
+                if f is not frame:
+                    self._unref_check(f)
+
         if self.config.backend == "tpu":
             # batched inverse transforms on device (one launch per TB bucket);
             # host recon below then only adds the precomputed residuals
             from .ops.itx import frame_device_residuals
             frame_device_residuals(recon_jobs, tabs, sps.bit_depth)
+        # inter MC pass (reference INTER task stage precedes RECON,
+        # vvc_thread.c:41-51)
+        for ip, ctus in inter_jobs:
+            for rs, rx, ry in ctus:
+                ip.c.decode_neighbour(rx << sps.ctb_log2_size_y,
+                                      ry << sps.ctb_log2_size_y, rx, ry, rs)
+                ip.predict_inter_ctu(rs)
         for rec, ctus in recon_jobs:
             for rs, rx, ry in ctus:
                 rec.reconstruct_ctu(rs, rx, ry)
         # in-loop filters (whole-frame passes per spec 8.8)
         from .deblock import Deblocker
-        Deblocker(sps, pps, tabs, fb).deblock_frame()
-        return DecodedFrame(poc=poc, buffer=fb, tabs=tabs)
+        db = Deblocker(sps, pps, tabs, fb)
+        db.slice_rpls = frame.slice_rpls
+        db.deblock_frame()
+        return outputs
 
     def _entry_point_offsets(self, nal, sh_r, sh_end_bits):
         """Byte ranges of each entry point within nal.rbsp (EPB-adjusted;
@@ -152,7 +371,8 @@ class VVCDecoder:
         ranges.append((pos, len(nal.rbsp)))
         return ranges
 
-    def _parse_slice(self, nal, sh, sh_end_bits, tabs, fb, slice_idx):
+    def _parse_slice(self, nal, sh, sh_end_bits, tabs, fb, slice_idx,
+                     rpl=None, poc=0, collocated=None):
         """CABAC-parse one slice; returns recon jobs [(Reconstructor,
         [(rs, rx, ry), ...])] to run after the (optional) device itx pass."""
         sps, pps = self.sps, self.pps
@@ -165,6 +385,9 @@ class VVCDecoder:
         for ep_idx, (ep_range, ctus) in enumerate(zip(eps, ep_ctus)):
             engine = CabacDecoder(nal.rbsp, ep_range[0] * 8)
             coder = CtuCoder(engine, sps, pps, sh, tabs)
+            coder.rpl = rpl
+            coder.poc = poc
+            coder.collocated_ref = collocated
             self._set_alf_counts(coder, sh)
             engine.set_states(None)
             rec = Reconstructor(sps, pps, tabs, fb, coder)

@@ -1,0 +1,422 @@
+"""Inter prediction — golden scalar model (H.266 8.5.6).
+
+Reference analogue: /root/reference/libavcodec/vvc/vvc_inter.c (control:
+luma/chroma_mc_uni/bi :222-368, pred_regular :545-640, GPM :466, DMVR
+:685-748, walk :899-913) and the interpolation kernels of
+/root/reference/libavcodec/h26x/h2656_inter_template.c (8/4-tap h/v/hv,
+put/put_uni/put_uni_w) + vvc_inter_template.c (avg/w_avg/ciip/gpm blends).
+
+All math in numpy int32/int64 with explicit shifts — bit-exact vs the
+reference C templates.  Edge emulation (replicate padding) is index-clamped
+gather, the same semantics as ff_emulated_edge_mc.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import data as D
+from .mvs import PF_INTRA, PF_L0, PF_L1, PF_BI, MvField, clip_mv
+
+LUMA, CB, CR = 0, 1, 2
+
+
+def _filters():
+    t = D.tables()
+    return t["luma_filters"], t["chroma_filters"], t["luma_dmvr_filters"]
+
+
+def _gather_block(plane, x0, y0, w, h):
+    """Replicate-padded block fetch (emulated_edge_mc semantics)."""
+    H, W = plane.shape
+    ys = np.clip(np.arange(y0, y0 + h), 0, H - 1)
+    xs = np.clip(np.arange(x0, x0 + w), 0, W - 1)
+    return plane[np.ix_(ys, xs)].astype(np.int64)
+
+
+def _filter_h(src, f, taps, out_w):
+    """Horizontal FIR: src [h, out_w + taps - 1] -> [h, out_w]."""
+    acc = np.zeros((src.shape[0], out_w), dtype=np.int64)
+    for k in range(taps):
+        acc += int(f[k]) * src[:, k:k + out_w]
+    return acc
+
+
+def _filter_v(src, f, taps, out_h):
+    acc = np.zeros((out_h, src.shape[1]), dtype=np.int64)
+    for k in range(taps):
+        acc += int(f[k]) * src[k:k + out_h, :]
+    return acc
+
+
+class InterPredictor:
+    """Per-slice inter prediction walk over parsed CUs."""
+
+    def __init__(self, sps, pps, tabs, fb, sh, rpl, coder):
+        self.sps = sps
+        self.pps = pps
+        self.tabs = tabs
+        self.fb = fb
+        self.sh = sh
+        self.rpl = rpl
+        self.c = coder      # CtuCoder (na flags for CIIP weight)
+        self.bd = sps.bit_depth
+
+    # --- core interpolation (h2656_inter_template.c) -----------------------
+
+    def _mc_put(self, ref_plane, x_int, y_int, frac_x, frac_y, w, h,
+                is_luma, hf_idx=0, vf_idx=0):
+        """put[LUMA/CHROMA][..][!!my][!!mx] -> int intermediate [h, w]
+        (14-bit domain)."""
+        lf, cf, _ = _filters()
+        bd = self.bd
+        if is_luma:
+            taps, extra_before = 8, 3
+            hf = lf[hf_idx][frac_x]
+            vf = lf[vf_idx][frac_y]
+        else:
+            taps, extra_before = 4, 1
+            hf = cf[hf_idx][frac_x]
+            vf = cf[vf_idx][frac_y]
+        if not frac_x and not frac_y:
+            blk = _gather_block(ref_plane, x_int, y_int, w, h)
+            return blk << (14 - bd)
+        if frac_y == 0:
+            src = _gather_block(ref_plane, x_int - extra_before, y_int,
+                                w + taps - 1, h)
+            return _filter_h(src, hf, taps, w) >> (bd - 8)
+        if frac_x == 0:
+            src = _gather_block(ref_plane, x_int, y_int - extra_before,
+                                w, h + taps - 1)
+            return _filter_v(src, vf, taps, h) >> (bd - 8)
+        src = _gather_block(ref_plane, x_int - extra_before,
+                            y_int - extra_before, w + taps - 1,
+                            h + taps - 1)
+        tmp = _filter_h(src, hf, taps, w) >> (bd - 8)
+        return _filter_v(tmp, vf, taps, h) >> 6
+
+    def _uni_out(self, val14, weighted, denom=0, wx=0, ox=0):
+        """put_uni / put_uni_w final stage: 14-bit -> pixel."""
+        bd = self.bd
+        if not weighted:
+            shift = 14 - bd
+            off = 1 << (shift - 1)
+            out = (val14 + off) >> shift
+        else:
+            shift = denom + 14 - bd
+            off = 1 << (shift - 1) if shift > 0 else 0
+            out = ((val14 * wx + off) >> shift) + (ox << (bd - 8))
+        return np.clip(out, 0, (1 << bd) - 1)
+
+    def _avg(self, s0, s1):
+        bd = self.bd
+        shift = max(3, 15 - bd)
+        off = 1 << (shift - 1)
+        return np.clip((s0 + s1 + off) >> shift, 0, (1 << bd) - 1)
+
+    def _w_avg(self, s0, s1, denom, w0, w1, o0, o1):
+        bd = self.bd
+        shift = denom + max(3, 15 - bd)
+        off = (((o0 + o1) << (bd - 8)) + 1) << (shift - 1)
+        return np.clip((s0 * w0 + s1 * w1 + off) >> shift, 0, (1 << bd) - 1)
+
+    # --- weight derivation (vvc_inter.c:129-178) ---------------------------
+
+    def _derive_weight_uni(self, mvf, c_idx):
+        sh = self.sh
+        if not sh.weighted_pred:
+            return None
+        lx = mvf.pred_flag - PF_L0
+        w = sh.pwt
+        return (w.log2_denom[c_idx > 0], w.weight(lx, c_idx, mvf.ref_idx[lx]),
+                w.offset(lx, c_idx, mvf.ref_idx[lx]))
+
+    _BCW_W_LUT = (4, 5, 3, 10, -2)
+
+    def _derive_weight(self, mvf, c_idx, dmvr_flag, ciip_flag):
+        sh = self.sh
+        # reference: weight_flag = (IS_P && wp) || (IS_B && wbp && !dmvr)
+        weight_flag = sh.weighted_pred and not (dmvr_flag and sh.is_b)
+        bcw_idx = mvf.bcw_idx
+        if (not weight_flag and not bcw_idx) or (bcw_idx and ciip_flag):
+            return None
+        if bcw_idx:
+            w1 = self._BCW_W_LUT[bcw_idx]
+            return (2, 8 - w1, w1, 0, 0)
+        w = sh.pwt
+        return (w.log2_denom[c_idx > 0],
+                w.weight(0, c_idx, mvf.ref_idx[0]),
+                w.weight(1, c_idx, mvf.ref_idx[1]),
+                w.offset(0, c_idx, mvf.ref_idx[0]),
+                w.offset(1, c_idx, mvf.ref_idx[1]))
+
+    # --- per-block prediction ----------------------------------------------
+
+    def _ref_frame(self, lx, ref_idx):
+        return self.rpl[lx].frames[ref_idx]
+
+    def _luma_uni(self, dst_view, ref_fb, mvf, x0, y0, w, h, hf_idx, vf_idx):
+        lx = mvf.pred_flag - PF_L0
+        mv = mvf.mv[lx]
+        mx, my = mv[0] & 0xF, mv[1] & 0xF
+        xi = x0 + (mv[0] >> 4)
+        yi = y0 + (mv[1] >> 4)
+        val = self._mc_put(ref_fb.planes[0], xi, yi, mx, my, w, h, True,
+                           hf_idx, vf_idx)
+        wgt = self._derive_weight_uni(mvf, LUMA)
+        if wgt is None:
+            dst_view[:] = self._uni_out(val, False)
+        else:
+            dst_view[:] = self._uni_out(val, True, *wgt)
+
+    def _luma_bi(self, dst_view, refs, mvf, x0, y0, w, h, hf_idx, vf_idx,
+                 dmvr_flag=0, ciip_flag=0):
+        tmp = []
+        for i in range(2):
+            mv = mvf.mv[i]
+            mx, my = mv[0] & 0xF, mv[1] & 0xF
+            xi = x0 + (mv[0] >> 4)
+            yi = y0 + (mv[1] >> 4)
+            tmp.append(self._mc_put(refs[i].planes[0], xi, yi, mx, my, w, h,
+                                    True, hf_idx, vf_idx))
+        wgt = self._derive_weight(mvf, LUMA, dmvr_flag, ciip_flag)
+        if wgt is None:
+            dst_view[:] = self._avg(tmp[0], tmp[1])
+        else:
+            dst_view[:] = self._w_avg(tmp[0], tmp[1], *wgt)
+
+    def _chroma_uni(self, dst_view, plane, mvf, x0c, y0c, wc, hc, c_idx):
+        sps = self.sps
+        hs, vs = sps.hshift[1], sps.vshift[1]
+        lx = mvf.pred_flag - PF_L0
+        mv = mvf.mv[lx]
+        mx = (mv[0] & ((1 << (4 + hs)) - 1)) << (1 - hs)
+        my = (mv[1] & ((1 << (4 + vs)) - 1)) << (1 - vs)
+        xi = x0c + (mv[0] >> (4 + hs))
+        yi = y0c + (mv[1] >> (4 + vs))
+        val = self._mc_put(plane, xi, yi, mx, my, wc, hc, False)
+        wgt = self._derive_weight_uni(mvf, c_idx)
+        if wgt is None:
+            dst_view[:] = self._uni_out(val, False)
+        else:
+            dst_view[:] = self._uni_out(val, True, *wgt)
+
+    def _chroma_bi(self, dst_view, refs, mvf, x0c, y0c, wc, hc, c_idx,
+                   dmvr_flag=0, ciip_flag=0):
+        sps = self.sps
+        hs, vs = sps.hshift[1], sps.vshift[1]
+        tmp = []
+        for i in range(2):
+            mv = mvf.mv[i]
+            mx = (mv[0] & ((1 << (4 + hs)) - 1)) << (1 - hs)
+            my = (mv[1] & ((1 << (4 + vs)) - 1)) << (1 - vs)
+            xi = x0c + (mv[0] >> (4 + hs))
+            yi = y0c + (mv[1] >> (4 + vs))
+            tmp.append(self._mc_put(refs[i].planes[c_idx], xi, yi, mx, my,
+                                    wc, hc, False))
+        wgt = self._derive_weight(mvf, c_idx, dmvr_flag, ciip_flag)
+        if wgt is None:
+            dst_view[:] = self._avg(tmp[0], tmp[1])
+        else:
+            dst_view[:] = self._w_avg(tmp[0], tmp[1], *wgt)
+
+    def _get_mvf(self, x, y):
+        from .mvs import MotionContext
+        t = self.tabs
+        xi, yi = x >> 2, y >> 2
+        f = MvField()
+        f.pred_flag = int(t.mvf_pf[yi, xi])
+        f.mv = [[int(t.mvf_mv[0, yi, xi, 0]), int(t.mvf_mv[0, yi, xi, 1])],
+                [int(t.mvf_mv[1, yi, xi, 0]), int(t.mvf_mv[1, yi, xi, 1])]]
+        f.ref_idx = [int(t.mvf_ref[0, yi, xi]), int(t.mvf_ref[1, yi, xi])]
+        f.bcw_idx = int(t.mvf_bcw[yi, xi])
+        f.hpel_if_idx = int(t.mvf_hpel[yi, xi])
+        f.ciip_flag = int(t.mvf_ciip[yi, xi])
+        return f
+
+    def pred_regular_blk(self, cu, skip_ciip, recon=None):
+        """pred_regular_blk (vvc_inter.c:782)."""
+        pu = cu.pu
+        mi = pu.mi
+        if cu.ciip_flag and skip_ciip:
+            return
+        sbw = cu.cb_width // mi.num_sb_x
+        sbh = cu.cb_height // mi.num_sb_y
+        for sby in range(mi.num_sb_y):
+            for sbx in range(mi.num_sb_x):
+                x0 = cu.x0 + sbx * sbw
+                y0 = cu.y0 + sby * sbh
+                if cu.ciip_flag:
+                    self.c.set_neighbour_available(x0, y0, sbw, sbh)
+                mv = self._get_mvf(x0, y0)
+                orig_mv = mv
+                sb_bdof_flag = bool(pu.bdof_flag)
+                if pu.dmvr_flag:
+                    raise NotImplementedError("DMVR")
+                if sb_bdof_flag:
+                    raise NotImplementedError("BDOF")
+                self._pred_regular_luma(cu, mv, x0, y0, sbw, sbh, orig_mv,
+                                        0, recon)
+                if self.sps.chroma_format_idc:
+                    self._pred_regular_chroma(cu, mv, x0, y0, sbw, sbh,
+                                              orig_mv, pu.dmvr_flag, recon)
+
+    def _pred_regular_luma(self, cu, mv, x0, y0, sbw, sbh, orig_mv,
+                           sb_bdof_flag, recon):
+        ciip = cu.ciip_flag
+        hf_idx = vf_idx = mv.hpel_if_idx
+        plane = self.fb.planes[0]
+        if ciip:
+            inter = np.zeros((sbh, sbw), dtype=np.int64)
+            dst = inter
+        else:
+            dst = plane[y0:y0 + sbh, x0:x0 + sbw]
+        if mv.pred_flag != PF_BI:
+            lx = mv.pred_flag - PF_L0
+            ref = self._ref_frame(lx, mv.ref_idx[lx])
+            self._luma_uni(dst, ref.buffer, mv, x0, y0, sbw, sbh,
+                           hf_idx, vf_idx)
+        else:
+            refs = [self._ref_frame(0, mv.ref_idx[0]).buffer,
+                    self._ref_frame(1, mv.ref_idx[1]).buffer]
+            self._luma_bi(dst, refs, mv, x0, y0, sbw, sbh, hf_idx, vf_idx,
+                          ciip_flag=ciip)
+        if ciip:
+            w = self._ciip_intra_weight(cu, x0, y0, sbw, sbh)
+            recon.intra_pred(cu, x0, y0, sbw, sbh, 0)
+            # LMCS fwd mapping on inter part would apply here (not enabled)
+            d = plane[y0:y0 + sbh, x0:x0 + sbw]
+            d[:] = (d * w + dst * (4 - w) + 2) >> 2
+
+    def _pred_regular_chroma(self, cu, mv, x0, y0, sbw, sbh, orig_mv,
+                             dmvr_flag, recon):
+        sps = self.sps
+        hs, vs = sps.hshift[1], sps.vshift[1]
+        x0c, y0c = x0 >> hs, y0 >> vs
+        wc, hc = sbw >> hs, sbh >> vs
+        do_ciip = cu.ciip_flag and wc > 2
+        outs = []
+        for c_idx in (CB, CR):
+            plane = self.fb.planes[c_idx]
+            if do_ciip:
+                dst = np.zeros((hc, wc), dtype=np.int64)
+            else:
+                dst = plane[y0c:y0c + hc, x0c:x0c + wc]
+            if mv.pred_flag != PF_BI:
+                lx = mv.pred_flag - PF_L0
+                ref = self._ref_frame(lx, mv.ref_idx[lx])
+                self._chroma_uni(dst, ref.buffer.planes[c_idx], mv, x0c, y0c,
+                                 wc, hc, c_idx)
+            else:
+                refs = [self._ref_frame(0, mv.ref_idx[0]).buffer,
+                        self._ref_frame(1, mv.ref_idx[1]).buffer]
+                self._chroma_bi(dst, refs, mv, x0c, y0c, wc, hc, c_idx,
+                                dmvr_flag, cu.ciip_flag)
+            outs.append(dst)
+        if do_ciip:
+            w = self._ciip_intra_weight(cu, x0, y0, sbw, sbh)
+            for c_idx, inter in zip((CB, CR), outs):
+                recon.intra_pred(cu, x0, y0, sbw, sbh, c_idx)
+                plane = self.fb.planes[c_idx]
+                d = plane[y0c:y0c + hc, x0c:x0c + wc]
+                d[:] = (d * w + inter * (4 - w) + 2) >> 2
+
+    def _ciip_intra_weight(self, cu, x0, y0, w, h):
+        """ciip_derive_intra_weight (vvc_inter.c:523)."""
+        sps = self.sps
+        t = self.tabs
+        x0b = x0 & ((1 << sps.ctb_log2_size_y) - 1)
+        y0b = y0 & ((1 << sps.ctb_log2_size_y) - 1)
+        avail_l = self.c.ctb_left_flag or x0b
+        avail_u = self.c.ctb_up_flag or y0b
+        wgt = 1
+        if avail_u and int(t.mvf_pf[(y0 - 1) >> 2,
+                                    (x0 - 1 + w) >> 2]) == PF_INTRA:
+            wgt += 1
+        if avail_l and int(t.mvf_pf[(y0 - 1 + h) >> 2,
+                                    (x0 - 1) >> 2]) == PF_INTRA:
+            wgt += 1
+        return wgt
+
+    # --- GPM (vvc_inter.c:466-521) -----------------------------------------
+
+    def pred_gpm_blk(self, cu):
+        t = D.tables()
+        pu = cu.pu
+        sps = self.sps
+        angle_idx = int(t["gpm_angle_idx"][pu.gpm_partition_idx])
+        weights_idx = int(t["gpm_angle_to_weights_idx"][angle_idx])
+        wi = (cu.cb_width.bit_length() - 1) - 3
+        hi = (cu.cb_height.bit_length() - 1) - 3
+        off_x = int(t["gpm_weights_offset_x"][pu.gpm_partition_idx][hi][wi])
+        off_y = int(t["gpm_weights_offset_y"][pu.gpm_partition_idx][hi][wi])
+        mirror = int(t["gpm_angle_to_mirror"][angle_idx])
+        WS = 112
+        wmat = t["gpm_weights"][weights_idx].reshape(WS, WS)
+        c_end = 3 if sps.chroma_format_idc else 1
+        for c_idx in range(c_end):
+            hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
+            x = cu.x0 >> hs
+            y = cu.y0 >> vs
+            width = cu.cb_width >> hs
+            height = cu.cb_height >> vs
+            tmp = []
+            for i in range(2):
+                mvf = pu.gpm_mv[i]
+                lx = mvf.pred_flag - PF_L0
+                ref = self.rpl[lx].frames[mvf.ref_idx[lx]]
+                if ref is None:
+                    return
+                mv = mvf.mv[lx]
+                if c_idx:
+                    mx = (mv[0] & ((1 << (4 + hs)) - 1)) << (1 - hs)
+                    my = (mv[1] & ((1 << (4 + vs)) - 1)) << (1 - vs)
+                    xi = x + (mv[0] >> (4 + hs))
+                    yi = y + (mv[1] >> (4 + vs))
+                    tmp.append(self._mc_put(ref.buffer.planes[c_idx], xi, yi,
+                                            mx, my, width, height, False))
+                else:
+                    mx, my = mv[0] & 0xF, mv[1] & 0xF
+                    xi = x + (mv[0] >> 4)
+                    yi = y + (mv[1] >> 4)
+                    tmp.append(self._mc_put(ref.buffer.planes[0], xi, yi,
+                                            mx, my, width, height, True))
+            # weight sampling with mirroring (put_gpm,
+            # vvc_inter_template.c:78)
+            ys = np.arange(height) << vs
+            xs = np.arange(width) << hs
+            if mirror == 0:
+                wgt = wmat[np.ix_(off_y + ys, off_x + xs)]
+            elif mirror == 1:
+                wgt = wmat[np.ix_(off_y + ys, WS - 1 - off_x - xs)]
+            else:
+                wgt = wmat[np.ix_(WS - 1 - off_y - ys, off_x + xs)]
+            wgt = wgt.astype(np.int64)
+            bd = self.bd
+            shift = max(5, 17 - bd)
+            off = 1 << (shift - 1)
+            out = np.clip((tmp[0] * wgt + tmp[1] * (8 - wgt) + off) >> shift,
+                          0, (1 << bd) - 1)
+            self.fb.planes[c_idx][y:y + height, x:x + width] = out
+
+    # --- CTU walk (vvc_inter.c:899) ----------------------------------------
+
+    def predict_inter_ctu(self, rs):
+        from .ctu import MODE_INTRA, MODE_PLT, DUAL_TREE_CHROMA
+        for cu in self.tabs.cus[rs]:
+            if cu.pred_mode not in (MODE_INTRA, MODE_PLT) and \
+                    cu.tree_type != DUAL_TREE_CHROMA:
+                self.predict_cu(cu)
+
+    def predict_cu(self, cu):
+        pu = cu.pu
+        if pu.merge_gpm_flag:
+            self.pred_gpm_blk(cu)
+        elif pu.inter_affine_flag:
+            raise NotImplementedError("affine MC")
+        else:
+            self.pred_regular_blk(cu, skip_ciip=True)
+        # LMCS fwd mapping of inter luma would apply here (sh_lmcs_used_flag)
+
+    def predict_ciip(self, cu, recon):
+        """ff_vvc_predict_ciip (vvc_inter.c:915) — called at recon stage."""
+        self.pred_regular_blk(cu, skip_ciip=False, recon=recon)

@@ -208,6 +208,86 @@ class PH:
         self.poc = 0  # computed by refs.compute_poc per frame
 
 
+class PredWeightTable:
+    """Derived explicit weighted prediction params (reference PredWeightTable,
+    pred_weight_table vvc_ps.c:530-560)."""
+
+    def __init__(self, raw=None, sps=None):
+        # weights indexed [lx][c_idx>0][ref_idx]
+        self.log2_denom = [0, 0]
+        self._flag = [[[0] * 16, [0] * 16], [[0] * 16, [0] * 16]]
+        self._weight = [[[0] * 16, [0] * 16], [[0] * 16, [0] * 16]]
+        self._offset = [[[0] * 16, [0] * 16], [[0] * 16, [0] * 16]]
+        if raw is None:
+            return
+        r = raw
+        self.log2_denom[0] = r.luma_log2_weight_denom
+        self.log2_denom[1] = r.luma_log2_weight_denom + \
+            r.delta_chroma_log2_weight_denom
+        for lx, pre in ((0, "l0"), (1, "l1")):
+            n = r.num_weights_l0 if lx == 0 else r.num_weights_l1
+            for i in range(n):
+                lw = getattr(r, f"luma_weight_{pre}_flag")
+                if i < len(lw) and lw[i]:
+                    self._flag[lx][0][i] = 1
+                    self._weight[lx][0][i] = (1 << self.log2_denom[0]) + \
+                        getattr(r, f"delta_luma_weight_{pre}")[i]
+                    self._offset[lx][0][i] = getattr(r, f"luma_offset_{pre}")[i]
+                else:
+                    self._weight[lx][0][i] = 1 << self.log2_denom[0]
+                cw = getattr(r, f"chroma_weight_{pre}_flag")
+                if i < len(cw) and cw[i]:
+                    self._flag[lx][1][i] = 1
+                # chroma weight/offset derived per component at use site
+        self.r = raw
+
+    def weight_flag(self, lx, is_chroma, ref_idx):
+        return self._flag[lx][is_chroma][ref_idx]
+
+    def weight(self, lx, c_idx, ref_idx):
+        if c_idx == 0:
+            if self._flag[lx][0][ref_idx]:
+                return self._weight[lx][0][ref_idx]
+            return 1 << self.log2_denom[0]
+        pre = "l0" if lx == 0 else "l1"
+        if self._flag[lx][1][ref_idx]:
+            return (1 << self.log2_denom[1]) + \
+                getattr(self.r, f"delta_chroma_weight_{pre}")[ref_idx][c_idx - 1]
+        return 1 << self.log2_denom[1]
+
+    def offset(self, lx, c_idx, ref_idx, bit_depth=8):
+        if c_idx == 0:
+            return self._offset[lx][0][ref_idx]
+        pre = "l0" if lx == 0 else "l1"
+        if self._flag[lx][1][ref_idx]:
+            d = getattr(self.r, f"delta_chroma_offset_{pre}")[ref_idx][c_idx - 1]
+            w = self.weight(lx, c_idx, ref_idx)
+            # reference vvc_ps.c:552: offset = clip(128 + delta - ((128*w)>>denom))
+            return max(-128, min(127, 128 + d -
+                                 ((128 * w) >> self.log2_denom[1])))
+        return 0
+
+
+DEFAULT_PWT = PredWeightTable()
+
+
+class RefPicList:
+    """One derived reference picture list (reference RefPicList,
+    ff_vvc_slice_rpl vvc_refs.c:415-466)."""
+
+    def __init__(self):
+        self.poc_list = []      # POC per entry
+        self.is_lt = []         # long-term flag per entry
+        self.frames = []        # DecodedFrame (or None for missing refs)
+        self.nb_refs = 0
+
+    def add(self, poc, is_lt, frame):
+        self.poc_list.append(poc)
+        self.is_lt.append(is_lt)
+        self.frames.append(frame)
+        self.nb_refs += 1
+
+
 class SH:
     """Derived slice header (reference sh_derive, vvc_ps.c:1140-1166)."""
 
@@ -236,6 +316,21 @@ class SH:
         self.tc_offset = [r.sh_luma_tc_offset_div2 * 2,
                           r.sh_cb_tc_offset_div2 * 2,
                           r.sh_cr_tc_offset_div2 * 2]
+        self.is_b = r.sh_slice_type == SLICE_B
+        self.is_p = r.sh_slice_type == SLICE_P
+        # SMVD symmetric ref indices; derived by the decoder once the RPL is
+        # built (smvd_find, vvcdec.c:360-375); -1 = unavailable
+        self.ref_idx_sym = [-1, -1]
+        # explicit weighted prediction table (vvc_ps.c:687/1077)
+        self.pwt = DEFAULT_PWT
+        wp = (pps.r.pps_weighted_pred_flag and self.is_p) or \
+             (pps.r.pps_weighted_bipred_flag and self.is_b)
+        if wp:
+            raw_pwt = ph.ph_pred_weight_table \
+                if pps.r.pps_wp_info_in_ph_flag else r.sh_pred_weight_table
+            if raw_pwt:
+                self.pwt = PredWeightTable(raw_pwt, sps)
+        self.weighted_pred = bool(wp)
 
 
 def compute_poc(sps: SPS, ph: SyntaxObj, prev_poc: int, is_clvss: bool) -> int:

@@ -132,11 +132,28 @@ class Reconstructor:
         for cu in self.tabs.cus[rs]:
             self.reconstruct_cu(cu)
 
+    inter_pred = None  # InterPredictor, attached by the decoder (inter slices)
+
     def reconstruct_cu(self, cu):
         self.cu = cu
         start = 1 if cu.tree_type == DUAL_TREE_CHROMA else 0
         end = 1 if (self.sps.chroma_format_idc and
                     cu.tree_type != DUAL_TREE_LUMA) else 0
+        if cu.pred_mode != MODE_INTRA:
+            # inter CU: MC already ran in the inter pass (CIIP blends here,
+            # reference vvc_intra.c:498-527); recon adds residuals and marks
+            # the reconstructed areas (vvc_intra.c:251-253, :520-522)
+            if cu.ciip_flag:
+                self.inter_pred.predict_ciip(cu, self)
+            if not cu.coded_flag:
+                self.add_ra(0, cu.x0, cu.y0, cu.cb_width, cu.cb_height)
+                self.add_ra(1, cu.x0, cu.y0, cu.cb_width, cu.cb_height)
+                return
+            for ch_type in range(start, end + 1):
+                for i, tu in enumerate(cu.tus):
+                    self.add_ra(ch_type, tu.x0, tu.y0, tu.width, tu.height)
+                    self.itransform(cu, tu, i, ch_type)
+            return
         for ch_type in range(start, end + 1):
             for i, tu in enumerate(cu.tus):
                 self.predict_intra(cu, tu, i, ch_type)

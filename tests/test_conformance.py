@@ -58,3 +58,23 @@ def test_l1_intra_fuzz(seed, w, h, qp, tmp_path):
 @pytest.mark.parametrize("seed,qp", [(1, 32), (4, 38)])
 def test_l2_deblock(seed, qp, tmp_path):
     _check(_forge(1, seed, 64, 64, qp, deblock=True), tmp_path)
+
+
+def _check_stream(stream, tmp_path, n_frames):
+    ref = oracle_decode(stream, tmp_path)
+    frames = VVCDecoder().decode(stream)
+    assert len(frames) == n_frames
+    mine = b"".join(f.to_yuv_bytes() for f in frames)
+    assert mine == ref, "decoded YUV differs from reference"
+
+
+@pytest.mark.parametrize("seed,slice_type,n_refs", [
+    (0, 1, (1, 0)),            # P, single ref
+    (1, 0, (1, 1)),            # B
+    (6, 0, (2, 2)),            # B, two refs per list (ref_idx coding)
+])
+def test_l3_inter(seed, slice_type, n_refs, tmp_path):
+    from forge import forge_inter_stream
+    _check_stream(forge_inter_stream(seed=seed, nframes=3,
+                                     slice_type=slice_type, n_refs=n_refs,
+                                     deblock=True), tmp_path, 3)

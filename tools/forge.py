@@ -27,7 +27,7 @@ from ffvvc_tpu import ps as derived
 from ffvvc_tpu.cabac.engine import CabacEncoder, make_states
 from ffvvc_tpu.ctu import CtuCoder, FrameTabs, SPLIT_NONE, SINGLE_TREE, \
     MODE_TYPE_ALL, SAO_NOT_APPLIED
-from ffvvc_tpu.bitstream.h266 import SLICE_I
+from ffvvc_tpu.bitstream.h266 import SLICE_I, SLICE_P, SLICE_B
 
 
 def build_sps(width, height, bit_depth=8, ctu_log2=5, min_qt_log2=5,
@@ -66,6 +66,13 @@ def build_sps(width, height, bit_depth=8, ctu_log2=5, min_qt_log2=5,
         sps.sps_log2_diff_max_bt_min_qt_intra_slice_luma = \
             min(6, ctu_log2) - min_qt_log2
         sps.sps_log2_diff_max_tt_min_qt_intra_slice_luma = \
+            min(6, ctu_log2) - min_qt_log2
+    sps.sps_log2_diff_min_qt_min_cb_inter_slice = min_qt_log2 - 2
+    sps.sps_max_mtt_hierarchy_depth_inter_slice = max_mtt_depth
+    if max_mtt_depth:
+        sps.sps_log2_diff_max_bt_min_qt_inter_slice = \
+            min(6, ctu_log2) - min_qt_log2
+        sps.sps_log2_diff_max_tt_min_qt_inter_slice = \
             min(6, ctu_log2) - min_qt_log2
     if chroma:
         sps.sps_same_qp_table_for_chroma_flag = 1
@@ -145,6 +152,35 @@ class FuzzPolicy:
             return 0
         if tag == "sao_type":
             return SAO_NOT_APPLIED
+        # --- inter syntax ---------------------------------------------------
+        if tag == "cu_skip_flag":
+            return int(r.random() < 0.2)
+        if tag == "pred_mode_flag":
+            return int(r.random() < 0.3)   # 1 = intra
+        if tag == "general_merge_flag":
+            return int(r.random() < 0.5)
+        if tag in ("merge_idx_b0", "merge_idx_ext", "mvp_lx_flag",
+                   "ref_idx_lx", "ref_idx_lx_ext", "mvd_sign_flag",
+                   "inter_pred_idc_b5", "mmvd_cand_flag", "mmvd_dir0",
+                   "mmvd_dir1", "gpm_partition_idx", "bcw_idx_ext"):
+            return r.randrange(2)
+        if tag == "inter_pred_idc":
+            return int(r.random() < 0.5)   # 1 = BI
+        if tag == "abs_mvd_greater0_flag":
+            return int(r.random() < 0.8)
+        if tag == "abs_mvd_greater1_flag":
+            return int(r.random() < 0.5)
+        if tag == "abs_mvd_minus2":
+            return r.randrange(0, 64)
+        if tag == "cu_coded_flag":
+            return int(r.random() < 0.8)
+        if tag in ("regular_merge_flag",):
+            return int(r.random() < 0.6)
+        if tag in ("ciip_flag", "mmvd_merge_flag", "merge_subblock_flag",
+                   "mmvd_distance_idx_b0", "mmvd_distance_ext",
+                   "sym_mvd_flag", "inter_affine_flag", "amvr_flag",
+                   "bcw_idx"):
+            return int(r.random() < 0.5)
         return 0
 
     def _gen_coeffs(self, ctx, c_idx):
@@ -169,15 +205,51 @@ class FuzzPolicy:
     def coeffs(self, tb):
         key = (tb.x0, tb.y0, tb.c_idx)
         if key in self._coeff_cache:
-            return self._coeff_cache[key].astype(np.int32)
+            c = self._coeff_cache[key]
+            if c.shape != (tb.h, tb.w):
+                # cached guess didn't match the actual TB geometry (e.g.
+                # chroma TB of a split TU); crop/pad, keep cbf=1 legal
+                out = np.zeros((tb.h, tb.w), dtype=np.int32)
+                hh, ww = min(tb.h, c.shape[0]), min(tb.w, c.shape[1])
+                out[:hh, :ww] = c[:hh, :ww]
+                if not out.any():
+                    out[0, 0] = 1
+                c = out
+            return c.astype(np.int32)
         # joint-cbcr / inferred cbf paths: generate on demand
         c = np.zeros((tb.h, tb.w), dtype=np.int32)
         c[0, 0] = self.rng.randrange(1, 8)
         return c
 
 
-def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True):
-    """Encode one intra frame; returns the slice NAL bytes."""
+def make_explicit_rpl(n0, n1):
+    """Slice-header-explicit ref pic lists: n short-term refs per list, all
+    with delta_poc -1 each (prev frames)."""
+    rls = SyntaxObj()
+
+    def mk(n):
+        st = SyntaxObj()
+        st.num_ref_entries = n
+        st.ltrp_in_header_flag = 0
+        st.inter_layer_ref_pic_flag = [0] * n
+        st.st_ref_pic_flag = [1] * n
+        st.abs_delta_poc_st = [0] * n       # derived |delta| = 1 per entry
+        st.strp_entry_sign_flag = [1] * n   # negative: earlier POCs
+        st.rpls_poc_lsb_lt = []
+        st.ilrp_idx = []
+        return st
+    rls.rpl_sps_flag = [0, 0]
+    rls.rpl_idx = [0, 0]
+    rls.rpl_ref_list = [mk(n0), mk(n1)]
+    rls.poc_lsb_lt = [[], []]
+    rls.delta_poc_msb_cycle_present_flag = [[], []]
+    rls.delta_poc_msb_cycle_lt = [[], []]
+    return rls
+
+
+def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
+                slice_type=SLICE_I, n_refs=(1, 0), prev_tabs=None):
+    """Encode one frame; returns the slice NAL bytes."""
     ps0 = H266ParamSets()
     sps_rb = write_sps(sps_r)
     pps_rb = write_pps(pps_r, sps_r)
@@ -187,13 +259,31 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True):
     sps = derived.SPS(sps_raw)
     pps = derived.PPS(pps_raw, sps)
 
+    inter = slice_type != SLICE_I
     ph = SyntaxObj()
     ph.ph_gdr_or_irap_pic_flag = 1 if idr else 0
-    ph.ph_inter_slice_allowed_flag = 0
+    ph.ph_inter_slice_allowed_flag = int(inter)
     ph.ph_intra_slice_allowed_flag = 1
     ph.ph_pic_parameter_set_id = 0
     ph.ph_pic_order_cnt_lsb = poc & 0xFF
     ph.ph_pic_output_flag = 1
+    if inter:
+        ph.ph_log2_diff_min_qt_min_cb_inter_slice = \
+            sps_raw.sps_log2_diff_min_qt_min_cb_inter_slice
+        ph.ph_max_mtt_hierarchy_depth_inter_slice = \
+            sps_raw.sps_max_mtt_hierarchy_depth_inter_slice
+        ph.ph_log2_diff_max_bt_min_qt_inter_slice = \
+            sps_raw.sps_log2_diff_max_bt_min_qt_inter_slice
+        ph.ph_log2_diff_max_tt_min_qt_inter_slice = \
+            sps_raw.sps_log2_diff_max_tt_min_qt_inter_slice
+        ph.ph_temporal_mvp_enabled_flag = 0
+        # tool-disable inferences the decoder's PH reader applies
+        # (h266.py:1602-1628) — must match here for the symmetric coder
+        ph.ph_bdof_disabled_flag = 1 - sps_raw.sps_bdof_enabled_flag
+        ph.ph_dmvr_disabled_flag = 1 - sps_raw.sps_dmvr_enabled_flag
+        ph.ph_prof_disabled_flag = \
+            0 if sps_raw.sps_affine_prof_enabled_flag else 1
+        ph.ph_mvd_l1_zero_flag = 0
     # partition params inferred from SPS
     ph.ph_log2_diff_min_qt_min_cb_intra_slice_luma = \
         sps_raw.sps_log2_diff_min_qt_min_cb_intra_slice_luma
@@ -216,9 +306,31 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True):
     sh_r = SyntaxObj()
     sh_r.nal_unit_type = int(nal_type)
     sh_r.sh_picture_header_in_slice_header_flag = 1
-    sh_r.sh_slice_type = SLICE_I
+    sh_r.sh_slice_type = slice_type
     sh_r.sh_qp_delta = qp - 26 - pps_raw.pps_init_qp_minus26
     sh_r.ph = ph
+    rpl = None
+    if inter:
+        sh_r.sh_ref_pic_lists = make_explicit_rpl(*n_refs)
+        sh_r.ref_pic_lists = sh_r.sh_ref_pic_lists
+        sh_r.num_ref_idx_active = [min(1, n_refs[0]), 0]
+        if slice_type == SLICE_B:
+            sh_r.num_ref_idx_active[1] = min(1, n_refs[1])
+        if n_refs[0] > 1 or (slice_type == SLICE_B and n_refs[1] > 1):
+            sh_r.sh_num_ref_idx_active_override_flag = 1
+            sh_r.sh_num_ref_idx_active_minus1 = [max(0, n_refs[0] - 1),
+                                                 max(0, n_refs[1] - 1)]
+            sh_r.num_ref_idx_active = [n_refs[0], 0]
+            if slice_type == SLICE_B:
+                sh_r.num_ref_idx_active[1] = n_refs[1]
+        # derived RefPicList for the symmetric coder (POC lists only; MV
+        # derivation never touches reference pixels)
+        rpl = []
+        for lx in range(2):
+            rp = derived.RefPicList()
+            for i in range(n_refs[lx]):
+                rp.add(poc - 1 - i, False, None)
+            rpl.append(rp)
     w = write_slice_header(sh_r, sps_raw, pps_raw, ph)
     sh_bytes = w.bytes()
 
@@ -227,6 +339,9 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True):
     engine = CabacEncoder()
     coder = CtuCoder(engine, sps, pps, sh, tabs, policy=policy)
     coder.coeff_enc_cb = policy.coeffs
+    if rpl is not None:
+        coder.rpl = rpl
+        coder.poc = poc
     data = b""
     started = False
     ctu_addrs = sh.ctu_addrs
@@ -268,6 +383,35 @@ def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
     for i in range(nframes):
         # all-intra: every frame IDR until the forge writes ref pic lists
         nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=True)
+        stream += nal
+    return stream
+
+
+def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
+                       nframes=3, slice_type=SLICE_P, n_refs=None,
+                       deblock=True, **sps_kw):
+    """IDR + (P|B)-frame stream exercising the inter path.  Each inter frame
+    references the previous decoded frame(s) via explicit slice RPLs."""
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2, **sps_kw)
+    pps_kw = {}
+    if not deblock:
+        pps_kw = dict(pps_deblocking_filter_control_present_flag=1,
+                      pps_deblocking_filter_disabled_flag=1)
+    pps_r = build_pps(sps_r, **pps_kw)
+    if n_refs is None:
+        n_refs = (1, 1) if slice_type == SLICE_B else (1, 0)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    policy = FuzzPolicy(seed)
+    for i in range(nframes):
+        if i == 0:
+            nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0, idr=True)
+        else:
+            nr = (min(i, n_refs[0]), min(i, n_refs[1])
+                  if slice_type == SLICE_B else 0)
+            nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                 idr=False, slice_type=slice_type, n_refs=nr)
         stream += nal
     return stream
 
