@@ -85,6 +85,49 @@ def write_ref_pic_list_struct(w: BitWriter, sps: SyntaxObj, rpl: SyntaxObj,
             raise NotImplementedError("inter-layer ref write")
 
 
+
+def write_pred_weight_table(w: BitWriter, sps: SyntaxObj, pps: SyntaxObj,
+                            ref_lists: SyntaxObj, pwt: SyntaxObj):
+    """Mirror of read_pred_weight_table (h266.py; H.266 7.3.8)."""
+    w.ue(pwt.luma_log2_weight_denom)
+    if sps.sps_chroma_format_idc != 0:
+        w.se(pwt.delta_chroma_log2_weight_denom)
+    if pps.pps_wp_info_in_ph_flag:
+        w.ue(pwt.num_l0_weights)
+    n0 = pwt.num_weights_l0
+    for i in range(n0):
+        w.u(pwt.luma_weight_l0_flag[i], 1)
+    if sps.sps_chroma_format_idc != 0:
+        for i in range(n0):
+            w.u(pwt.chroma_weight_l0_flag[i], 1)
+    for i in range(n0):
+        if pwt.luma_weight_l0_flag[i]:
+            w.se(pwt.delta_luma_weight_l0[i])
+            w.se(pwt.luma_offset_l0[i])
+        if pwt.chroma_weight_l0_flag[i]:
+            for j in range(2):
+                w.se(pwt.delta_chroma_weight_l0[i][j])
+                w.se(pwt.delta_chroma_offset_l0[i][j])
+    if pps.pps_weighted_bipred_flag and \
+            ref_lists.rpl_ref_list[1].num_ref_entries > 0:
+        if pps.pps_wp_info_in_ph_flag:
+            w.ue(pwt.num_l1_weights)
+    n1 = pwt.num_weights_l1
+    for i in range(n1):
+        w.u(pwt.luma_weight_l1_flag[i], 1)
+    if sps.sps_chroma_format_idc != 0:
+        for i in range(n1):
+            w.u(pwt.chroma_weight_l1_flag[i], 1)
+    for i in range(n1):
+        if pwt.luma_weight_l1_flag[i]:
+            w.se(pwt.delta_luma_weight_l1[i])
+            w.se(pwt.luma_offset_l1[i])
+        if pwt.chroma_weight_l1_flag[i]:
+            for j in range(2):
+                w.se(pwt.delta_chroma_weight_l1[i][j])
+                w.se(pwt.delta_chroma_offset_l1[i][j])
+
+
 def write_ref_pic_lists(w: BitWriter, sps: SyntaxObj, pps: SyntaxObj, rpls: SyntaxObj):
     for i in range(2):
         if sps.sps_num_ref_pic_lists[i] > 0 and \
@@ -647,7 +690,8 @@ def write_slice_header(sh: SyntaxObj, sps: SyntaxObj, pps: SyntaxObj,
         if not pps.pps_wp_info_in_ph_flag and \
                 ((pps.pps_weighted_pred_flag and sh.sh_slice_type == SLICE_P) or
                  (pps.pps_weighted_bipred_flag and sh.sh_slice_type == SLICE_B)):
-            raise NotImplementedError("sh pred weight table write")
+            write_pred_weight_table(w, sps, pps, ref_pic_lists,
+                                    sh.sh_pred_weight_table)
     if not pps.pps_qp_delta_info_in_ph_flag:
         w.se(sh.sh_qp_delta)
     if pps.pps_slice_chroma_qp_offsets_present_flag:

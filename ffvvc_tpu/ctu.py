@@ -169,6 +169,10 @@ class FrameTabs:
         self.pcmf = [g(), g()]               # bdpcm per ch_type
         self.msf = g()                       # merge subblock flag (inter ctx)
         self.iaf = g()                       # inter affine flag (inter ctx)
+        self.mmi = g()                       # motion model idc (affine nb)
+        # affine control-point MVs, replicated per 4x4 within each CU
+        # (reference fc->tab.cp_mv on the min-CB grid, vvc_mvs.c:384)
+        self.cp_mv = np.zeros((2, h4, w4, 3, 2), dtype=np.int32)
         # MV field grids, per 4x4 (reference fc->tab.mvf, vvcdec.h:140):
         self.mvf_pf = np.zeros((h4, w4), dtype=np.uint8)   # PF_INTRA=0
         self.mvf_mv = np.zeros((2, h4, w4, 2), dtype=np.int32)
@@ -1157,7 +1161,17 @@ class CtuCoder:
                    ph.ph_temporal_mvp_enabled_flag)
 
     def merge_data_subblock(self, cu, pu, mc):
-        raise NotImplementedError("subblock merge (SbTMVP/affine)")
+        """merge_data_subblock (vvc_ctu.c:1318) + ff_vvc_sb_mv_merge_mode."""
+        merge_subblock_idx = 0
+        max_cand = self.max_num_subblock_merge_cand()
+        if max_cand > 1:
+            if self.bin(CTX.MERGE_SUBBLOCK_IDX, "merge_subblock_idx_b0"):
+                i = 1
+                while i < max_cand - 1 and self.bypass("merge_subblock_ext"):
+                    i += 1
+                merge_subblock_idx = i
+        if not mc.sb_mv_merge_mode(cu, merge_subblock_idx, pu):
+            mc.store_sb_mvs(cu, pu)
 
     def merge_data_block(self, cu, pu, mc):
         """merge_data_block (vvc_ctu.c:1413)."""
@@ -1527,8 +1541,9 @@ class CtuCoder:
         mi.bcw_idx = self.bcw_idx_decode(cu, mi)
 
         if mi.motion_model_idc:
-            raise NotImplementedError("affine AMVP")
-        mc.ff_mvp(cu, mvp_lx_flag, amvr_shift, mi)
+            mc.ff_affine_mvp(cu, mvp_lx_flag, amvr_shift, mi)
+        else:
+            mc.ff_mvp(cu, mvp_lx_flag, amvr_shift, mi)
 
         # mvp_add_difference (vvc_ctu.c:1556)
         for i in range(2):
@@ -1537,16 +1552,19 @@ class CtuCoder:
                     mi.mv[i][j][0] += mvds[i][j][0] * (1 << amvr_shift)
                     mi.mv[i][j][1] += mvds[i][j][1] * (1 << amvr_shift)
 
-        # ff_vvc_store_mv (vvc_mvs.c:499)
-        mvf = MvField()
-        mvf.hpel_if_idx = mi.hpel_if_idx
-        mvf.bcw_idx = mi.bcw_idx
-        mvf.pred_flag = mi.pred_flag
-        for i in range(2):
-            if mi.pred_flag & (i + 1):
-                mvf.mv[i] = list(mi.mv[i][0])
-                mvf.ref_idx[i] = mi.ref_idx[i]
-        mc.set_mvf(cu.x0, cu.y0, cu.cb_width, cu.cb_height, mvf)
+        if mi.motion_model_idc:
+            mc.store_sb_mvs(cu, pu)
+        else:
+            # ff_vvc_store_mv (vvc_mvs.c:499)
+            mvf = MvField()
+            mvf.hpel_if_idx = mi.hpel_if_idx
+            mvf.bcw_idx = mi.bcw_idx
+            mvf.pred_flag = mi.pred_flag
+            for i in range(2):
+                if mi.pred_flag & (i + 1):
+                    mvf.mv[i] = list(mi.mv[i][0])
+                    mvf.ref_idx[i] = mi.ref_idx[i]
+            mc.set_mvf(cu.x0, cu.y0, cu.cb_width, cu.cb_height, mvf)
 
     def derive_dmvr_bdof_flag(self, cu, pu):
         """derive_dmvr_bdof_flag (vvc_ctu.c:1639)."""
@@ -2036,6 +2054,11 @@ class CtuCoder:
         set_grid(tabs.cb_width[ch], x0, y0, w, h, w)
         set_grid(tabs.cb_height[ch], x0, y0, w, h, h)
         set_grid(tabs.cqt_depth[ch], x0, y0, w, h, cu.cqt_depth)
+        pu = cu.pu
+        set_grid(tabs.mmi, x0, y0, w, h,
+                 pu.mi.motion_model_idc if pu else 0)
+        set_grid(tabs.msf, x0, y0, w, h,
+                 pu.merge_subblock_flag if pu else 0)
         if cu.tree_type != DUAL_TREE_CHROMA:
             set_grid(tabs.skip, x0, y0, w, h, cu.skip_flag)
         for tu in cu.tus:

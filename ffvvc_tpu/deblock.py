@@ -247,12 +247,20 @@ class Deblocker:
             int(self.tabs.mvf_ciip[y >> 2, x >> 2])
 
     def _bs_luma(self, x0, y0, width, height, vertical, flags):
-        """vvc_deblock_bs_luma_{vertical,horizontal} (intra + cbf rules;
-        inter MV rules arrive with the inter milestone)."""
+        """vvc_deblock_bs_luma_{vertical,horizontal} (vvc_filter.c:477-620)."""
         sps, pps = self.sps, self.pps
         tabs = self.tabs
         left_tile, left_slice, up_tile, up_slice = flags
         ctb_mask = sps.ctb_size_y - 1
+        q4 = (y0 >> 2, x0 >> 2)
+        is_intra_cu = int(tabs.mvf_pf[q4]) == 0
+        cb_x = int(tabs.cb_pos_x[0][q4])
+        cb_y = int(tabs.cb_pos_y[0][q4])
+        has_sb = 0
+        if not is_intra_cu and (int(tabs.msf[q4]) or int(tabs.iaf[q4])):
+            size = int(tabs.cb_width[0][q4]) if vertical else \
+                int(tabs.cb_height[0][q4])
+            has_sb = int(size > 8)
         if vertical:
             boundary = x0 > 0 and not (x0 & 3)
             if boundary and ((not pps.r.pps_loop_filter_across_slices_enabled_flag
@@ -261,6 +269,9 @@ class Deblocker:
                               and left_tile and (x0 & ctb_mask) == 0)):
                 boundary = False
             if not boundary:
+                if has_sb:
+                    self._subblock_bs(cb_x, cb_y, x0, y0, width, height,
+                                      True)
                 return
             for i in range(0, height, 4):
                 y = y0 + i
@@ -279,9 +290,11 @@ class Deblocker:
                 else:
                     bs = self._bs_inter(x0, y, vertical)
                 self.vertical_bs[LUMA][y >> 2, x0 >> 2] = bs
-                mlp, mlq = self._max_len_luma(x0, y, vertical)
+                mlp, mlq = self._max_len_luma(x0, y, vertical, has_sb)
                 self.vertical_p[y >> 2, x0 >> 2] = mlp
                 self.vertical_q[y >> 2, x0 >> 2] = mlq
+            if has_sb:
+                self._subblock_bs(cb_x, cb_y, x0, y0, width, height, True)
         else:
             boundary = y0 > 0 and not (y0 & 3)
             if boundary and ((not pps.r.pps_loop_filter_across_slices_enabled_flag
@@ -290,6 +303,9 @@ class Deblocker:
                               and up_tile and (y0 & ctb_mask) == 0)):
                 boundary = False
             if not boundary:
+                if has_sb:
+                    self._subblock_bs(cb_x, cb_y, x0, y0, width, height,
+                                      False)
                 return
             for i in range(0, width, 4):
                 x = x0 + i
@@ -308,9 +324,51 @@ class Deblocker:
                 else:
                     bs = self._bs_inter(x, y0, vertical)
                 self.horizontal_bs[LUMA][y0 >> 2, x >> 2] = bs
-                mlp, mlq = self._max_len_luma(x, y0, vertical)
+                mlp, mlq = self._max_len_luma(x, y0, vertical, has_sb)
                 self.horizontal_p[y0 >> 2, x >> 2] = mlp
                 self.horizontal_q[y0 >> 2, x >> 2] = mlq
+            if has_sb:
+                self._subblock_bs(cb_x, cb_y, x0, y0, width, height, False)
+
+    def _subblock_bs(self, cb_x, cb_y, x0, y0, width, height, vertical):
+        """vvc_deblock_subblock_bs_{vertical,horizontal} (vvc_filter.c:399):
+        BS + max-len for 8-px-grid PU boundaries inside subblock CUs."""
+        if vertical:
+            start = 8 - ((x0 - cb_x) % 8)
+            for j in range(0, height, 4):
+                y = y0 + j
+                i = start
+                while i < width:
+                    x = x0 + i
+                    bs = self._boundary_strength(x, y, x - 1, y)
+                    self.vertical_bs[LUMA][y >> 2, x >> 2] = bs
+                    if i == 4 or i == width - 4:
+                        ml = 1
+                    elif i == 8 or i == width - 8:
+                        ml = 2
+                    else:
+                        ml = 3
+                    self.vertical_p[y >> 2, x >> 2] = ml
+                    self.vertical_q[y >> 2, x >> 2] = ml
+                    i += 8
+        else:
+            start = 8 - ((y0 - cb_y) % 8)
+            j = start
+            while j < height:
+                y = y0 + j
+                for i in range(0, width, 4):
+                    x = x0 + i
+                    bs = self._boundary_strength(x, y, x, y - 1)
+                    self.horizontal_bs[LUMA][y >> 2, x >> 2] = bs
+                    if j == 4 or j == height - 4:
+                        ml = 1
+                    elif j == 8 or j == height - 8:
+                        ml = 2
+                    else:
+                        ml = 3
+                    self.horizontal_p[y >> 2, x >> 2] = ml
+                    self.horizontal_q[y >> 2, x >> 2] = ml
+                j += 8
 
     def _bs_inter(self, x, y, vertical):
         """Inter edge: off_x/off_y rule + boundary_strength
@@ -386,7 +444,7 @@ class Deblocker:
             return 1
         return 1
 
-    def _max_len_luma(self, qx, qy, vertical):
+    def _max_len_luma(self, qx, qy, vertical, has_sb=0):
         """derive_max_filter_length_luma (vvc_filter.c:375)."""
         tabs = self.tabs
         px = qx - 1 if vertical else qx
@@ -398,7 +456,8 @@ class Deblocker:
             return 1, 1
         mlp = 7 if size_p >= 32 else 3
         mlq = 7 if size_q >= 32 else 3
-        # subblock (affine/sbtmvp) clamps arrive with inter
+        if has_sb:
+            mlq = min(5, mlq)
         if int(tabs.msf[py >> 2, px >> 2]) or int(tabs.iaf[py >> 2, px >> 2]):
             mlp = min(5, mlp)
         return mlp, mlq

@@ -304,6 +304,8 @@ class VVCDecoder:
             sh = derived.SH(sh_r, ph, sps, pps)
             if sh.slice_type != SLICE_I:
                 rpl, collocated = self._build_slice_rpl(frame, sh, poc)
+                if sps.r.sps_smvd_enabled_flag:
+                    derived.smvd_ref_idx(sh, rpl, poc)
             else:
                 rpl, collocated = [derived.RefPicList(),
                                    derived.RefPicList()], None

@@ -25,11 +25,18 @@ def _filters():
     return t["luma_filters"], t["chroma_filters"], t["luma_dmvr_filters"]
 
 
-def _gather_block(plane, x0, y0, w, h):
-    """Replicate-padded block fetch (emulated_edge_mc semantics)."""
+def _gather_block(plane, x0, y0, w, h, box=None):
+    """Replicate-padded block fetch (emulated_edge_mc semantics).  `box`
+    (x_lo, x_hi, y_lo, y_hi, inclusive) restricts reads to a prefetch
+    window (emulated_edge_dmvr, vvc_inter.c:60-89)."""
     H, W = plane.shape
-    ys = np.clip(np.arange(y0, y0 + h), 0, H - 1)
-    xs = np.clip(np.arange(x0, x0 + w), 0, W - 1)
+    ys = np.arange(y0, y0 + h)
+    xs = np.arange(x0, x0 + w)
+    if box is not None:
+        xs = np.clip(xs, box[0], box[1])
+        ys = np.clip(ys, box[2], box[3])
+    ys = np.clip(ys, 0, H - 1)
+    xs = np.clip(xs, 0, W - 1)
     return plane[np.ix_(ys, xs)].astype(np.int64)
 
 
@@ -64,7 +71,7 @@ class InterPredictor:
     # --- core interpolation (h2656_inter_template.c) -----------------------
 
     def _mc_put(self, ref_plane, x_int, y_int, frac_x, frac_y, w, h,
-                is_luma, hf_idx=0, vf_idx=0):
+                is_luma, hf_idx=0, vf_idx=0, box=None):
         """put[LUMA/CHROMA][..][!!my][!!mx] -> int intermediate [h, w]
         (14-bit domain)."""
         lf, cf, _ = _filters()
@@ -78,21 +85,38 @@ class InterPredictor:
             hf = cf[hf_idx][frac_x]
             vf = cf[vf_idx][frac_y]
         if not frac_x and not frac_y:
-            blk = _gather_block(ref_plane, x_int, y_int, w, h)
+            blk = _gather_block(ref_plane, x_int, y_int, w, h, box)
             return blk << (14 - bd)
         if frac_y == 0:
             src = _gather_block(ref_plane, x_int - extra_before, y_int,
-                                w + taps - 1, h)
+                                w + taps - 1, h, box)
             return _filter_h(src, hf, taps, w) >> (bd - 8)
         if frac_x == 0:
             src = _gather_block(ref_plane, x_int, y_int - extra_before,
-                                w, h + taps - 1)
+                                w, h + taps - 1, box)
             return _filter_v(src, vf, taps, h) >> (bd - 8)
         src = _gather_block(ref_plane, x_int - extra_before,
                             y_int - extra_before, w + taps - 1,
-                            h + taps - 1)
+                            h + taps - 1, box)
         tmp = _filter_h(src, hf, taps, w) >> (bd - 8)
         return _filter_v(tmp, vf, taps, h) >> 6
+
+    def _dmvr_box(self, x_sb, y_sb, w, h, is_luma):
+        """Prefetch-window bounds for DMVR-refined MC
+        (emulated_edge_dmvr, vvc_inter.c:60-89)."""
+        sps = self.sps
+        if is_luma:
+            eb, ea = 3, 4
+            pw, ph = self.pps.width, self.pps.height
+        else:
+            eb, ea = 1, 2
+            pw = self.pps.width >> sps.hshift[1]
+            ph = self.pps.height >> sps.vshift[1]
+        sx = min(max(x_sb - eb, 0), pw - 1)
+        sy = min(max(y_sb - eb, 0), ph - 1)
+        wdt = max(min(pw, x_sb + w + ea) - sx, 1)
+        hgt = max(min(ph, y_sb + h + ea) - sy, 1)
+        return (sx, sx + wdt - 1, sy, sy + hgt - 1)
 
     def _uni_out(self, val14, weighted, denom=0, wx=0, ox=0):
         """put_uni / put_uni_w final stage: 14-bit -> pixel."""
@@ -169,20 +193,91 @@ class InterPredictor:
             dst_view[:] = self._uni_out(val, True, *wgt)
 
     def _luma_bi(self, dst_view, refs, mvf, x0, y0, w, h, hf_idx, vf_idx,
-                 dmvr_flag=0, ciip_flag=0):
+                 dmvr_flag=0, ciip_flag=0, orig_mv=None, sb_bdof_flag=0):
         tmp = []
+        fetched = []
         for i in range(2):
             mv = mvf.mv[i]
             mx, my = mv[0] & 0xF, mv[1] & 0xF
             xi = x0 + (mv[0] >> 4)
             yi = y0 + (mv[1] >> 4)
+            box = None
+            if dmvr_flag:
+                box = self._dmvr_box(x0 + (orig_mv.mv[i][0] >> 4),
+                                     y0 + (orig_mv.mv[i][1] >> 4), w, h, True)
             tmp.append(self._mc_put(refs[i].planes[0], xi, yi, mx, my, w, h,
-                                    True, hf_idx, vf_idx))
+                                    True, hf_idx, vf_idx, box))
+            if sb_bdof_flag:
+                # bdof_fetch_samples: (h+2, w+2) integer-sample ring
+                intg = _gather_block(refs[i].planes[0],
+                                     xi + (mx >> 3) - 1, yi + (my >> 3) - 1,
+                                     w + 2, h + 2, box) << (14 - self.bd)
+                intg[1:1 + h, 1:1 + w] = tmp[i]
+                fetched.append(intg)
+        if sb_bdof_flag:
+            dst_view[:] = self._apply_bdof(fetched[0], fetched[1], w, h)
+            return
         wgt = self._derive_weight(mvf, LUMA, dmvr_flag, ciip_flag)
         if wgt is None:
             dst_view[:] = self._avg(tmp[0], tmp[1])
         else:
             dst_view[:] = self._w_avg(tmp[0], tmp[1], *wgt)
+
+    def _apply_bdof(self, s0p, s1p, w, h):
+        """apply_bdof (vvc_inter_template.c:289): s0p/s1p are (h+2, w+2)
+        with the integer-sample border ring."""
+        bd = self.bd
+        grads = []
+        for sp in (s0p, s1p):
+            gh = (sp[1:1 + h, 2:2 + w] >> 6) - (sp[1:1 + h, 0:w] >> 6)
+            gv = (sp[2:2 + h, 1:1 + w] >> 6) - (sp[0:h, 1:1 + w] >> 6)
+            # pad gradients with a replicated ring (pad=1)
+            ghp = np.pad(gh, 1, mode="edge")
+            gvp = np.pad(gv, 1, mode="edge")
+            grads.append((ghp, gvp))
+        # pad src: replicate the CENTER block ring (pad_int16 overwrites the
+        # fetched border after gradients are computed, vvcdsp.c:29)
+        sp0 = np.pad(s0p[1:1 + h, 1:1 + w], 1, mode="edge")
+        sp1 = np.pad(s1p[1:1 + h, 1:1 + w], 1, mode="edge")
+        shift4 = 15 - bd
+        off4 = 1 << (shift4 - 1)
+        out = np.zeros((h, w), dtype=np.int64)
+        sign = lambda v: np.sign(v)
+        for by in range(0, h, 4):
+            for bx in range(0, w, 4):
+                w0 = sp0[by:by + 6, bx:bx + 6]
+                w1 = sp1[by:by + 6, bx:bx + 6]
+                diff = (w0 >> 4) - (w1 >> 4)
+                th = (grads[0][0][by:by + 6, bx:bx + 6] +
+                      grads[1][0][by:by + 6, bx:bx + 6]) >> 1
+                tv = (grads[0][1][by:by + 6, bx:bx + 6] +
+                      grads[1][1][by:by + 6, bx:bx + 6]) >> 1
+                sgx2 = int(np.abs(th).sum())
+                sgy2 = int(np.abs(tv).sum())
+                sgxgy = int((sign(tv) * th).sum())
+                sgxdi = int((-sign(th) * diff).sum())
+                sgydi = int((-sign(tv) * diff).sum())
+                thres = 16
+                vx = 0
+                if sgx2 > 0:
+                    vx = min(max((sgxdi << 2) >> (sgx2.bit_length() - 1),
+                                 -thres + 1), thres - 1)
+                vy = 0
+                if sgy2 > 0:
+                    vy = min(max(((sgydi << 2) - ((vx * sgxgy) >> 1)) >>
+                                 (sgy2.bit_length() - 1),
+                                 -thres + 1), thres - 1)
+                # apply on the 4x4 center (unpadded gradients)
+                gh0 = grads[0][0][by + 1:by + 5, bx + 1:bx + 5]
+                gh1 = grads[1][0][by + 1:by + 5, bx + 1:bx + 5]
+                gv0 = grads[0][1][by + 1:by + 5, bx + 1:bx + 5]
+                gv1 = grads[1][1][by + 1:by + 5, bx + 1:bx + 5]
+                boff = vx * (gh0 - gh1) + vy * (gv0 - gv1)
+                c0 = s0p[1 + by:5 + by, 1 + bx:5 + bx]
+                c1 = s1p[1 + by:5 + by, 1 + bx:5 + bx]
+                out[by:by + 4, bx:bx + 4] = \
+                    (c0 + off4 + c1 + boff) >> shift4
+        return np.clip(out, 0, (1 << bd) - 1)
 
     def _chroma_uni(self, dst_view, plane, mvf, x0c, y0c, wc, hc, c_idx):
         sps = self.sps
@@ -201,7 +296,7 @@ class InterPredictor:
             dst_view[:] = self._uni_out(val, True, *wgt)
 
     def _chroma_bi(self, dst_view, refs, mvf, x0c, y0c, wc, hc, c_idx,
-                   dmvr_flag=0, ciip_flag=0):
+                   dmvr_flag=0, ciip_flag=0, orig_mv=None):
         sps = self.sps
         hs, vs = sps.hshift[1], sps.vshift[1]
         tmp = []
@@ -211,8 +306,13 @@ class InterPredictor:
             my = (mv[1] & ((1 << (4 + vs)) - 1)) << (1 - vs)
             xi = x0c + (mv[0] >> (4 + hs))
             yi = y0c + (mv[1] >> (4 + vs))
+            box = None
+            if dmvr_flag and orig_mv is not None:
+                box = self._dmvr_box(x0c + (orig_mv.mv[i][0] >> (4 + hs)),
+                                     y0c + (orig_mv.mv[i][1] >> (4 + vs)),
+                                     wc, hc, False)
             tmp.append(self._mc_put(refs[i].planes[c_idx], xi, yi, mx, my,
-                                    wc, hc, False))
+                                    wc, hc, False, box=box))
         wgt = self._derive_weight(mvf, c_idx, dmvr_flag, ciip_flag)
         if wgt is None:
             dst_view[:] = self._avg(tmp[0], tmp[1])
@@ -233,6 +333,113 @@ class InterPredictor:
         f.ciip_flag = int(t.mvf_ciip[yi, xi])
         return f
 
+    # --- DMVR (vvc_inter.c:642-760) ----------------------------------------
+
+    def _dmvr_bilinear(self, ref_plane, mv, x0, y0, pred_w, pred_h):
+        """dmvr[!!my][!!mx]: 2-tap bilinear to the 10-bit domain."""
+        _, _, df = _filters()
+        bd = self.bd
+        mx, my = mv[0] & 0xF, mv[1] & 0xF
+        sr = 2
+        ox = x0 + (mv[0] >> 4) - sr
+        oy = y0 + (mv[1] >> 4) - sr
+        if not mx and not my:
+            src = _gather_block(ref_plane, ox, oy, pred_w, pred_h)
+            if bd > 10:
+                off = 1 << (bd - 11)
+                return (src + off) >> (bd - 10)
+            return src << (10 - bd)
+        shift1 = bd - 6
+        off1 = 1 << (shift1 - 1)
+        if my == 0:
+            src = _gather_block(ref_plane, ox, oy, pred_w + 1, pred_h)
+            f = df[mx]
+            return (_filter_h(src, f, 2, pred_w) + off1) >> shift1
+        if mx == 0:
+            src = _gather_block(ref_plane, ox, oy, pred_w, pred_h + 1)
+            f = df[my]
+            return (_filter_v(src, f, 2, pred_h) + off1) >> shift1
+        src = _gather_block(ref_plane, ox, oy, pred_w + 1, pred_h + 1)
+        tmp = (_filter_h(src, df[mx], 2, pred_w) + off1) >> shift1
+        return (_filter_v(tmp, df[my], 2, pred_h) + 8) >> 4
+
+    @staticmethod
+    def _sad(t0, t1, dx, dy, w, h):
+        """vvc_sad (vvcdsp.c:49): every other row."""
+        dx -= 2
+        dy -= 2
+        a = t0[2 + dy:2 + dy + h:2, 2 + dx:2 + dx + w]
+        b = t1[2 - dy:2 - dy + h:2, 2 - dx:2 - dx + w]
+        return int(np.abs(a - b).sum())
+
+    @staticmethod
+    def _parametric_refine(sad_m, sad_c, sad_p):
+        """parametric_mv_refine (vvc_inter.c:642)."""
+        denom = ((sad_m + sad_p) - (sad_c << 1)) << 3
+        if not denom:
+            return 0
+        if sad_m == sad_c:
+            return -8
+        if sad_p == sad_c:
+            return 8
+        num = (sad_m - sad_p) << 4
+        sign = num < 0
+        num = abs(num)
+        quotient = 0
+        for _ in range(3):
+            quotient <<= 1
+            if num >= denom:
+                num -= denom
+                quotient += 1
+            denom >>= 1
+        return -quotient if sign else quotient
+
+    def _dmvr_refine(self, mv, refs, x0, y0, bw, bh):
+        """dmvr_mv_refine (vvc_inter.c:685): mutates mv; returns True if
+        BDOF should be skipped for this subblock."""
+        from .mvs import clip_mv
+        sr = 2
+        pw, ph = bw + 2 * sr, bh + 2 * sr
+        tmp = [self._dmvr_bilinear(refs[i].planes[0], mv.mv[i], x0, y0,
+                                   pw, ph) for i in range(2)]
+        min_dx = min_dy = 2
+        min_sad = self._sad(tmp[0], tmp[1], 2, 2, bw, bh)
+        min_sad -= min_sad >> 2
+        sad = {(2, 2): min_sad}
+        if min_sad >= bw * bh:
+            for dy in range(5):
+                for dx in range(5):
+                    if dx != sr or dy != sr:
+                        s = self._sad(tmp[0], tmp[1], dx, dy, bw, bh)
+                        sad[(dy, dx)] = s
+                        if s < min_sad:
+                            min_sad = s
+                            min_dx, min_dy = dx, dy
+            dmv = [(min_dx - sr) << 4, (min_dy - sr) << 4]
+            if min_dx not in (0, 4) and min_dy not in (0, 4):
+                dmv[0] += self._parametric_refine(
+                    sad[(min_dy, min_dx - 1)], sad[(min_dy, min_dx)],
+                    sad[(min_dy, min_dx + 1)])
+                dmv[1] += self._parametric_refine(
+                    sad[(min_dy - 1, min_dx)], sad[(min_dy, min_dx)],
+                    sad[(min_dy + 1, min_dx)])
+            for i in range(2):
+                mv.mv[i][0] += (1 - 2 * i) * dmv[0]
+                mv.mv[i][1] += (1 - 2 * i) * dmv[1]
+                clip_mv(mv.mv[i])
+        return min_sad < 2 * bw * bh
+
+    def _set_dmvr_info(self, x0, y0, w, h, mv):
+        """set_dmvr_info (vvc_inter.c:750): refined MVs -> collocated grid."""
+        t = self.tabs
+        x1, y1 = (x0 + w) >> 2, (y0 + h) >> 2
+        x0, y0 = x0 >> 2, y0 >> 2
+        t.col_pf[y0:y1, x0:x1] = mv.pred_flag
+        for i in range(2):
+            t.col_mv[i, y0:y1, x0:x1, 0] = mv.mv[i][0]
+            t.col_mv[i, y0:y1, x0:x1, 1] = mv.mv[i][1]
+            t.col_ref[i, y0:y1, x0:x1] = mv.ref_idx[i]
+
     def pred_regular_blk(self, cu, skip_ciip, recon=None):
         """pred_regular_blk (vvc_inter.c:782)."""
         pu = cu.pu
@@ -251,17 +458,21 @@ class InterPredictor:
                 orig_mv = mv
                 sb_bdof_flag = bool(pu.bdof_flag)
                 if pu.dmvr_flag:
-                    raise NotImplementedError("DMVR")
-                if sb_bdof_flag:
-                    raise NotImplementedError("BDOF")
+                    orig_mv = mv.copy()
+                    refs = [self._ref_frame(0, mv.ref_idx[0]).buffer,
+                            self._ref_frame(1, mv.ref_idx[1]).buffer]
+                    if self._dmvr_refine(mv, refs, x0, y0, sbw, sbh):
+                        sb_bdof_flag = False
+                    self._set_dmvr_info(x0, y0, sbw, sbh, mv)
                 self._pred_regular_luma(cu, mv, x0, y0, sbw, sbh, orig_mv,
-                                        0, recon)
+                                        sb_bdof_flag, recon,
+                                        dmvr_flag=pu.dmvr_flag)
                 if self.sps.chroma_format_idc:
                     self._pred_regular_chroma(cu, mv, x0, y0, sbw, sbh,
                                               orig_mv, pu.dmvr_flag, recon)
 
     def _pred_regular_luma(self, cu, mv, x0, y0, sbw, sbh, orig_mv,
-                           sb_bdof_flag, recon):
+                           sb_bdof_flag, recon, dmvr_flag=0):
         ciip = cu.ciip_flag
         hf_idx = vf_idx = mv.hpel_if_idx
         plane = self.fb.planes[0]
@@ -279,7 +490,8 @@ class InterPredictor:
             refs = [self._ref_frame(0, mv.ref_idx[0]).buffer,
                     self._ref_frame(1, mv.ref_idx[1]).buffer]
             self._luma_bi(dst, refs, mv, x0, y0, sbw, sbh, hf_idx, vf_idx,
-                          ciip_flag=ciip)
+                          dmvr_flag=dmvr_flag, ciip_flag=ciip,
+                          orig_mv=orig_mv, sb_bdof_flag=sb_bdof_flag)
         if ciip:
             w = self._ciip_intra_weight(cu, x0, y0, sbw, sbh)
             recon.intra_pred(cu, x0, y0, sbw, sbh, 0)
@@ -310,7 +522,7 @@ class InterPredictor:
                 refs = [self._ref_frame(0, mv.ref_idx[0]).buffer,
                         self._ref_frame(1, mv.ref_idx[1]).buffer]
                 self._chroma_bi(dst, refs, mv, x0c, y0c, wc, hc, c_idx,
-                                dmvr_flag, cu.ciip_flag)
+                                dmvr_flag, cu.ciip_flag, orig_mv)
             outs.append(dst)
         if do_ciip:
             w = self._ciip_intra_weight(cu, x0, y0, sbw, sbh)
@@ -336,6 +548,117 @@ class InterPredictor:
                                     (x0 - 1) >> 2]) == PF_INTRA:
             wgt += 1
         return wgt
+
+    # --- affine + PROF (vvc_inter.c:369-446, 828-873) ----------------------
+
+    def _prof_block(self, ref_plane, mv, x, y, dmx, dmy):
+        """4x4 affine subblock with PROF refinement -> 14-bit-domain values
+        (put + fetch_samples + prof_grad + apply_prof)."""
+        bd = self.bd
+        mx, my = mv[0] & 0xF, mv[1] & 0xF
+        xi = x + (mv[0] >> 4)
+        yi = y + (mv[1] >> 4)
+        val = self._mc_put(ref_plane, xi, yi, mx, my, 4, 4, True, 2, 2)
+        # integer-sample 6x6 ring (fetch_samples, vvc_inter_template.c:130)
+        intg = _gather_block(ref_plane, xi + (mx >> 3) - 1,
+                             yi + (my >> 3) - 1, 6, 6) << (14 - bd)
+        padded = intg
+        padded[1:5, 1:5] = val
+        gh = (padded[1:5, 2:6] >> 6) - (padded[1:5, 0:4] >> 6)
+        gv = (padded[2:6, 1:5] >> 6) - (padded[0:4, 1:5] >> 6)
+        di = gh * dmx + gv * dmy
+        limit = 1 << max(13, bd + 1)
+        return val + np.clip(di, -limit, limit - 1)
+
+    def pred_affine_blk(self, cu):
+        """pred_affine_blk (vvc_inter.c:828)."""
+        sps = self.sps
+        pu = cu.pu
+        mi = pu.mi
+        hs, vs = sps.hshift[1], sps.vshift[1]
+        sbw = cu.cb_width // mi.num_sb_x
+        sbh = cu.cb_height // mi.num_sb_y
+        plane = self.fb.planes[0]
+        for sby in range(mi.num_sb_y):
+            for sbx in range(mi.num_sb_x):
+                x = cu.x0 + sbx * sbw
+                y = cu.y0 + sby * sbh
+                mv = self._get_mvf(x, y)
+                dst = plane[y:y + sbh, x:x + sbw]
+                if mi.pred_flag != PF_BI:
+                    lx = mi.pred_flag - PF_L0
+                    ref = self._ref_frame(lx, mv.ref_idx[lx])
+                    self._luma_prof_uni(dst, ref.buffer.planes[0], mv, lx,
+                                        x, y, sbw, sbh, pu)
+                else:
+                    refs = [self._ref_frame(0, mv.ref_idx[0]).buffer,
+                            self._ref_frame(1, mv.ref_idx[1]).buffer]
+                    self._luma_prof_bi(dst, refs, mv, x, y, sbw, sbh, pu)
+                if sps.chroma_format_idc and not (sby & vs) and \
+                        not (sbx & hs):
+                    # derive_affine_mvc (vvc_inter.c:814)
+                    mv2 = self._get_mvf(x + hs * sbw, y + vs * sbh)
+                    mvc = mv.copy()
+                    for i in range(2):
+                        m = [mv.mv[i][0] + mv2.mv[i][0],
+                             mv.mv[i][1] + mv2.mv[i][1]]
+                        from .mvs import round_mv
+                        round_mv(m, 0, 1)
+                        mvc.mv[i] = m
+                    self._pred_regular_chroma(cu, mvc, x, y, sbw << hs,
+                                              sbh << vs, None, 0, None)
+
+    def _luma_prof_uni(self, dst, ref_plane, mvf, lx, x, y, sbw, sbh, pu):
+        """luma_prof_uni (vvc_inter.c:369): affine filter bank (type 2)."""
+        mv = mvf.mv[lx]
+        wgt = self._derive_weight_uni(mvf, LUMA)
+        if pu.cb_prof_flag[lx]:
+            dmx = np.asarray(pu.diff_mv_x[lx]).reshape(4, 4)
+            dmy = np.asarray(pu.diff_mv_y[lx]).reshape(4, 4)
+            val = self._prof_block(ref_plane, mv, x, y, dmx, dmy)
+            bd = self.bd
+            if wgt is None:
+                shift = 14 - bd
+                off = 1 << (shift - 1)
+                dst[:] = np.clip((val + off) >> shift, 0, (1 << bd) - 1)
+            else:
+                denom, wx, ox = wgt
+                shift = denom + max(2, 14 - bd)
+                off = 1 << (shift - 1)
+                dst[:] = np.clip(((val * wx + off) >> shift) +
+                                 (ox << (bd - 8)), 0, (1 << bd) - 1)
+        else:
+            mx, my = mv[0] & 0xF, mv[1] & 0xF
+            xi = x + (mv[0] >> 4)
+            yi = y + (mv[1] >> 4)
+            val = self._mc_put(ref_plane, xi, yi, mx, my, sbw, sbh, True,
+                               2, 2)
+            if wgt is None:
+                dst[:] = self._uni_out(val, False)
+            else:
+                dst[:] = self._uni_out(val, True, *wgt)
+
+    def _luma_prof_bi(self, dst, refs, mvf, x, y, sbw, sbh, pu):
+        """luma_prof_bi (vvc_inter.c:410)."""
+        tmp = []
+        for i in range(2):
+            mv = mvf.mv[i]
+            if pu.cb_prof_flag[i]:
+                dmx = np.asarray(pu.diff_mv_x[i]).reshape(4, 4)
+                dmy = np.asarray(pu.diff_mv_y[i]).reshape(4, 4)
+                tmp.append(self._prof_block(refs[i].planes[0], mv, x, y,
+                                            dmx, dmy))
+            else:
+                mx, my = mv[0] & 0xF, mv[1] & 0xF
+                xi = x + (mv[0] >> 4)
+                yi = y + (mv[1] >> 4)
+                tmp.append(self._mc_put(refs[i].planes[0], xi, yi, mx, my,
+                                        sbw, sbh, True, 2, 2))
+        wgt = self._derive_weight(mvf, LUMA, 0, 0)
+        if wgt is None:
+            dst[:] = self._avg(tmp[0], tmp[1])
+        else:
+            dst[:] = self._w_avg(tmp[0], tmp[1], *wgt)
 
     # --- GPM (vvc_inter.c:466-521) -----------------------------------------
 
@@ -412,7 +735,7 @@ class InterPredictor:
         if pu.merge_gpm_flag:
             self.pred_gpm_blk(cu)
         elif pu.inter_affine_flag:
-            raise NotImplementedError("affine MC")
+            self.pred_affine_blk(cu)
         else:
             self.pred_regular_blk(cu, skip_ciip=True)
         # LMCS fwd mapping of inter luma would apply here (sh_lmcs_used_flag)

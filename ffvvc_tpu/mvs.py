@@ -271,7 +271,8 @@ class MotionContext:
         y = cu.y0 + cu.cb_height
         mv = None
         if (cu.y0 >> ctb_log2) == (y >> ctb_log2) and \
-                y < self.sps.height and x < self.sps.width:
+                y < self.sps.r.sps_pic_height_max_in_luma_samples and \
+                x < self.sps.r.sps_pic_width_max_in_luma_samples:
             xa, ya = x & ~7, y & ~7
             temp_col = col.get_mvf(xa, ya)
             rpl_col = col.rpl_at(xa, ya)
@@ -523,6 +524,573 @@ class MotionContext:
         if mi.pred_flag != PF_L0:
             mi.mv[L1][0] = self.mvp(cu, mvp_lx_flag[L1], L1, mi.ref_idx,
                                     amvr_shift)
+
+    # --- affine (vvc_mvs.c:842-1404) ---------------------------------------
+
+    def _get_cp_mv(self, lx, x, y, cp_idx):
+        v = self.tabs.cp_mv[lx, y >> 2, x >> 2, cp_idx]
+        return [int(v[0]), int(v[1])]
+
+    def affine_cps_from_nb(self, cu, x_nb, y_nb, nbw, nbh, lx, num_cps):
+        """8.5.5.5 (vvc_mvs.c:844): CPs inherited from an affine neighbour."""
+        sps = self.sps
+        x0, y0 = cu.x0, cu.y0
+        cbw, cbh = cu.cb_width, cu.cb_height
+        log2_nbw = nbw.bit_length() - 1
+        log2_nbh = nbh.bit_length() - 1
+        is_ctb_boundary = ((y_nb + nbh) % sps.ctb_size_y) == 0 and \
+            (y_nb + nbh == y0)
+        motion_model_idc_nb = 0
+        if is_ctb_boundary:
+            l = self.get_mvf(x_nb, y_nb + nbh - 1).mv[lx]
+            r = self.get_mvf(x_nb + nbw - 1, y_nb + nbh - 1).mv[lx]
+        else:
+            motion_model_idc_nb = int(self.tabs.mmi[y_nb >> 2, x_nb >> 2])
+            l = self._get_cp_mv(lx, x_nb, y_nb, 0)
+            r = self._get_cp_mv(lx, x_nb + nbw - 1, y_nb, 1)
+        mv_scale_hor = l[0] << 7
+        mv_scale_ver = l[1] << 7
+        d_hor_x = (r[0] - l[0]) << (7 - log2_nbw)
+        d_ver_x = (r[1] - l[1]) << (7 - log2_nbw)
+        if not is_ctb_boundary and motion_model_idc_nb == 2:
+            lb = self._get_cp_mv(lx, x_nb, y_nb + nbh - 1, 2)
+            d_hor_y = (lb[0] - l[0]) << (7 - log2_nbh)
+            d_ver_y = (lb[1] - l[1]) << (7 - log2_nbh)
+        else:
+            d_hor_y = -d_ver_x
+            d_ver_y = d_hor_x
+        if is_ctb_boundary:
+            y_nb = y0
+        cps = []
+        pts = [(x0, y0), (x0 + cbw, y0)]
+        if num_cps == 3:
+            pts.append((x0, y0 + cbh))
+        for px, py in pts:
+            cp = [mv_scale_hor + d_hor_x * (px - x_nb) + d_hor_y * (py - y_nb),
+                  mv_scale_ver + d_ver_x * (px - x_nb) + d_ver_y * (py - y_nb)]
+            round_mv(cp, 0, 7)
+            clip_mv(cp)
+            cps.append(cp)
+        return cps
+
+    def _affine_neighbour_cb(self, x_nb, y_nb):
+        """affine_neighbour_cb (vvc_mvs.c:906)."""
+        t = self.tabs
+        i = (y_nb >> 2, x_nb >> 2)
+        mmi = int(t.mmi[i])
+        if mmi:
+            return (mmi, int(t.cb_pos_x[0][i]), int(t.cb_pos_y[0][i]),
+                    int(t.cb_width[0][i]), int(t.cb_height[0][i]))
+        return (0, 0, 0, 0, 0)
+
+    def _affine_merge_candidate(self, cu, x_cand, y_cand, mi):
+        mmi, x, y, w, h = self._affine_neighbour_cb(x_cand, y_cand)
+        if mmi:
+            mvf = self.get_mvf(x, y)
+            mi.bcw_idx = mvf.bcw_idx
+            mi.pred_flag = mvf.pred_flag
+            for i in range(2):
+                if mi.pred_flag & (i + 1):
+                    cps = self.affine_cps_from_nb(cu, x, y, w, h, i, mmi + 1)
+                    for j, cp in enumerate(cps):
+                        mi.mv[i][j] = cp
+                mi.ref_idx[i] = mvf.ref_idx[i]
+            mi.motion_model_idc = mmi
+        return mmi
+
+    def _affine_merge_from_nbs(self, cu, nbs, idxs, mi):
+        for nb in idxs:
+            if self._check_available(cu, nbs[nb], is_mvp=False) and \
+                    self._affine_merge_candidate(cu, nbs[nb][0], nbs[nb][1],
+                                                 mi):
+                return 1
+        return 0
+
+    def _derive_corner_mvf(self, cu, nbs, idxs):
+        for nb in idxs:
+            if self._check_available(cu, nbs[nb], is_mvp=False):
+                return self.get_mvf(nbs[nb][0], nbs[nb][1])
+        return None
+
+    @staticmethod
+    def _compare_pf_ref_idx(a, b, c, lx):
+        mask = (lx + 1) & a.pred_flag
+        if not (b.pred_flag & mask):
+            return 0
+        if a.ref_idx[lx] != b.ref_idx[lx]:
+            return 0
+        if c is not None:
+            if not (c.pred_flag & mask):
+                return 0
+            if a.ref_idx[lx] != c.ref_idx[lx]:
+                return 0
+        return 1
+
+    def _affine_merge_const(self, which, c, mi, cb_width=0, cb_height=0):
+        """affine_merge_const1..6 (vvc_mvs.c:1112-1266).  c is the corner
+        MvField tuple appropriate for the variant (None allowed)."""
+        if any(x is None for x in c):
+            return 0
+        mi.pred_flag = 0
+        for i in range(2):
+            mask = i + 1
+            cmp3 = c[2] if len(c) == 3 else None
+            if self._compare_pf_ref_idx(c[0], c[1], cmp3, i):
+                mi.pred_flag |= mask
+                mi.ref_idx[i] = c[0].ref_idx[i]
+                if which == 1:      # c0, c1, c2 -> direct 6-param
+                    mi.mv[i][0] = list(c[0].mv[i])
+                    mi.mv[i][1] = list(c[1].mv[i])
+                    mi.mv[i][2] = list(c[2].mv[i])
+                elif which == 2:    # c0, c1, c3
+                    mi.mv[i][0] = list(c[0].mv[i])
+                    mi.mv[i][1] = list(c[1].mv[i])
+                    mv = [c[2].mv[i][0] + c[0].mv[i][0] - c[1].mv[i][0],
+                          c[2].mv[i][1] + c[0].mv[i][1] - c[1].mv[i][1]]
+                    clip_mv(mv)
+                    mi.mv[i][2] = mv
+                elif which == 3:    # c0, c2, c3
+                    mi.mv[i][0] = list(c[0].mv[i])
+                    mv = [c[2].mv[i][0] + c[0].mv[i][0] - c[1].mv[i][0],
+                          c[2].mv[i][1] + c[0].mv[i][1] - c[1].mv[i][1]]
+                    clip_mv(mv)
+                    mi.mv[i][1] = mv
+                    mi.mv[i][2] = list(c[1].mv[i])
+                elif which == 4:    # c1, c2, c3
+                    mv = [c[0].mv[i][0] + c[1].mv[i][0] - c[2].mv[i][0],
+                          c[0].mv[i][1] + c[1].mv[i][1] - c[2].mv[i][1]]
+                    clip_mv(mv)
+                    mi.mv[i][0] = mv
+                    mi.mv[i][1] = list(c[0].mv[i])
+                    mi.mv[i][2] = list(c[1].mv[i])
+                elif which == 5:    # c0, c1 -> 4-param
+                    mi.mv[i][0] = list(c[0].mv[i])
+                    mi.mv[i][1] = list(c[1].mv[i])
+                elif which == 6:    # c0, c2 -> 4-param rotated
+                    shift = 7 + (cb_width.bit_length() - 1) - \
+                        (cb_height.bit_length() - 1)
+                    mi.mv[i][0] = list(c[0].mv[i])
+                    mv = [(c[0].mv[i][0] << 7) +
+                          ((c[1].mv[i][1] - c[0].mv[i][1]) << shift),
+                          (c[0].mv[i][1] << 7) -
+                          ((c[1].mv[i][0] - c[0].mv[i][0]) << shift)]
+                    round_mv(mv, 0, 7)
+                    clip_mv(mv)
+                    mi.mv[i][1] = mv
+        if mi.pred_flag:
+            # const1/5/6: bcw set only when BI (left untouched otherwise);
+            # const2/3/4: bcw = BI ? c[0].bcw : 0  (vvc_mvs.c:1131-1263)
+            if which in (1, 5, 6):
+                if mi.pred_flag == PF_BI:
+                    mi.bcw_idx = c[0].bcw_idx
+            else:
+                mi.bcw_idx = c[0].bcw_idx if mi.pred_flag == PF_BI else 0
+            mi.motion_model_idc = 2 if which <= 4 else 1
+            return 1
+        return 0
+
+    def _affine_merge_const_candidates(self, cu, mi, nbs, merge_subblock_idx,
+                                       num_cands):
+        """8.5.5.6 (vvc_mvs.c:1275)."""
+        c0 = self._derive_corner_mvf(cu, nbs, (self.B2, self.B3, self.A2))
+        c1 = self._derive_corner_mvf(cu, nbs, (self.B1, self.B0))
+        c2 = self._derive_corner_mvf(cu, nbs, (self.A1, self.A0))
+        if self.sps.r.sps_6param_affine_enabled_flag:
+            if self._affine_merge_const(1, (c0, c1, c2), mi):
+                if merge_subblock_idx == num_cands:
+                    return 1
+                num_cands += 1
+            c3 = None
+            if self.ph.ph_temporal_mvp_enabled_flag:
+                corner3 = MvField()
+                mv0 = self.temporal_luma_mv(cu, 0, 0, 0, 0)
+                mv1 = self.temporal_luma_mv(cu, 0, 1, 0, 0) \
+                    if self.c.sh.is_b else None
+                corner3.pred_flag = (mv0 is not None) + \
+                    ((mv1 is not None) << 1)
+                if mv0 is not None:
+                    corner3.mv[0] = mv0
+                if mv1 is not None:
+                    corner3.mv[1] = mv1
+                if corner3.pred_flag:
+                    c3 = corner3
+            if self._affine_merge_const(2, (c0, c1, c3), mi):
+                if merge_subblock_idx == num_cands:
+                    return 1
+                num_cands += 1
+            if self._affine_merge_const(3, (c0, c2, c3), mi):
+                if merge_subblock_idx == num_cands:
+                    return 1
+                num_cands += 1
+            if self._affine_merge_const(4, (c1, c2, c3), mi):
+                if merge_subblock_idx == num_cands:
+                    return 1
+                num_cands += 1
+        if self._affine_merge_const(5, (c0, c1), mi):
+            if merge_subblock_idx == num_cands:
+                return 1
+            num_cands += 1
+        if self._affine_merge_const(6, (c0, c2), mi, cu.cb_width,
+                                    cu.cb_height):
+            if merge_subblock_idx == num_cands:
+                return 1
+        return 0
+
+    # --- SbTMVP (vvc_mvs.c:994-1110) ---------------------------------------
+
+    def _sb_clip_location(self, x_ctb, y_ctb, temp_mv, x, y):
+        sps, pps = self.sps, self.pps
+        ctb = 1 << sps.ctb_log2_size_y
+        y = clip(y + temp_mv[1], y_ctb, min(pps.height - 1,
+                                            y_ctb + ctb - 1)) & ~7
+        x = clip(x + temp_mv[0], x_ctb, min(pps.width - 1,
+                                            x_ctb + ctb + 3)) & ~7
+        return x, y
+
+    def _sb_temporal_luma_motion(self, x_ctb, y_ctb, temp_mv, x, y):
+        """sb_temproal_luma_motion (vvc_mvs.c:1008) -> (pred_flag, mv2)."""
+        col = self.c.collocated_ref
+        self.col_poc = col.poc
+        x, y = self._sb_clip_location(x_ctb, y_ctb, temp_mv, x, y)
+        temp_col = col.get_mvf(x, y)
+        rpl_col = col.rpl_at(x, y)
+        mv0 = self._derive_temporal_col(temp_col, 0, 0, rpl_col, 1)
+        pf = int(mv0 is not None)
+        mv = [mv0 or [0, 0], [0, 0]]
+        if self.c.sh.is_b:
+            mv1 = self._derive_temporal_col(temp_col, 0, 1, rpl_col, 1)
+            pf |= int(mv1 is not None) << 1
+            if mv1 is not None:
+                mv[1] = mv1
+        return pf, mv
+
+    def sb_temporal_merge_candidate(self, cu, nbs, pu):
+        """8.5.5.3 (vvc_mvs.c:1068)."""
+        sps, ph = self.sps, self.ph
+        mi = pu.mi
+        ctb_log2 = sps.ctb_log2_size_y
+        x0, y0 = cu.x0, cu.y0
+        x_ctb = (x0 >> ctb_log2) << ctb_log2
+        y_ctb = (y0 >> ctb_log2) << ctb_log2
+        if not ph.ph_temporal_mvp_enabled_flag or \
+                not sps.r.sps_sbtmvp_enabled_flag or \
+                (cu.cb_width < 8 and cu.cb_height < 8) or \
+                self.c.collocated_ref is None:
+            return 0
+        mi.num_sb_x = cu.cb_width >> 3
+        mi.num_sb_y = cu.cb_height >> 3
+        a1 = self._derive_corner_mvf(cu, nbs, (self.A1,))
+        # sb_temporal_luma_motion_data (vvc_mvs.c:1030)
+        col = self.c.collocated_ref
+        rpl = self.c.rpl
+        temp_mv = [0, 0]
+        if a1 is not None:
+            if (a1.pred_flag & PF_L0) and \
+                    col.poc == rpl[0].poc_list[a1.ref_idx[0]]:
+                temp_mv = list(a1.mv[0])
+            elif (a1.pred_flag & PF_L1) and \
+                    col.poc == rpl[1].poc_list[a1.ref_idx[1]]:
+                temp_mv = list(a1.mv[1])
+            round_mv(temp_mv, 0, 4)
+        ctr_pf, ctr_mv = self._sb_temporal_luma_motion(
+            x_ctb, y_ctb, temp_mv, x0 + cu.cb_width // 2,
+            y0 + cu.cb_height // 2)
+        if not ctr_pf:
+            return 0
+        sbw = cu.cb_width // mi.num_sb_x
+        sbh = cu.cb_height // mi.num_sb_y
+        for sby in range(mi.num_sb_y):
+            for sbx in range(mi.num_sb_x):
+                x = x0 + sbx * sbw
+                y = y0 + sby * sbh
+                pf, mv = self._sb_temporal_luma_motion(
+                    x_ctb, y_ctb, temp_mv, x + sbw // 2, y + sbh // 2)
+                f = MvField()
+                if not pf:
+                    pf, mv = ctr_pf, ctr_mv
+                f.pred_flag = pf
+                f.mv = [list(mv[0]), list(mv[1])]
+                self.set_mvf(x, y, sbw, sbh, f)
+        return 1
+
+    def sb_mv_merge_mode(self, cu, merge_subblock_idx, pu):
+        """8.5.5.2 (vvc_mvs.c:1346); returns 1 if SbCol was selected (MV
+        grid already written)."""
+        sps = self.sps
+        mi = pu.mi
+        self.c.set_neighbour_available(cu.x0, cu.y0, cu.cb_width,
+                                       cu.cb_height)
+        nbs = self._neighbours(cu)
+        num_cands = 0
+        if self.sb_temporal_merge_candidate(cu, nbs, pu):
+            if merge_subblock_idx == num_cands:
+                return 1
+            num_cands += 1
+        pu.inter_affine_flag = 1
+        mi.num_sb_x = cu.cb_width >> 2
+        mi.num_sb_y = cu.cb_height >> 2
+        if sps.r.sps_affine_enabled_flag:
+            if self._affine_merge_from_nbs(cu, nbs, (self.A0, self.A1), mi):
+                if merge_subblock_idx == num_cands:
+                    return 0
+                num_cands += 1
+            if self._affine_merge_from_nbs(cu, nbs,
+                                           (self.B0, self.B1, self.B2), mi):
+                if merge_subblock_idx == num_cands:
+                    return 0
+                num_cands += 1
+            if self._affine_merge_const_candidates(cu, mi, nbs,
+                                                   merge_subblock_idx,
+                                                   num_cands):
+                return 0
+        # zero affine (vvc_mvs.c:1268)
+        mi.pred_flag = PF_L0 + (self.c.sh.is_b << 1)
+        mi.bcw_idx = 0
+        mi.hpel_if_idx = 0
+        mi.ref_idx = [0, 0]
+        mi.mv = [[[0, 0], [0, 0], [0, 0]], [[0, 0], [0, 0], [0, 0]]]
+        mi.motion_model_idc = 1
+        mi.num_sb_x = cu.cb_width >> 2
+        mi.num_sb_y = cu.cb_height >> 2
+        return 0
+
+    # --- subblock MV array storage + PROF (vvc_mvs.c:283-448) --------------
+
+    @staticmethod
+    def _is_fallback(sp, pred_flag):
+        a = 4 * (2048 + sp["d_hor_x"])
+        b = 4 * sp["d_hor_y"]
+        c = 4 * (2048 + sp["d_ver_y"])
+        d = 4 * sp["d_ver_x"]
+        if pred_flag == PF_BI:
+            max_w4 = max(0, a, b, a + b)
+            min_w4 = min(0, a, b, a + b)
+            max_h4 = max(0, c, d, c + d)
+            min_h4 = min(0, c, d, c + d)
+            bx_w = ((max_w4 - min_w4) >> 11) + 9
+            bx_h = ((max_h4 - min_h4) >> 11) + 9
+            return bx_w * bx_h > 225
+        bx_wxh = (abs(a) >> 11) + 9
+        bx_hxh = (abs(d) >> 11) + 9
+        bx_wxv = (abs(b) >> 11) + 9
+        bx_hxv = (abs(c) >> 11) + 9
+        return not (bx_wxh * bx_hxh <= 165 and bx_wxv * bx_hxv <= 165)
+
+    MAX_CU_DEPTH = 7
+
+    def _init_subblock_params(self, mi, cb_width, cb_height, lx):
+        log2_cbw = cb_width.bit_length() - 1
+        log2_cbh = cb_height.bit_length() - 1
+        cp = mi.mv[lx]
+        num_cp = mi.motion_model_idc + 1
+        D = self.MAX_CU_DEPTH
+        sp = {
+            "d_hor_x": (cp[1][0] - cp[0][0]) << (D - log2_cbw),
+            "d_ver_x": (cp[1][1] - cp[0][1]) << (D - log2_cbw),
+            "mv_scale_hor": cp[0][0] << D,
+            "mv_scale_ver": cp[0][1] << D,
+        }
+        if num_cp == 3:
+            sp["d_hor_y"] = (cp[2][0] - cp[0][0]) << (D - log2_cbh)
+            sp["d_ver_y"] = (cp[2][1] - cp[0][1]) << (D - log2_cbh)
+        else:
+            sp["d_hor_y"] = -sp["d_ver_x"]
+            sp["d_ver_y"] = sp["d_hor_x"]
+        sp["is_fallback"] = self._is_fallback(sp, mi.pred_flag)
+        return sp
+
+    def _derive_subblock_diff_mvs(self, pu, sp, lx):
+        """derive_subblock_diff_mvs + cb_prof_flag (vvc_mvs.c:283/361)."""
+        mi = pu.mi
+        prof = not self.ph.ph_prof_disabled_flag and not sp["is_fallback"]
+        if prof and mi.motion_model_idc == 1 and \
+                mi.mv[lx][0] == mi.mv[lx][1]:
+            prof = False
+        if prof and mi.motion_model_idc == 2 and \
+                mi.mv[lx][0] == mi.mv[lx][1] and mi.mv[lx][0] == mi.mv[lx][2]:
+            prof = False
+        pu.cb_prof_flag[lx] = int(prof)
+        if prof:
+            dmv_limit = 1 << 5
+            pos_off_x = 6 * (sp["d_hor_x"] + sp["d_hor_y"])
+            pos_off_y = 6 * (sp["d_ver_x"] + sp["d_ver_y"])
+            dx = np.zeros(16, dtype=np.int32)
+            dy = np.zeros(16, dtype=np.int32)
+            for x in range(4):
+                for y in range(4):
+                    d = [x * (sp["d_hor_x"] << 2) + y * (sp["d_hor_y"] << 2) -
+                         pos_off_x,
+                         x * (sp["d_ver_x"] << 2) + y * (sp["d_ver_y"] << 2) -
+                         pos_off_y]
+                    round_mv(d, 0, 8)
+                    dx[4 * y + x] = clip(d[0], -dmv_limit + 1, dmv_limit - 1)
+                    dy[4 * y + x] = clip(d[1], -dmv_limit + 1, dmv_limit - 1)
+            pu.diff_mv_x[lx] = dx
+            pu.diff_mv_y[lx] = dy
+
+    def _store_cp_mv(self, cu, mi, lx):
+        num_cp = mi.motion_model_idc + 1
+        t = self.tabs
+        x0, y0 = cu.x0 >> 2, cu.y0 >> 2
+        x1 = (cu.x0 + cu.cb_width) >> 2
+        y1 = (cu.y0 + cu.cb_height) >> 2
+        for j in range(num_cp):
+            t.cp_mv[lx, y0:y1, x0:x1, j, 0] = mi.mv[lx][j][0]
+            t.cp_mv[lx, y0:y1, x0:x1, j, 1] = mi.mv[lx][j][1]
+
+    def store_sb_mvs(self, cu, pu):
+        """ff_vvc_store_sb_mvs (vvc_mvs.c:402)."""
+        mi = pu.mi
+        sbw = cu.cb_width // mi.num_sb_x
+        sbh = cu.cb_height // mi.num_sb_y
+        params = [None, None]
+        mvf = MvField()
+        mvf.pred_flag = mi.pred_flag
+        mvf.bcw_idx = mi.bcw_idx
+        mvf.hpel_if_idx = mi.hpel_if_idx
+        for i in range(2):
+            if mi.pred_flag & (i + 1):
+                self._store_cp_mv(cu, mi, i)
+                params[i] = self._init_subblock_params(
+                    mi, cu.cb_width, cu.cb_height, i)
+                self._derive_subblock_diff_mvs(pu, params[i], i)
+                mvf.ref_idx[i] = mi.ref_idx[i]
+        D = self.MAX_CU_DEPTH
+        for sby in range(mi.num_sb_y):
+            for sbx in range(mi.num_sb_x):
+                x0 = cu.x0 + sbx * sbw
+                y0 = cu.y0 + sby * sbh
+                for i in range(2):
+                    if mi.pred_flag & (i + 1):
+                        sp = params[i]
+                        x_pos = (cu.cb_width >> 1) if sp["is_fallback"] \
+                            else (2 + (sbx << 2))
+                        y_pos = (cu.cb_height >> 1) if sp["is_fallback"] \
+                            else (2 + (sby << 2))
+                        mv = [sp["mv_scale_hor"] + sp["d_hor_x"] * x_pos +
+                              sp["d_hor_y"] * y_pos,
+                              sp["mv_scale_ver"] + sp["d_ver_x"] * x_pos +
+                              sp["d_ver_y"] * y_pos]
+                        round_mv(mv, 0, D)
+                        clip_mv(mv)
+                        mvf.mv[i] = mv
+                self.set_mvf(x0, y0, sbw, sbh, mvf)
+
+    # --- affine AMVP (vvc_mvs.c:1598-1737) ---------------------------------
+
+    def _affine_mvp_candidate(self, x_cand, y_cand, lx, ref_idx, num_cp, cu):
+        mmi, x_nb, y_nb, nbw, nbh = self._affine_neighbour_cb(x_cand, y_cand)
+        if not mmi:
+            return None
+        mvf = self.get_mvf(x_nb, y_nb)
+        rpl = self.c.rpl
+        poc = rpl[lx].poc_list[ref_idx[lx]]
+        if (mvf.pred_flag & (lx + 1)) and \
+                rpl[lx].poc_list[mvf.ref_idx[lx]] == poc:
+            return self.affine_cps_from_nb(cu, x_nb, y_nb, nbw, nbh, lx,
+                                           num_cp)
+        ly = 1 - lx
+        if (mvf.pred_flag & (ly + 1)) and \
+                rpl[ly].poc_list[mvf.ref_idx[ly]] == poc:
+            return self.affine_cps_from_nb(cu, x_nb, y_nb, nbw, nbh, ly,
+                                           num_cp)
+        return None
+
+    def _affine_mvp_from_nbs(self, cu, nbs, idxs, lx, ref_idx, amvr_shift,
+                             num_cp):
+        for nb in idxs:
+            if self._check_available(cu, nbs[nb], is_mvp=True):
+                cps = self._affine_mvp_candidate(nbs[nb][0], nbs[nb][1], lx,
+                                                 ref_idx, num_cp, cu)
+                if cps is not None:
+                    for cp in cps:
+                        round_mv(cp, amvr_shift, amvr_shift)
+                    return cps
+        return None
+
+    def _affine_mvp_constructed_cp(self, cu, nbs, idxs, lx, ref_idx_val,
+                                   amvr_shift):
+        rpl = self.c.rpl
+        poc = rpl[lx].poc_list[ref_idx_val]
+        for nb in idxs:
+            if self._check_available(cu, nbs[nb], is_mvp=True):
+                mvf = self.get_mvf(nbs[nb][0], nbs[nb][1])
+                cp = None
+                if (mvf.pred_flag & (lx + 1)) and \
+                        rpl[lx].poc_list[mvf.ref_idx[lx]] == poc:
+                    cp = list(mvf.mv[lx])
+                else:
+                    ly = 1 - lx
+                    if (mvf.pred_flag & (ly + 1)) and \
+                            rpl[ly].poc_list[mvf.ref_idx[ly]] == poc:
+                        cp = list(mvf.mv[ly])
+                if cp is not None:
+                    round_mv(cp, amvr_shift, amvr_shift)
+                    return cp
+        return None
+
+    def affine_mvp(self, cu, mvp_lx_flag, lx, ref_idx, amvr_shift,
+                   motion_model_idc):
+        """8.5.5.7 (vvc_mvs.c:1662) -> list of num_cp CPs."""
+        num_cp = motion_model_idc + 1
+        nbs = self._neighbours(cu)
+        num_cands = 0
+        cps = self._affine_mvp_from_nbs(cu, nbs, (self.A0, self.A1), lx,
+                                        ref_idx, amvr_shift, num_cp)
+        if cps is not None:
+            if mvp_lx_flag == num_cands:
+                return cps
+            num_cands += 1
+        cps = self._affine_mvp_from_nbs(cu, nbs, (self.B0, self.B1, self.B2),
+                                        lx, ref_idx, amvr_shift, num_cp)
+        if cps is not None:
+            if mvp_lx_flag == num_cands:
+                return cps
+            num_cands += 1
+        # Const1 (vvc_mvs.c:1641)
+        cp0 = self._affine_mvp_constructed_cp(
+            cu, nbs, (self.B2, self.B3, self.A2), lx, ref_idx[lx], amvr_shift)
+        cp1 = self._affine_mvp_constructed_cp(
+            cu, nbs, (self.B1, self.B0), lx, ref_idx[lx], amvr_shift)
+        cp2 = self._affine_mvp_constructed_cp(
+            cu, nbs, (self.A1, self.A0), lx, ref_idx[lx], amvr_shift)
+        available = [cp0 is not None, cp1 is not None, cp2 is not None]
+        cps3 = [cp0 or [0, 0], cp1 or [0, 0], cp2 or [0, 0]]
+        if available[0] and available[1]:
+            if available[2] or motion_model_idc == 1:
+                if mvp_lx_flag == num_cands:
+                    return [list(c) for c in cps3[:num_cp]]
+                num_cands += 1
+        # Const2: single available corner replicated
+        for i in (2, 1, 0):
+            if available[i]:
+                if mvp_lx_flag == num_cands:
+                    return [list(cps3[i]) for _ in range(num_cp)]
+                num_cands += 1
+        tmv = self.temporal_luma_mv(cu, ref_idx[lx], lx, 1, 0)
+        if tmv is not None:
+            if mvp_lx_flag == num_cands:
+                round_mv(tmv, amvr_shift, amvr_shift)
+                return [list(tmv) for _ in range(num_cp)]
+            num_cands += 1
+        return [[0, 0] for _ in range(num_cp)]
+
+    def ff_affine_mvp(self, cu, mvp_lx_flag, amvr_shift, mi):
+        """ff_vvc_affine_mvp (vvc_mvs.c:1725)."""
+        mi.num_sb_x = cu.cb_width >> 2
+        mi.num_sb_y = cu.cb_height >> 2
+        self.c.set_neighbour_available(cu.x0, cu.y0, cu.cb_width,
+                                       cu.cb_height)
+        if mi.pred_flag != PF_L1:
+            cps = self.affine_mvp(cu, mvp_lx_flag[L0], L0, mi.ref_idx,
+                                  amvr_shift, mi.motion_model_idc)
+            for j, cp in enumerate(cps):
+                mi.mv[L0][j] = cp
+        if mi.pred_flag != PF_L0:
+            cps = self.affine_mvp(cu, mvp_lx_flag[L1], L1, mi.ref_idx,
+                                  amvr_shift, mi.motion_model_idc)
+            for j, cp in enumerate(cps):
+                mi.mv[L1][j] = cp
 
     # --- HMVP update (vvc_mvs.c:1762) --------------------------------------
 

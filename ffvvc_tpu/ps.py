@@ -271,6 +271,30 @@ class PredWeightTable:
 DEFAULT_PWT = PredWeightTable()
 
 
+def smvd_ref_idx(sh, rpl, poc):
+    """SMVD symmetric ref indices (reference smvd_ref_idx, vvcdec.c:344-374).
+    Mutates sh.ref_idx_sym; call once the slice RPL exists."""
+    if not sh.is_b:
+        return
+
+    def find(lx, want_positive):
+        idx, old_diff = -1, -1
+        for i in range(sh.r.num_ref_idx_active[lx]):
+            if not rpl[lx].is_lt[i]:
+                diff = poc - rpl[lx].poc_list[i]
+                if want_positive:
+                    hit = diff > 0 and (idx < 0 or diff < old_diff)
+                else:
+                    hit = diff < 0 and (idx < 0 or diff > old_diff)
+                if hit:
+                    idx, old_diff = i, diff
+        return idx
+
+    sh.ref_idx_sym = [find(0, True), find(1, False)]
+    if sh.ref_idx_sym[0] == -1 or sh.ref_idx_sym[1] == -1:
+        sh.ref_idx_sym = [find(0, False), find(1, True)]
+
+
 class RefPicList:
     """One derived reference picture list (reference RefPicList,
     ff_vvc_slice_rpl vvc_refs.c:415-466)."""

@@ -78,3 +78,45 @@ def test_l3_inter(seed, slice_type, n_refs, tmp_path):
     _check_stream(forge_inter_stream(seed=seed, nframes=3,
                                      slice_type=slice_type, n_refs=n_refs,
                                      deblock=True), tmp_path, 3)
+
+
+AFFINE = dict(sps_affine_enabled_flag=1,
+              sps_five_minus_max_num_subblock_merge_cand=0,
+              sps_6param_affine_enabled_flag=1,
+              sps_affine_prof_enabled_flag=1)
+ALL_TOOLS = dict(sps_temporal_mvp_enabled_flag=1, sps_sbtmvp_enabled_flag=1,
+                 sps_mmvd_enabled_flag=1, sps_ciip_enabled_flag=1,
+                 sps_bcw_enabled_flag=1, sps_amvr_enabled_flag=1,
+                 sps_affine_amvr_enabled_flag=1, sps_smvd_enabled_flag=1,
+                 **AFFINE)
+
+
+@pytest.mark.parametrize("seed,tools", [
+    (0, dict(sps_temporal_mvp_enabled_flag=1)),          # TMVP
+    (4, dict(sps_gpm_enabled_flag=1,                     # GPM
+             sps_max_num_merge_cand_minus_max_num_gpm_cand=0,
+             sps_six_minus_max_num_merge_cand=1)),
+    (2, AFFINE),                                         # affine + PROF
+    (5, ALL_TOOLS),                                      # everything at once
+])
+def test_l4_inter_tools(seed, tools, tmp_path):
+    from forge import forge_inter_stream
+    _check_stream(forge_inter_stream(seed=seed, nframes=3, slice_type=0,
+                                     n_refs=(2, 2), deblock=True, **tools),
+                  tmp_path, 3)
+
+
+def test_l5_weighted_pred(tmp_path):
+    from forge import forge_inter_stream
+    _check_stream(forge_inter_stream(
+        seed=1, nframes=3, slice_type=0, deblock=True,
+        sps_weighted_bipred_flag=1,
+        pps_kw=dict(pps_weighted_bipred_flag=1)), tmp_path, 3)
+
+
+def test_l6_hier_dmvr_bdof(tmp_path):
+    """Hierarchical GOP with future refs: DMVR + BDOF + POC reorder."""
+    from forge import forge_hier_stream
+    _check_stream(forge_hier_stream(seed=3, ngops=2, deblock=True,
+                                    sps_bdof_enabled_flag=1,
+                                    sps_dmvr_enabled_flag=1), tmp_path, 5)

@@ -176,6 +176,9 @@ class FuzzPolicy:
             return int(r.random() < 0.8)
         if tag in ("regular_merge_flag",):
             return int(r.random() < 0.6)
+        if tag in ("merge_subblock_idx_b0", "merge_subblock_ext",
+                   "cu_affine_type_flag"):
+            return r.randrange(2)
         if tag in ("ciip_flag", "mmvd_merge_flag", "merge_subblock_flag",
                    "mmvd_distance_idx_b0", "mmvd_distance_ext",
                    "sym_mvd_flag", "inter_affine_flag", "amvr_flag",
@@ -222,34 +225,95 @@ class FuzzPolicy:
         return c
 
 
-def make_explicit_rpl(n0, n1):
-    """Slice-header-explicit ref pic lists: n short-term refs per list, all
-    with delta_poc -1 each (prev frames)."""
+def make_pwt(rng, sps_raw, n0, n1, bipred):
+    """Random explicit weighted-prediction table."""
+    pwt = SyntaxObj()
+    pwt.luma_log2_weight_denom = rng.randrange(0, 5)
+    cd = rng.randrange(0, 5) - pwt.luma_log2_weight_denom
+    pwt.delta_chroma_log2_weight_denom = cd if sps_raw.sps_chroma_format_idc else 0
+    pwt.num_weights_l0 = n0
+    pwt.num_weights_l1 = n1 if bipred else 0
+    for pre, n in (("l0", n0), ("l1", pwt.num_weights_l1)):
+        setattr(pwt, f"luma_weight_{pre}_flag",
+                [rng.randrange(2) for _ in range(n)])
+        setattr(pwt, f"chroma_weight_{pre}_flag",
+                [rng.randrange(2) if sps_raw.sps_chroma_format_idc else 0
+                 for _ in range(n)])
+        setattr(pwt, f"delta_luma_weight_{pre}",
+                [rng.randrange(-20, 21) for _ in range(n)])
+        setattr(pwt, f"luma_offset_{pre}",
+                [rng.randrange(-30, 31) for _ in range(n)])
+        setattr(pwt, f"delta_chroma_weight_{pre}",
+                [[rng.randrange(-20, 21), rng.randrange(-20, 21)]
+                 for _ in range(n)])
+        setattr(pwt, f"delta_chroma_offset_{pre}",
+                [[rng.randrange(-60, 61), rng.randrange(-60, 61)]
+                 for _ in range(n)])
+    return pwt
+
+
+def make_explicit_rpl(deltas0, deltas1, weighted=False):
+    """Slice-header-explicit ref pic lists.  deltasN: signed per-entry POC
+    deltas (relative to the previous entry's POC; negative = past)."""
     rls = SyntaxObj()
 
-    def mk(n):
+    def mk(deltas):
         st = SyntaxObj()
+        n = len(deltas)
         st.num_ref_entries = n
         st.ltrp_in_header_flag = 0
         st.inter_layer_ref_pic_flag = [0] * n
         st.st_ref_pic_flag = [1] * n
-        st.abs_delta_poc_st = [0] * n       # derived |delta| = 1 per entry
-        st.strp_entry_sign_flag = [1] * n   # negative: earlier POCs
+        st.abs_delta_poc_st = []
+        st.strp_entry_sign_flag = []
+        for i, d in enumerate(deltas):
+            ad = abs(d)
+            # derived |delta| = raw + 1 unless (weighted && i != 0)
+            st.abs_delta_poc_st.append(ad if (weighted and i != 0)
+                                       else ad - 1)
+            st.strp_entry_sign_flag.append(1 if d < 0 else 0)
         st.rpls_poc_lsb_lt = []
         st.ilrp_idx = []
         return st
     rls.rpl_sps_flag = [0, 0]
     rls.rpl_idx = [0, 0]
-    rls.rpl_ref_list = [mk(n0), mk(n1)]
+    rls.rpl_ref_list = [mk(deltas0), mk(deltas1)]
     rls.poc_lsb_lt = [[], []]
     rls.delta_poc_msb_cycle_present_flag = [[], []]
     rls.delta_poc_msb_cycle_lt = [[], []]
     return rls
 
 
+class ColFrameShim:
+    """Collocated-frame view for encode-side TMVP: exposes the same
+    get_mvf/rpl_at/poc interface as decoder.DecodedFrame."""
+
+    def __init__(self, poc, tabs, rpl, ctb_log2):
+        from ffvvc_tpu.mvs import MvField
+        self.poc = poc
+        self.tabs = tabs
+        self.rpl = rpl
+        self._ctb_log2 = ctb_log2
+        self._MvField = MvField
+
+    def get_mvf(self, x, y):
+        t = self.tabs
+        xi, yi = x >> 2, y >> 2
+        f = self._MvField()
+        f.pred_flag = int(t.col_pf[yi, xi])
+        f.mv = [[int(t.col_mv[0, yi, xi, 0]), int(t.col_mv[0, yi, xi, 1])],
+                [int(t.col_mv[1, yi, xi, 0]), int(t.col_mv[1, yi, xi, 1])]]
+        f.ref_idx = [int(t.col_ref[0, yi, xi]), int(t.col_ref[1, yi, xi])]
+        return f
+
+    def rpl_at(self, x, y):
+        return self.rpl
+
+
 def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
-                slice_type=SLICE_I, n_refs=(1, 0), prev_tabs=None):
-    """Encode one frame; returns the slice NAL bytes."""
+                slice_type=SLICE_I, n_refs=(1, 0), collocated=None,
+                ref_deltas=None):
+    """Encode one frame; returns (slice NAL bytes, ColFrameShim)."""
     ps0 = H266ParamSets()
     sps_rb = write_sps(sps_r)
     pps_rb = write_pps(pps_r, sps_r)
@@ -276,7 +340,9 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
             sps_raw.sps_log2_diff_max_bt_min_qt_inter_slice
         ph.ph_log2_diff_max_tt_min_qt_inter_slice = \
             sps_raw.sps_log2_diff_max_tt_min_qt_inter_slice
-        ph.ph_temporal_mvp_enabled_flag = 0
+        ph.ph_temporal_mvp_enabled_flag = \
+            int(bool(sps_raw.sps_temporal_mvp_enabled_flag) and
+                collocated is not None)
         # tool-disable inferences the decoder's PH reader applies
         # (h266.py:1602-1628) — must match here for the symmetric coder
         ph.ph_bdof_disabled_flag = 1 - sps_raw.sps_bdof_enabled_flag
@@ -311,7 +377,16 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     sh_r.ph = ph
     rpl = None
     if inter:
-        sh_r.sh_ref_pic_lists = make_explicit_rpl(*n_refs)
+        if ph.ph_temporal_mvp_enabled_flag:
+            sh_r.sh_collocated_from_l0_flag = 1
+            sh_r.sh_collocated_ref_idx = 0
+        weighted = bool(sps_raw.sps_weighted_pred_flag or
+                        sps_raw.sps_weighted_bipred_flag)
+        if ref_deltas is None:
+            ref_deltas = ([-1] * n_refs[0], [-1] * n_refs[1])
+        n_refs = (len(ref_deltas[0]), len(ref_deltas[1]))
+        sh_r.sh_ref_pic_lists = make_explicit_rpl(*ref_deltas,
+                                                  weighted=weighted)
         sh_r.ref_pic_lists = sh_r.sh_ref_pic_lists
         sh_r.num_ref_idx_active = [min(1, n_refs[0]), 0]
         if slice_type == SLICE_B:
@@ -328,13 +403,25 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
         rpl = []
         for lx in range(2):
             rp = derived.RefPicList()
-            for i in range(n_refs[lx]):
-                rp.add(poc - 1 - i, False, None)
+            base = poc
+            for d in ref_deltas[lx]:
+                base += d
+                rp.add(base, False, None)
             rpl.append(rp)
+    if inter and ((pps_raw.pps_weighted_pred_flag and
+                   slice_type == SLICE_P) or
+                  (pps_raw.pps_weighted_bipred_flag and
+                   slice_type == SLICE_B)):
+        sh_r.sh_pred_weight_table = make_pwt(
+            policy.rng, sps_raw, sh_r.num_ref_idx_active[0],
+            sh_r.num_ref_idx_active[1],
+            bool(pps_raw.pps_weighted_bipred_flag and n_refs[1]))
     w = write_slice_header(sh_r, sps_raw, pps_raw, ph)
     sh_bytes = w.bytes()
 
     sh = derived.SH(sh_r, ph, sps, pps)
+    if rpl is not None and sps_raw.sps_smvd_enabled_flag:
+        derived.smvd_ref_idx(sh, rpl, poc)
     tabs = FrameTabs(sps, pps)
     engine = CabacEncoder()
     coder = CtuCoder(engine, sps, pps, sh, tabs, policy=policy)
@@ -342,6 +429,8 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     if rpl is not None:
         coder.rpl = rpl
         coder.poc = poc
+        if ph.ph_temporal_mvp_enabled_flag:
+            coder.collocated_ref = collocated
     data = b""
     started = False
     ctu_addrs = sh.ctu_addrs
@@ -361,7 +450,10 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
         coder.coding_tree_unit(ctu_idx, rs, rx, ry, len(ctu_addrs), 0)
     data += engine.bytes_aligned()
     slice_rbsp = sh_bytes + data
-    return write_nal(nal_type, slice_rbsp), tabs
+    shim = ColFrameShim(poc, tabs, rpl or
+                        [derived.RefPicList(), derived.RefPicList()],
+                        sps.ctb_log2_size_y)
+    return write_nal(nal_type, slice_rbsp), shim
 
 
 def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
@@ -389,14 +481,14 @@ def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
 
 def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
                        nframes=3, slice_type=SLICE_P, n_refs=None,
-                       deblock=True, **sps_kw):
+                       deblock=True, pps_kw=None, **sps_kw):
     """IDR + (P|B)-frame stream exercising the inter path.  Each inter frame
     references the previous decoded frame(s) via explicit slice RPLs."""
     sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
                       max_mtt_depth=2, **sps_kw)
-    pps_kw = {}
+    pps_kw = dict(pps_kw or {})
     if not deblock:
-        pps_kw = dict(pps_deblocking_filter_control_present_flag=1,
+        pps_kw.update(pps_deblocking_filter_control_present_flag=1,
                       pps_deblocking_filter_disabled_flag=1)
     pps_r = build_pps(sps_r, **pps_kw)
     if n_refs is None:
@@ -404,15 +496,55 @@ def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
     stream = write_nal(NalType.SPS, write_sps(sps_r))
     stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
     policy = FuzzPolicy(seed)
+    prev = None
     for i in range(nframes):
         if i == 0:
-            nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0, idr=True)
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0,
+                                    idr=True)
         else:
             nr = (min(i, n_refs[0]), min(i, n_refs[1])
                   if slice_type == SLICE_B else 0)
-            nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
-                                 idr=False, slice_type=slice_type, n_refs=nr)
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=False, slice_type=slice_type,
+                                    n_refs=nr, collocated=prev)
         stream += nal
+    return stream
+
+
+def forge_hier_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
+                      ngops=2, deblock=True, pps_kw=None, **sps_kw):
+    """Hierarchical GOP: IDR, then per GOP a P frame (poc+2) and a B frame
+    (poc+1) with one past L0 ref and one FUTURE L1 ref — symmetric POC
+    distances, the trigger condition for DMVR/BDOF (vvc_ctu.c:1646)."""
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2, **sps_kw)
+    pps_kw = dict(pps_kw or {})
+    if not deblock:
+        pps_kw.update(pps_deblocking_filter_control_present_flag=1,
+                      pps_deblocking_filter_disabled_flag=1)
+    pps_r = build_pps(sps_r, **pps_kw)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    policy = FuzzPolicy(seed)
+    nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0, idr=True)
+    stream += nal
+    shims = {0: prev}
+    for g in range(ngops):
+        base = 2 * g
+        # P frame at poc base+2 referencing poc base
+        nal, shim = forge_frame(sps_r, pps_r, policy, qp=qp, poc=base + 2,
+                                idr=False, slice_type=SLICE_P,
+                                ref_deltas=([-2], []),
+                                collocated=shims[base])
+        stream += nal
+        shims[base + 2] = shim
+        # B frame at poc base+1: L0 = poc base (past), L1 = base+2 (future)
+        nal, shim = forge_frame(sps_r, pps_r, policy, qp=qp, poc=base + 1,
+                                idr=False, slice_type=SLICE_B,
+                                ref_deltas=([-1], [1]),
+                                collocated=shims[base])
+        stream += nal
+        shims[base + 1] = shim
     return stream
 
 
