@@ -146,6 +146,91 @@ def write_ref_pic_lists(w: BitWriter, sps: SyntaxObj, pps: SyntaxObj, rpls: Synt
             raise NotImplementedError("LT entries write")
 
 
+
+def write_alf_data(w: BitWriter, aps: SyntaxObj):
+    """Mirror of read_alf_data (H.266 7.3.2.19)."""
+    w.flag(aps.alf_luma_filter_signal_flag)
+    if aps.aps_chroma_present_flag:
+        w.flag(aps.alf_chroma_filter_signal_flag)
+        w.flag(aps.alf_cc_cb_filter_signal_flag)
+        w.flag(aps.alf_cc_cr_filter_signal_flag)
+    if aps.alf_luma_filter_signal_flag:
+        w.flag(aps.alf_luma_clip_flag)
+        w.ue(aps.alf_luma_num_filters_signalled_minus1)
+        if aps.alf_luma_num_filters_signalled_minus1 > 0:
+            bits = ceil_log2(aps.alf_luma_num_filters_signalled_minus1 + 1)
+            for k in range(25):
+                w.u(aps.alf_luma_coeff_delta_idx[k], bits)
+        nf = aps.alf_luma_num_filters_signalled_minus1 + 1
+        for sf in range(nf):
+            for j in range(12):
+                w.ue(aps.alf_luma_coeff_abs[sf][j])
+                if aps.alf_luma_coeff_abs[sf][j]:
+                    w.u(aps.alf_luma_coeff_sign[sf][j], 1)
+        for sf in range(nf):
+            for j in range(12):
+                if aps.alf_luma_clip_flag:
+                    w.u(aps.alf_luma_clip_idx[sf][j], 2)
+    if aps.alf_chroma_filter_signal_flag:
+        w.flag(aps.alf_chroma_clip_flag)
+        w.ue(aps.alf_chroma_num_alt_filters_minus1)
+        na = aps.alf_chroma_num_alt_filters_minus1 + 1
+        for alt in range(na):
+            for j in range(6):
+                w.ue(aps.alf_chroma_coeff_abs[alt][j])
+                if aps.alf_chroma_coeff_abs[alt][j] > 0:
+                    w.u(aps.alf_chroma_coeff_sign[alt][j], 1)
+            for j in range(6):
+                if aps.alf_chroma_clip_flag:
+                    w.u(aps.alf_chroma_clip_idx[alt][j], 2)
+    if aps.alf_cc_cb_filter_signal_flag:
+        w.ue(aps.alf_cc_cb_filters_signalled_minus1)
+        for k in range(aps.alf_cc_cb_filters_signalled_minus1 + 1):
+            for j in range(7):
+                w.u(aps.alf_cc_cb_mapped_coeff_abs[k][j], 3)
+                if aps.alf_cc_cb_mapped_coeff_abs[k][j]:
+                    w.u(aps.alf_cc_cb_coeff_sign[k][j], 1)
+    if aps.alf_cc_cr_filter_signal_flag:
+        w.ue(aps.alf_cc_cr_filters_signalled_minus1)
+        for k in range(aps.alf_cc_cr_filters_signalled_minus1 + 1):
+            for j in range(7):
+                w.u(aps.alf_cc_cr_mapped_coeff_abs[k][j], 3)
+                if aps.alf_cc_cr_mapped_coeff_abs[k][j]:
+                    w.u(aps.alf_cc_cr_coeff_sign[k][j], 1)
+
+
+def write_aps(aps: SyntaxObj) -> bytes:
+    """adaptation_parameter_set_rbsp (subset: ALF + LMCS)."""
+    w = BitWriter()
+    w.u(aps.aps_params_type, 3)
+    w.u(aps.aps_adaptation_parameter_set_id, 5)
+    w.flag(aps.aps_chroma_present_flag)
+    if aps.aps_params_type == 0:
+        write_alf_data(w, aps)
+    elif aps.aps_params_type == 1:
+        write_lmcs_data(w, aps)
+    else:
+        raise NotImplementedError("scaling list APS write")
+    w.flag(aps.aps_extension_flag)
+    w.rbsp_trailing_bits()
+    return w.bytes()
+
+
+def write_lmcs_data(w: BitWriter, aps: SyntaxObj):
+    """Mirror of read_lmcs_data (H.266 7.3.2.20)."""
+    w.ue(aps.lmcs_min_bin_idx)
+    w.ue(aps.lmcs_delta_max_bin_idx)
+    w.ue(aps.lmcs_delta_cw_prec_minus1)
+    for i in range(aps.lmcs_min_bin_idx, 15 - aps.lmcs_delta_max_bin_idx + 1):
+        w.u(aps.lmcs_delta_abs_cw[i], aps.lmcs_delta_cw_prec_minus1 + 1)
+        if aps.lmcs_delta_abs_cw[i] > 0:
+            w.u(aps.lmcs_delta_sign_cw_flag[i], 1)
+    if aps.aps_chroma_present_flag:
+        w.u(aps.lmcs_delta_abs_crs, 3)
+        if aps.lmcs_delta_abs_crs > 0:
+            w.u(aps.lmcs_delta_sign_crs_flag, 1)
+
+
 def write_sps(sps: SyntaxObj) -> bytes:
     """Serialize an SPS RBSP (subset; see module docstring)."""
     w = BitWriter()

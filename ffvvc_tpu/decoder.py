@@ -298,10 +298,17 @@ class VVCDecoder:
                 if f is not frame:
                     f.flags &= ~(FLAG_SHORT_REF | FLAG_LONG_REF)
 
+        lmcs = None
+        if ph.ph_lmcs_enabled_flag:
+            raw_lmcs = self.ps.aps_lmcs.get(ph.ph_lmcs_aps_id)
+            if raw_lmcs is not None:
+                lmcs = derived.VVCLMCS(raw_lmcs, sps.r)
         recon_jobs = []
         inter_jobs = []
+        sh_by_slice = {}
         for slice_idx_in_frame, (nal, sh_r, sh_end_bits) in enumerate(slices):
             sh = derived.SH(sh_r, ph, sps, pps)
+            sh_by_slice[sh.slice_idx] = sh
             if sh.slice_type != SLICE_I:
                 rpl, collocated = self._build_slice_rpl(frame, sh, poc)
                 if sps.r.sps_smvd_enabled_flag:
@@ -315,12 +322,20 @@ class VVCDecoder:
             jobs = self._parse_slice(nal, sh, sh_end_bits, tabs, fb,
                                      slice_idx_in_frame,
                                      rpl=rpl, poc=poc, collocated=collocated)
+            if lmcs is not None:
+                for rec, _ in jobs:
+                    rec.lmcs = lmcs
+                    rec.lmcs_used = bool(sh.r.sh_lmcs_used_flag)
+                    rec.chroma_scale_on = \
+                        bool(ph.ph_chroma_residual_scale_flag)
             recon_jobs.extend(jobs)
             if sh.slice_type != SLICE_I:
                 from .inter import InterPredictor
                 for rec, ctus in jobs:
                     ip = InterPredictor(sps, pps, tabs, fb, sh, rpl,
                                         rec.nbr)
+                    if lmcs is not None and sh.r.sh_lmcs_used_flag:
+                        ip.lmcs_fwd = lmcs.fwd_lut
                     rec.inter_pred = ip
                     inter_jobs.append((ip, ctus))
         # release frames left unreferenced after RPL marking
@@ -344,11 +359,32 @@ class VVCDecoder:
         for rec, ctus in recon_jobs:
             for rs, rx, ry in ctus:
                 rec.reconstruct_ctu(rs, rx, ry)
+        # LMCS inverse mapping (stage before deblock, vvc_thread.c:44,
+        # ff_vvc_lmcs_filter vvc_filter.c:1322)
+        if lmcs is not None:
+            ctb = sps.ctb_size_y
+            for rec, ctus in recon_jobs:
+                if not rec.lmcs_used:
+                    continue
+                for rs, rx, ry in ctus:
+                    x0, y0 = rx * ctb, ry * ctb
+                    x1 = min(x0 + ctb, pps.width)
+                    y1 = min(y0 + ctb, pps.height)
+                    blk = fb.planes[0][y0:y1, x0:x1]
+                    blk[:] = lmcs.inv_lut[blk]
         # in-loop filters (whole-frame passes per spec 8.8)
         from .deblock import Deblocker
         db = Deblocker(sps, pps, tabs, fb)
         db.slice_rpls = frame.slice_rpls
         db.deblock_frame()
+        from .sao import SaoFilter
+        SaoFilter(sps, pps, tabs, fb).sao_frame()
+        if sps.r.sps_alf_enabled_flag:
+            from .alf import AlfFilter, VVCALF
+            alf_list = {i: VVCALF(a) for i, a in self.ps.aps_alf.items()}
+            sh_list = [sh_by_slice.get(i) for i in
+                       range(max(sh_by_slice) + 1)]
+            AlfFilter(sps, pps, tabs, fb, sh_list, alf_list).alf_frame()
         return outputs
 
     def _entry_point_offsets(self, nal, sh_r, sh_end_bits):

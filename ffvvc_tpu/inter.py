@@ -67,6 +67,7 @@ class InterPredictor:
         self.rpl = rpl
         self.c = coder      # CtuCoder (na flags for CIIP weight)
         self.bd = sps.bit_depth
+        self.lmcs_fwd = None  # forward-mapping LUT when sh_lmcs_used_flag
 
     # --- core interpolation (h2656_inter_template.c) -----------------------
 
@@ -495,7 +496,8 @@ class InterPredictor:
         if ciip:
             w = self._ciip_intra_weight(cu, x0, y0, sbw, sbh)
             recon.intra_pred(cu, x0, y0, sbw, sbh, 0)
-            # LMCS fwd mapping on inter part would apply here (not enabled)
+            if self.lmcs_fwd is not None:
+                dst[:] = self.lmcs_fwd[dst]
             d = plane[y0:y0 + sbh, x0:x0 + sbw]
             d[:] = (d * w + dst * (4 - w) + 2) >> 2
 
@@ -738,7 +740,11 @@ class InterPredictor:
             self.pred_affine_blk(cu)
         else:
             self.pred_regular_blk(cu, skip_ciip=True)
-        # LMCS fwd mapping of inter luma would apply here (sh_lmcs_used_flag)
+        # LMCS forward mapping of inter luma (predict_inter, vvc_inter.c:888)
+        if self.lmcs_fwd is not None and not cu.ciip_flag:
+            plane = self.fb.planes[0]
+            blk = plane[cu.y0:cu.y0 + cu.cb_height, cu.x0:cu.x0 + cu.cb_width]
+            blk[:] = self.lmcs_fwd[blk]
 
     def predict_ciip(self, cu, recon):
         """ff_vvc_predict_ciip (vvc_inter.c:915) — called at recon stage."""

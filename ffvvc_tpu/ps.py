@@ -271,6 +271,63 @@ class PredWeightTable:
 DEFAULT_PWT = PredWeightTable()
 
 
+class VVCLMCS:
+    """Derived LMCS LUTs (reference VVCLMCS, lmcs_derive_lut
+    vvc_ps.c:601-672)."""
+
+    BIN_SIZE = 16
+
+    def __init__(self, aps, sps_r):
+        bd = sps_r.sps_bitdepth_minus8 + 8
+        mx = 1 << bd
+        org_cw = mx // self.BIN_SIZE
+        shift = org_cw.bit_length() - 1
+        off = 1 << (shift - 1)
+        self.min_bin_idx = aps.lmcs_min_bin_idx
+        self.max_bin_idx = self.BIN_SIZE - 1 - aps.lmcs_min_bin_idx
+        cw = [0] * self.BIN_SIZE
+        for i in range(self.min_bin_idx, self.max_bin_idx + 1):
+            cw[i] = org_cw + (1 - 2 * aps.lmcs_delta_sign_cw_flag[i]) * \
+                aps.lmcs_delta_abs_cw[i]
+        delta_crs = (1 - 2 * aps.lmcs_delta_sign_crs_flag) * \
+            aps.lmcs_delta_abs_crs
+        self.pivot = [0] * (self.BIN_SIZE + 1)
+        input_pivot = [0] * self.BIN_SIZE
+        scale_coeff = [0] * self.BIN_SIZE
+        inv_scale_coeff = [0] * self.BIN_SIZE
+        self.chroma_scale_coeff = [0] * self.BIN_SIZE
+        for i in range(self.BIN_SIZE):
+            input_pivot[i] = i * org_cw
+            self.pivot[i + 1] = self.pivot[i] + cw[i]
+            scale_coeff[i] = (cw[i] * (1 << 11) + off) >> shift
+            if cw[i] == 0:
+                inv_scale_coeff[i] = 0
+                self.chroma_scale_coeff[i] = 1 << 11
+            else:
+                inv_scale_coeff[i] = org_cw * (1 << 11) // cw[i]
+                self.chroma_scale_coeff[i] = \
+                    org_cw * (1 << 11) // (cw[i] + delta_crs)
+
+        def lut_sample(sample, pivot1, pivot2, sc, idx):
+            v = pivot1[idx] + ((sc[idx] * (sample - pivot2[idx]) +
+                                (1 << 10)) >> 11)
+            return max(0, min(mx - 1, v))
+
+        fwd = np.zeros(mx, dtype=np.int32)
+        for s in range(mx):
+            fwd[s] = lut_sample(s, self.pivot, input_pivot, scale_coeff,
+                                s // org_cw)
+        inv = np.zeros(mx, dtype=np.int32)
+        i = self.min_bin_idx
+        for s in range(mx):
+            while i <= self.max_bin_idx and s >= self.pivot[i + 1]:
+                i += 1
+            inv[s] = lut_sample(s, input_pivot, self.pivot,
+                                inv_scale_coeff, i)
+        self.fwd_lut = fwd
+        self.inv_lut = inv
+
+
 def smvd_ref_idx(sh, rpl, poc):
     """SMVD symmetric ref indices (reference smvd_ref_idx, vvcdec.c:344-374).
     Mutates sh.ref_idx_sym; call once the slice RPL exists."""

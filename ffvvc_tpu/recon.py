@@ -128,11 +128,66 @@ class Reconstructor:
     def reconstruct_ctu(self, rs, rx, ry):
         self.nbr.decode_neighbour(rx << self.sps.ctb_log2_size_y,
                                   ry << self.sps.ctb_log2_size_y, rx, ry, rs)
+        self._lmcs_vpdu = None  # (x, y, scale) cache (vvc_intra.c:509)
         self.ras = [[], []]
         for cu in self.tabs.cus[rs]:
             self.reconstruct_cu(cu)
 
     inter_pred = None  # InterPredictor, attached by the decoder (inter slices)
+    lmcs = None        # VVCLMCS, attached when ph_lmcs_enabled_flag
+    lmcs_used = False  # sh_lmcs_used_flag
+    chroma_scale_on = False  # ph_chroma_residual_scale_flag
+    _lmcs_vpdu = None
+
+    def _lmcs_chroma_scale(self, x0_cu, y0_cu):
+        """lmcs_derive_chroma_scale (vvc_intra_template.c:396)."""
+        sps = self.sps
+        size_y = min(sps.ctb_size_y, 64)
+        x = x0_cu & ~(size_y - 1)
+        y = y0_cu & ~(size_y - 1)
+        if self._lmcs_vpdu is not None and self._lmcs_vpdu[0] == (x, y):
+            return self._lmcs_vpdu[1]
+        plane = self.fb.planes[0]
+        cnt = 0
+        luma = 0
+        avail_t = self.get_top_available(x, y, 1, 0)
+        avail_l = self.get_left_available(x, y, 1, 0)
+
+        def sum_samples(vals, avail, target):
+            size = min(avail, target)
+            s = int(vals[:size].sum())
+            s += int(vals[size - 1]) * (target - size)
+            return s
+
+        if avail_l:
+            luma += sum_samples(plane[y:, x - 1], self.pps.height - y, size_y)
+            cnt = size_y
+        if avail_t:
+            luma += sum_samples(plane[y - 1, x:], self.pps.width - x, size_y)
+            cnt += size_y
+        if cnt:
+            luma = (luma + (cnt >> 1)) >> (cnt.bit_length() - 1)
+        else:
+            luma = 1 << (sps.bit_depth - 1)
+        lm = self.lmcs
+        i = lm.min_bin_idx
+        while i <= lm.max_bin_idx:
+            if luma < lm.pivot[i + 1]:
+                break
+            i += 1
+        i = min(i, lm.BIN_SIZE - 1)
+        scale = lm.chroma_scale_coeff[i]
+        self._lmcs_vpdu = ((x, y), scale)
+        return scale
+
+    def _lmcs_scale_residual(self, res, x0_cu, y0_cu):
+        """lmcs_scale_chroma (vvc_intra_template.c:431)."""
+        scale = self._lmcs_chroma_scale(x0_cu, y0_cu)
+        bd = self.sps.bit_depth
+        c = np.clip(res, -(1 << bd), (1 << bd) - 1)
+        pos = (c * scale + (1 << 10)) >> 11
+        neg = -((-c * scale + (1 << 10)) >> 11)
+        return np.where(c > 0, pos, neg)
 
     def reconstruct_cu(self, cu):
         self.cu = cu
@@ -639,6 +694,11 @@ class Reconstructor:
             if not getattr(tb, "residual_ready", False):
                 self.compute_residual(cu, tu, tb)
             res = tb.coeffs
+            # luma-dependent chroma residual scaling (vvc_intra.c:449)
+            chroma_scale = ch_type and self.lmcs_used and \
+                self.chroma_scale_on and tb.w * tb.h > 4
+            if chroma_scale:
+                res = self._lmcs_scale_residual(res, cu.x0, cu.y0)
             plane = self.fb.planes[c_idx]
             hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
             x, y = tb.x0 >> hs, tb.y0 >> vs
@@ -646,9 +706,9 @@ class Reconstructor:
             blk = plane[y:y + tb.h, x:x + tb.w] + res
             plane[y:y + tb.h, x:x + tb.w] = np.clip(blk, 0, mxv)
             if tu.joint_cbcr_residual_flag and c_idx:
-                self._jcbcr(cu, tu, tb)
+                self._jcbcr(cu, tu, tb, chroma_scale)
 
-    def _jcbcr(self, cu, tu, tb):
+    def _jcbcr(self, cu, tu, tb, chroma_scale=False):
         """add_residual_for_joint_coding_chroma (vvc_intra.c:166).
 
         The co-coded chroma plane gets (res * c_sign) >> shift added, where
@@ -659,6 +719,8 @@ class Reconstructor:
         shift = tu.coded_flag[CB] ^ tu.coded_flag[CR]
         c_idx = 1 + tu.coded_flag[CB]
         out = np.right_shift(tb.coeffs * c_sign, shift)
+        if chroma_scale:
+            out = self._lmcs_scale_residual(out, cu.x0, cu.y0)
         plane = self.fb.planes[c_idx]
         hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
         x, y = tb.x0 >> hs, tb.y0 >> vs

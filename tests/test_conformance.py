@@ -120,3 +120,17 @@ def test_l6_hier_dmvr_bdof(tmp_path):
     _check_stream(forge_hier_stream(seed=3, ngops=2, deblock=True,
                                     sps_bdof_enabled_flag=1,
                                     sps_dmvr_enabled_flag=1), tmp_path, 5)
+
+
+@pytest.mark.parametrize("seed,tools", [
+    (1, dict(sps_sao_enabled_flag=1)),                       # SAO
+    (2, dict(sps_alf_enabled_flag=1)),                       # ALF
+    (3, dict(sps_alf_enabled_flag=1, sps_ccalf_enabled_flag=1)),  # CC-ALF
+    (2, dict(sps_lmcs_enabled_flag=1)),                      # LMCS
+    (3, dict(sps_sao_enabled_flag=1, sps_alf_enabled_flag=1,
+             sps_ccalf_enabled_flag=1, sps_lmcs_enabled_flag=1)),  # chain
+])
+def test_l7_loop_filters(seed, tools, tmp_path):
+    from forge import forge_inter_stream
+    _check_stream(forge_inter_stream(seed=seed, nframes=3, deblock=True,
+                                     **tools), tmp_path, 3)

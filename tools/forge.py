@@ -22,7 +22,7 @@ sys.path.insert(0, "/root/repo")
 from ffvvc_tpu.bitstream import write_nal, NalType, BitReader
 from ffvvc_tpu.bitstream.h266 import SyntaxObj, H266ParamSets, read_sps, read_pps
 from ffvvc_tpu.bitstream.h266_write import (write_sps, write_pps,
-                                            write_slice_header)
+                                            write_slice_header, write_aps)
 from ffvvc_tpu import ps as derived
 from ffvvc_tpu.cabac.engine import CabacEncoder, make_states
 from ffvvc_tpu.ctu import CtuCoder, FrameTabs, SPLIT_NONE, SINGLE_TREE, \
@@ -149,9 +149,25 @@ class FuzzPolicy:
         if tag == "tu_cr_coded":
             return self._gen_coeffs(ctx, 2)
         if tag in ("sao_merge_left", "sao_merge_up"):
-            return 0
+            return int(r.random() < 0.2)
         if tag == "sao_type":
-            return SAO_NOT_APPLIED
+            return r.randrange(3)  # none / band / edge
+        if tag == "sao_offset_abs":
+            return r.randrange(0, ctx["c_max"] + 1)
+        if tag == "sao_offset_sign":
+            return r.randrange(2)
+        if tag == "sao_band_position":
+            return r.randrange(32)
+        if tag == "sao_eo_class":
+            return r.randrange(4)
+        if tag == "alf_ctb_flag":
+            return int(r.random() < 0.7)
+        if tag == "alf_use_aps":
+            return int(r.random() < 0.7)
+        if tag in ("alf_prev_filt_idx", "alf_fixed_filt_idx"):
+            return r.randrange(0, ctx.get("c_max", 15) + 1)
+        if tag in ("alf_alt_idx", "alf_cc_idc", "alf_cc_idc_tail"):
+            return r.randrange(2)
         # --- inter syntax ---------------------------------------------------
         if tag == "cu_skip_flag":
             return int(r.random() < 0.2)
@@ -223,6 +239,72 @@ class FuzzPolicy:
         c = np.zeros((tb.h, tb.w), dtype=np.int32)
         c[0, 0] = self.rng.randrange(1, 8)
         return c
+
+
+def make_alf_aps(rng, aps_id=0, chroma=True, ccalf=False, clip=True):
+    """Random legal ALF APS."""
+    a = SyntaxObj()
+    a.aps_params_type = 0
+    a.aps_adaptation_parameter_set_id = aps_id
+    a.aps_chroma_present_flag = int(chroma)
+    a.alf_luma_filter_signal_flag = 1
+    a.alf_luma_clip_flag = int(clip and rng.random() < 0.7)
+    nf = rng.randrange(1, 6)
+    a.alf_luma_num_filters_signalled_minus1 = nf - 1
+    a.alf_luma_coeff_delta_idx = [rng.randrange(nf) for _ in range(25)]
+    a.alf_luma_coeff_abs = [[rng.randrange(0, 12) for _ in range(12)]
+                            for _ in range(nf)]
+    a.alf_luma_coeff_sign = [[rng.randrange(2) for _ in range(12)]
+                             for _ in range(nf)]
+    a.alf_luma_clip_idx = [[rng.randrange(4) if a.alf_luma_clip_flag else 0
+                            for _ in range(12)] for _ in range(nf)]
+    if chroma:
+        a.alf_chroma_filter_signal_flag = 1
+        a.alf_chroma_clip_flag = int(clip and rng.random() < 0.7)
+        na = rng.randrange(1, 3)
+        a.alf_chroma_num_alt_filters_minus1 = na - 1
+        a.alf_chroma_coeff_abs = [[rng.randrange(0, 12) for _ in range(6)]
+                                  for _ in range(na)]
+        a.alf_chroma_coeff_sign = [[rng.randrange(2) for _ in range(6)]
+                                   for _ in range(na)]
+        a.alf_chroma_clip_idx = [[rng.randrange(4)
+                                  if a.alf_chroma_clip_flag else 0
+                                  for _ in range(6)] for _ in range(na)]
+        if ccalf:
+            for pre in ("cb", "cr"):
+                setattr(a, f"alf_cc_{pre}_filter_signal_flag", 1)
+                n = rng.randrange(1, 3)
+                setattr(a, f"alf_cc_{pre}_filters_signalled_minus1", n - 1)
+                setattr(a, f"alf_cc_{pre}_mapped_coeff_abs",
+                        [[rng.randrange(0, 8) for _ in range(7)]
+                         for _ in range(n)])
+                setattr(a, f"alf_cc_{pre}_coeff_sign",
+                        [[rng.randrange(2) for _ in range(7)]
+                         for _ in range(n)])
+    return a
+
+
+def make_lmcs_aps(rng, aps_id=0, chroma=True, bit_depth=8):
+    """Random legal LMCS APS."""
+    a = SyntaxObj()
+    a.aps_params_type = 1
+    a.aps_adaptation_parameter_set_id = aps_id
+    a.aps_chroma_present_flag = int(chroma)
+    a.lmcs_min_bin_idx = rng.randrange(0, 4)
+    a.lmcs_delta_max_bin_idx = rng.randrange(0, 4)
+    a.lmcs_delta_cw_prec_minus1 = 2
+    org_cw = (1 << bit_depth) // 16
+    a.lmcs_delta_abs_cw = [0] * 16
+    a.lmcs_delta_sign_cw_flag = [0] * 16
+    for i in range(a.lmcs_min_bin_idx, 15 - a.lmcs_delta_max_bin_idx + 1):
+        a.lmcs_delta_abs_cw[i] = rng.randrange(0, min(8, org_cw // 4 + 1))
+        if a.lmcs_delta_abs_cw[i]:
+            a.lmcs_delta_sign_cw_flag[i] = rng.randrange(2)
+    if chroma:
+        a.lmcs_delta_abs_crs = rng.randrange(0, 4)
+        if a.lmcs_delta_abs_crs:
+            a.lmcs_delta_sign_crs_flag = rng.randrange(2)
+    return a
 
 
 def make_pwt(rng, sps_raw, n0, n1, bipred):
@@ -312,7 +394,7 @@ class ColFrameShim:
 
 def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                 slice_type=SLICE_I, n_refs=(1, 0), collocated=None,
-                ref_deltas=None):
+                ref_deltas=None, alf_aps=None, ccalf=False, lmcs_aps=None):
     """Encode one frame; returns (slice NAL bytes, ColFrameShim)."""
     ps0 = H266ParamSets()
     sps_rb = write_sps(sps_r)
@@ -331,6 +413,11 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     ph.ph_pic_parameter_set_id = 0
     ph.ph_pic_order_cnt_lsb = poc & 0xFF
     ph.ph_pic_output_flag = 1
+    if lmcs_aps is not None:
+        ph.ph_lmcs_enabled_flag = 1
+        ph.ph_lmcs_aps_id = lmcs_aps.aps_adaptation_parameter_set_id
+        if sps_r.sps_chroma_format_idc:
+            ph.ph_chroma_residual_scale_flag = 1
     if inter:
         ph.ph_log2_diff_min_qt_min_cb_inter_slice = \
             sps_raw.sps_log2_diff_min_qt_min_cb_inter_slice
@@ -371,6 +458,25 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     nal_type = NalType.IDR_N_LP if idr else NalType.TRAIL
     sh_r = SyntaxObj()
     sh_r.nal_unit_type = int(nal_type)
+    if sps_raw.sps_sao_enabled_flag:
+        sh_r.sh_sao_luma_used_flag = 1
+        sh_r.sh_sao_chroma_used_flag = int(bool(sps_raw.sps_chroma_format_idc))
+    if alf_aps is not None:
+        sh_r.sh_alf_enabled_flag = 1
+        sh_r.sh_num_alf_aps_ids_luma = 1
+        sh_r.sh_alf_aps_id_luma = [alf_aps.aps_adaptation_parameter_set_id]
+        if sps_raw.sps_chroma_format_idc:
+            sh_r.sh_alf_cb_enabled_flag = 1
+            sh_r.sh_alf_cr_enabled_flag = 1
+            sh_r.sh_alf_aps_id_chroma = \
+                alf_aps.aps_adaptation_parameter_set_id
+            if ccalf and sps_raw.sps_ccalf_enabled_flag:
+                sh_r.sh_alf_cc_cb_enabled_flag = 1
+                sh_r.sh_alf_cc_cb_aps_id = \
+                    alf_aps.aps_adaptation_parameter_set_id
+                sh_r.sh_alf_cc_cr_enabled_flag = 1
+                sh_r.sh_alf_cc_cr_aps_id = \
+                    alf_aps.aps_adaptation_parameter_set_id
     sh_r.sh_picture_header_in_slice_header_flag = 1
     sh_r.sh_slice_type = slice_type
     sh_r.sh_qp_delta = qp - 26 - pps_raw.pps_init_qp_minus26
@@ -426,6 +532,13 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     engine = CabacEncoder()
     coder = CtuCoder(engine, sps, pps, sh, tabs, policy=policy)
     coder.coeff_enc_cb = policy.coeffs
+    if alf_aps is not None:
+        coder.num_chroma_alt_filters = \
+            alf_aps.alf_chroma_num_alt_filters_minus1 + 1
+        if ccalf:
+            coder.num_cc_filters = (
+                alf_aps.alf_cc_cb_filters_signalled_minus1 + 1,
+                alf_aps.alf_cc_cr_filters_signalled_minus1 + 1)
     if rpl is not None:
         coder.rpl = rpl
         coder.poc = poc
@@ -496,17 +609,33 @@ def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
     stream = write_nal(NalType.SPS, write_sps(sps_r))
     stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
     policy = FuzzPolicy(seed)
+    alf_aps = None
+    ccalf = bool(sps_r.sps_ccalf_enabled_flag)
+    if sps_r.sps_alf_enabled_flag:
+        alf_aps = make_alf_aps(policy.rng,
+                               chroma=bool(sps_r.sps_chroma_format_idc),
+                               ccalf=ccalf)
+        stream += write_nal(NalType.PREFIX_APS, write_aps(alf_aps))
+    lmcs_aps = None
+    if sps_r.sps_lmcs_enabled_flag:
+        lmcs_aps = make_lmcs_aps(policy.rng,
+                                 chroma=bool(sps_r.sps_chroma_format_idc),
+                                 bit_depth=bit_depth)
+        stream += write_nal(NalType.PREFIX_APS, write_aps(lmcs_aps))
     prev = None
     for i in range(nframes):
         if i == 0:
             nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0,
-                                    idr=True)
+                                    idr=True, alf_aps=alf_aps, ccalf=ccalf,
+                                    lmcs_aps=lmcs_aps)
         else:
             nr = (min(i, n_refs[0]), min(i, n_refs[1])
                   if slice_type == SLICE_B else 0)
             nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
                                     idr=False, slice_type=slice_type,
-                                    n_refs=nr, collocated=prev)
+                                    n_refs=nr, collocated=prev,
+                                    alf_aps=alf_aps, ccalf=ccalf,
+                                    lmcs_aps=lmcs_aps)
         stream += nal
     return stream
 
