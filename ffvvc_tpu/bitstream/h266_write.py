@@ -199,6 +199,31 @@ def write_alf_data(w: BitWriter, aps: SyntaxObj):
                     w.u(aps.alf_cc_cr_coeff_sign[k][j], 1)
 
 
+
+def write_scaling_list_data(w: BitWriter, aps: SyntaxObj):
+    """Mirror of read_scaling_list_data (H.266 7.3.2.21)."""
+    from .h266 import diag_scan_order
+    d8 = diag_scan_order(8)
+    for sid in range(28):
+        if aps.aps_chroma_present_flag or sid % 3 == 2 or sid == 27:
+            w.u(aps.scaling_list_copy_mode_flag[sid], 1)
+            if not aps.scaling_list_copy_mode_flag[sid]:
+                w.u(aps.scaling_list_pred_mode_flag[sid], 1)
+            if (aps.scaling_list_copy_mode_flag[sid] or
+                    aps.scaling_list_pred_mode_flag[sid]) and \
+                    sid not in (0, 2, 8):
+                w.ue(aps.scaling_list_pred_id_delta[sid])
+            if not aps.scaling_list_copy_mode_flag[sid]:
+                matrix_size = 2 if sid < 2 else (4 if sid < 8 else 8)
+                if sid > 13:
+                    w.se(aps.scaling_list_dc_coef[sid - 14])
+                for i in range(matrix_size * matrix_size):
+                    x, y = d8[i] if matrix_size == 8 else \
+                        diag_scan_order(matrix_size)[i]
+                    if not (sid > 25 and x >= 4 and y >= 4):
+                        w.se(aps.scaling_list_delta_coef[sid][i])
+
+
 def write_aps(aps: SyntaxObj) -> bytes:
     """adaptation_parameter_set_rbsp (subset: ALF + LMCS)."""
     w = BitWriter()
@@ -209,8 +234,10 @@ def write_aps(aps: SyntaxObj) -> bytes:
         write_alf_data(w, aps)
     elif aps.aps_params_type == 1:
         write_lmcs_data(w, aps)
+    elif aps.aps_params_type == 2:
+        write_scaling_list_data(w, aps)
     else:
-        raise NotImplementedError("scaling list APS write")
+        raise ValueError("unknown aps type")
     w.flag(aps.aps_extension_flag)
     w.rbsp_trailing_bits()
     return w.bytes()

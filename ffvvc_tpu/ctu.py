@@ -1596,8 +1596,42 @@ class CtuCoder:
                 pu.dmvr_flag = 1
 
     def sbt_info(self, cu):
-        if cu.pred_mode == MODE_INTER and self.sps.r.sps_sbt_enabled_flag:
-            raise NotImplementedError("SBT")
+        """sbt_info (vvc_ctu.c:1092)."""
+        sps = self.sps
+        if not (cu.pred_mode == MODE_INTER and sps.r.sps_sbt_enabled_flag and
+                not cu.ciip_flag and cu.cb_width <= sps.max_tb_size_y and
+                cu.cb_height <= sps.max_tb_size_y):
+            return
+        w, h = cu.cb_width, cu.cb_height
+        sbt_ver_h = w >= 8
+        sbt_hor_h = h >= 8
+        cu.sbt_flag = 0
+        if sbt_ver_h or sbt_hor_h:
+            inc = int(w * h <= 256)
+            cu.sbt_flag = self.bin(CTX.CU_SBT_FLAG + inc, "sbt_flag",
+                                   x0=cu.x0, y0=cu.y0)
+        if cu.sbt_flag:
+            sbt_ver_q = w >= 16
+            sbt_hor_q = h >= 16
+            quad = 0
+            if (sbt_ver_h or sbt_hor_h) and (sbt_ver_q or sbt_hor_q):
+                quad = self.bin(CTX.CU_SBT_QUAD_FLAG, "sbt_quad_flag")
+            if quad:
+                cu.sbt_horizontal_flag = sbt_hor_q
+                if sbt_ver_q and sbt_hor_q:
+                    inc = 0 if w == h else (1 if w < h else 2)
+                    cu.sbt_horizontal_flag = self.bin(
+                        CTX.CU_SBT_HORIZONTAL_FLAG + inc, "sbt_horizontal")
+            else:
+                cu.sbt_horizontal_flag = sbt_hor_h
+                if sbt_ver_h and sbt_hor_h:
+                    inc = 0 if w == h else (1 if w < h else 2)
+                    cu.sbt_horizontal_flag = self.bin(
+                        CTX.CU_SBT_HORIZONTAL_FLAG + inc, "sbt_horizontal")
+            cu.sbt_pos_flag = self.bin(CTX.CU_SBT_POS_FLAG, "sbt_pos")
+            sbt_min = 1 if quad else 2
+            self.parse.sbt_num_fourths_tb0 = \
+                (4 - sbt_min) if cu.sbt_pos_flag else sbt_min
 
     # --- binarization helpers ----------------------------------------------
 
@@ -1781,7 +1815,17 @@ class CtuCoder:
             else:
                 self.transform_unit(cu, x0, y0, tu_w, tu_h, 0, ch_type)
         elif cu.sbt_flag:
-            raise NotImplementedError("SBT transform tree")
+            # SBT split (vvc_ctu.c:437-461)
+            if not cu.sbt_horizontal_flag:
+                tw = tu_w * self.parse.sbt_num_fourths_tb0 // 4
+                self.transform_unit(cu, x0, y0, tw, tu_h, 0, ch_type)
+                self.transform_unit(cu, x0 + tw, y0, tu_w - tw, tu_h, 1,
+                                    ch_type)
+            else:
+                th = tu_h * self.parse.sbt_num_fourths_tb0 // 4
+                self.transform_unit(cu, x0, y0, tu_w, th, 0, ch_type)
+                self.transform_unit(cu, x0, y0 + th, tu_w, tu_h - th, 1,
+                                    ch_type)
         elif cu.isp_split_type == ISP_HOR_SPLIT:
             th = tu_h // cu.num_intra_subpartitions
             for i in range(cu.num_intra_subpartitions):

@@ -298,6 +298,11 @@ class VVCDecoder:
                 if f is not frame:
                     f.flags &= ~(FLAG_SHORT_REF | FLAG_LONG_REF)
 
+        scaling_list = None
+        if ph.ph_explicit_scaling_list_enabled_flag:
+            raw_sl = self.ps.aps_scaling.get(ph.ph_scaling_list_aps_id)
+            if raw_sl is not None:
+                scaling_list = derived.VVCScalingList(raw_sl)
         lmcs = None
         if ph.ph_lmcs_enabled_flag:
             raw_lmcs = self.ps.aps_lmcs.get(ph.ph_lmcs_aps_id)
@@ -322,6 +327,11 @@ class VVCDecoder:
             jobs = self._parse_slice(nal, sh, sh_end_bits, tabs, fb,
                                      slice_idx_in_frame,
                                      rpl=rpl, poc=poc, collocated=collocated)
+            if scaling_list is not None:
+                for rec, _ in jobs:
+                    rec.scaling_list = scaling_list
+                    rec.explicit_sl_used = \
+                        bool(sh.r.sh_explicit_scaling_list_used_flag)
             if lmcs is not None:
                 for rec, _ in jobs:
                     rec.lmcs = lmcs

@@ -271,6 +271,68 @@ class PredWeightTable:
 DEFAULT_PWT = PredWeightTable()
 
 
+class VVCScalingList:
+    """Derived scaling matrices (reference VVCScalingList, scaling_derive
+    vvc_ps.c:901-960)."""
+
+    SL_START_16x16 = 14
+    SL_START_64x64 = 26
+
+    def __init__(self, aps):
+        from .ops import data as D
+        t = D.tables()
+        pred8 = t["scaling_pred_8"].astype(np.int64)
+        pred16 = t["scaling_pred_16"].astype(np.int64)
+        list0 = t["scaling_list0"].astype(np.int64)
+        self.rec = np.zeros((28, 64), dtype=np.int64)
+        self.dc = np.zeros(14, dtype=np.int64)
+        scan8 = D.diag_scan(8, 8)
+        for sid in range(28):
+            msize = 2 if sid < 2 else (4 if sid < 8 else 8)
+            log2 = msize.bit_length() - 1
+            lsz = msize * msize
+            coeff = [0] * 64
+            dc = 0
+            if aps.aps_chroma_present_flag or sid % 3 == 2 or sid == 27:
+                if not aps.scaling_list_copy_mode_flag[sid]:
+                    next_coef = 0
+                    if sid >= self.SL_START_16x16:
+                        dc = next_coef = aps.scaling_list_dc_coef[
+                            sid - self.SL_START_16x16]
+                    for i in range(lsz):
+                        x, y = scan8[i]
+                        if not (sid >= self.SL_START_64x64 and
+                                x >= 4 and y >= 4):
+                            next_coef += aps.scaling_list_delta_coef[sid][i]
+                        coeff[i] = next_coef
+            if sid >= self.SL_START_16x16:
+                if not aps.scaling_list_copy_mode_flag[sid] and \
+                        not aps.scaling_list_pred_mode_flag[sid]:
+                    self.dc[sid - 14] = 8
+                elif not aps.scaling_list_pred_id_delta[sid]:
+                    self.dc[sid - 14] = 16
+                else:
+                    ref = sid - aps.scaling_list_pred_id_delta[sid]
+                    if ref >= self.SL_START_16x16:
+                        dc += self.dc[ref - 14]
+                    else:
+                        dc += self.rec[ref][0]
+                    self.dc[sid - 14] = dc & 255
+            sl = list0 if aps.scaling_list_copy_mode_flag[sid] else coeff
+            if not aps.scaling_list_copy_mode_flag[sid] and \
+                    not aps.scaling_list_pred_mode_flag[sid]:
+                pred = pred8
+            elif not aps.scaling_list_pred_id_delta[sid]:
+                pred = pred16
+            else:
+                pred = self.rec[sid - aps.scaling_list_pred_id_delta[sid]]
+            scan = D.diag_scan(msize, msize)
+            for i in range(lsz):
+                x, y = scan[i]
+                off = y * msize + x
+                self.rec[sid][off] = (int(pred[off]) + int(sl[i])) & 255
+
+
 class VVCLMCS:
     """Derived LMCS LUTs (reference VVCLMCS, lmcs_derive_lut
     vvc_ps.c:601-672)."""

@@ -793,12 +793,42 @@ class Reconstructor:
         addin = self.dep_quant and not tb.ts
         q = qp + addin
         scale = int(D.LEVEL_SCALE[rect_non_ts][q % 6]) << (q // 6)
-        scale_m = 16  # flat default matrix (explicit scaling lists later)
+        scale_m = self._derive_scale_m(cu, tb)
         c = tb.coeffs.astype(np.int64)
         c = (c * scale * scale_m + bd_offset) >> bd_shift
         lo, hi = -(1 << log2_range), (1 << log2_range) - 1
         tb.coeffs = np.clip(c, lo, hi)
         self._log2_range = log2_range
+
+    scaling_list = None       # VVCScalingList, attached by the decoder
+    explicit_sl_used = False  # sh_explicit_scaling_list_used_flag
+
+    # Table 38 scaling matrix id per (inter, c_idx, max_log2-1)
+    _SL_IDS = (((0, 2, 8, 14, 20, 26), (0, 3, 9, 15, 21, 21),
+                (0, 4, 10, 16, 22, 22)),
+               ((0, 5, 11, 17, 23, 27), (0, 6, 12, 18, 24, 24),
+                (1, 7, 13, 19, 25, 25)))
+
+    def _derive_scale_m(self, cu, tb):
+        """derive_scale_m (vvc_intra.c:340-386): per-coeff quant matrix, or
+        the flat default 16."""
+        sps = self.sps
+        if self.scaling_list is None or not self.explicit_sl_used or tb.ts \
+                or (sps.r.sps_scaling_matrix_for_lfnst_disabled_flag and
+                    cu.apply_lfnst_flag[tb.c_idx]):
+            return 16
+        sl = self.scaling_list
+        sid = self._SL_IDS[cu.pred_mode != MODE_INTRA][tb.c_idx][
+            max(tb.log2_h, tb.log2_w) - 1]
+        lm = 1 if sid < 2 else (2 if sid < 8 else 3)
+        msize = 1 << lm
+        mat = sl.rec[sid][:msize * msize].reshape(msize, msize)
+        ys = (np.arange(tb.h) << lm) >> tb.log2_h
+        xs = (np.arange(tb.w) << lm) >> tb.log2_w
+        m = mat[np.ix_(ys, xs)].copy()
+        if sid >= sl.SL_START_16x16:
+            m[0, 0] = sl.dc[sid - 14]
+        return m
 
     def _transform_bdpcm(self, cu, tb):
         mode = cu.intra_pred_mode_c if tb.c_idx else cu.intra_pred_mode_y

@@ -190,6 +190,8 @@ class FuzzPolicy:
             return r.randrange(0, 64)
         if tag == "cu_coded_flag":
             return int(r.random() < 0.8)
+        if tag in ("sbt_flag", "sbt_quad_flag", "sbt_horizontal", "sbt_pos"):
+            return r.randrange(2)
         if tag in ("regular_merge_flag",):
             return int(r.random() < 0.6)
         if tag in ("merge_subblock_idx_b0", "merge_subblock_ext",
@@ -281,6 +283,41 @@ def make_alf_aps(rng, aps_id=0, chroma=True, ccalf=False, clip=True):
                 setattr(a, f"alf_cc_{pre}_coeff_sign",
                         [[rng.randrange(2) for _ in range(7)]
                          for _ in range(n)])
+    return a
+
+
+def make_scaling_aps(rng, aps_id=0, chroma=True):
+    """Random legal scaling-list APS."""
+    a = SyntaxObj()
+    a.aps_params_type = 2
+    a.aps_adaptation_parameter_set_id = aps_id
+    a.aps_chroma_present_flag = int(chroma)
+    a.scaling_list_copy_mode_flag = [1] * 28
+    a.scaling_list_pred_mode_flag = [0] * 28
+    a.scaling_list_pred_id_delta = [0] * 28
+    a.scaling_list_dc_coef = [0] * 14
+    a.scaling_list_delta_coef = [[0] * 64 for _ in range(28)]
+    for sid in range(28):
+        if not (chroma or sid % 3 == 2 or sid == 27):
+            continue
+        mode = rng.randrange(3)   # 0=explicit, 1=pred, 2=copy
+        if mode == 0:
+            a.scaling_list_copy_mode_flag[sid] = 0
+            a.scaling_list_pred_mode_flag[sid] = 0
+        elif mode == 1:
+            a.scaling_list_copy_mode_flag[sid] = 0
+            a.scaling_list_pred_mode_flag[sid] = 1
+            if sid not in (0, 2, 8):
+                a.scaling_list_pred_id_delta[sid] = rng.randrange(0, 2)
+        else:
+            a.scaling_list_copy_mode_flag[sid] = 1
+            if sid not in (0, 2, 8):
+                a.scaling_list_pred_id_delta[sid] = rng.randrange(0, 2)
+        if not a.scaling_list_copy_mode_flag[sid]:
+            if sid > 13:
+                a.scaling_list_dc_coef[sid - 14] = rng.randrange(-8, 9)
+            for i in range(64):
+                a.scaling_list_delta_coef[sid][i] = rng.randrange(-4, 5)
     return a
 
 
@@ -394,7 +431,8 @@ class ColFrameShim:
 
 def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                 slice_type=SLICE_I, n_refs=(1, 0), collocated=None,
-                ref_deltas=None, alf_aps=None, ccalf=False, lmcs_aps=None):
+                ref_deltas=None, alf_aps=None, ccalf=False, lmcs_aps=None,
+                scaling_aps=None):
     """Encode one frame; returns (slice NAL bytes, ColFrameShim)."""
     ps0 = H266ParamSets()
     sps_rb = write_sps(sps_r)
@@ -418,6 +456,10 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
         ph.ph_lmcs_aps_id = lmcs_aps.aps_adaptation_parameter_set_id
         if sps_r.sps_chroma_format_idc:
             ph.ph_chroma_residual_scale_flag = 1
+    if scaling_aps is not None:
+        ph.ph_explicit_scaling_list_enabled_flag = 1
+        ph.ph_scaling_list_aps_id = \
+            scaling_aps.aps_adaptation_parameter_set_id
     if inter:
         ph.ph_log2_diff_min_qt_min_cb_inter_slice = \
             sps_raw.sps_log2_diff_min_qt_min_cb_inter_slice
@@ -477,6 +519,10 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                 sh_r.sh_alf_cc_cr_enabled_flag = 1
                 sh_r.sh_alf_cc_cr_aps_id = \
                     alf_aps.aps_adaptation_parameter_set_id
+    if sps_raw.sps_dep_quant_enabled_flag:
+        sh_r.sh_dep_quant_used_flag = 1
+    elif sps_raw.sps_sign_data_hiding_enabled_flag:
+        sh_r.sh_sign_data_hiding_used_flag = 1
     sh_r.sh_picture_header_in_slice_header_flag = 1
     sh_r.sh_slice_type = slice_type
     sh_r.sh_qp_delta = qp - 26 - pps_raw.pps_init_qp_minus26
@@ -622,12 +668,18 @@ def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
                                  chroma=bool(sps_r.sps_chroma_format_idc),
                                  bit_depth=bit_depth)
         stream += write_nal(NalType.PREFIX_APS, write_aps(lmcs_aps))
+    scaling_aps = None
+    if sps_r.sps_explicit_scaling_list_enabled_flag:
+        scaling_aps = make_scaling_aps(
+            policy.rng, chroma=bool(sps_r.sps_chroma_format_idc))
+        stream += write_nal(NalType.PREFIX_APS, write_aps(scaling_aps))
     prev = None
     for i in range(nframes):
         if i == 0:
             nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0,
                                     idr=True, alf_aps=alf_aps, ccalf=ccalf,
-                                    lmcs_aps=lmcs_aps)
+                                    lmcs_aps=lmcs_aps,
+                                    scaling_aps=scaling_aps)
         else:
             nr = (min(i, n_refs[0]), min(i, n_refs[1])
                   if slice_type == SLICE_B else 0)
@@ -635,7 +687,8 @@ def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
                                     idr=False, slice_type=slice_type,
                                     n_refs=nr, collocated=prev,
                                     alf_aps=alf_aps, ccalf=ccalf,
-                                    lmcs_aps=lmcs_aps)
+                                    lmcs_aps=lmcs_aps,
+                                    scaling_aps=scaling_aps)
         stream += nal
     return stream
 
