@@ -430,6 +430,8 @@ class VVCDecoder:
         # partition CTUs across entry points (tiles / WPP rows)
         ep_ctus = self._partition_ctus(ctu_addrs, len(eps))
         jobs = []
+        wpp = bool(sps.r.sps_entropy_coding_sync_enabled_flag)
+        wpp_states = None  # CABAC state after first CTU of the row above
         for ep_idx, (ep_range, ctus) in enumerate(zip(eps, ep_ctus)):
             engine = CabacDecoder(nal.rbsp, ep_range[0] * 8)
             coder = CtuCoder(engine, sps, pps, sh, tabs)
@@ -459,8 +461,15 @@ class VVCDecoder:
                     qp = max(0, min(63, sh.slice_qp_y))
                     engine.set_states(make_states(qp, sh.cabac_init_type))
                     coder.init_stat_coeff()
+                elif wpp and i == 0:
+                    # WPP: inherit CABAC state saved after the first CTU of
+                    # the row above (schedule_next_parse, vvc_thread.c:261)
+                    engine.set_states(tuple(list(x) for x in wpp_states))
+                    coder.init_stat_coeff()
                 coder.coding_tree_unit(ctu_idx, rs, rx, ry, len(ctu_addrs),
                                        slice_idx)
+                if wpp and rx == pps.ctb_to_col_bd[rx]:
+                    wpp_states = tuple(list(x) for x in engine.states)
                 job_ctus.append((rs, rx, ry))
             jobs.append((rec, job_ctus))
         return jobs

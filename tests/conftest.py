@@ -27,8 +27,8 @@ def oracle_decode(stream: bytes, tmp_path) -> bytes:
     yuv = tmp_path / "t.yuv"
     bit.write_bytes(stream)
     r = subprocess.run(
-        [ORACLE, "-hide_banner", "-loglevel", "error", "-f", "vvc",
-         "-i", str(bit), "-f", "rawvideo", "-y", str(yuv)],
+        [ORACLE, "-hide_banner", "-loglevel", "error", "-threads", "1",
+         "-f", "vvc", "-i", str(bit), "-f", "rawvideo", "-y", str(yuv)],
         capture_output=True, timeout=120)
     assert r.returncode == 0 and not r.stderr, r.stderr.decode()
     return yuv.read_bytes()

@@ -122,6 +122,22 @@ def test_l6_hier_dmvr_bdof(tmp_path):
                                     sps_dmvr_enabled_flag=1), tmp_path, 5)
 
 
+@pytest.mark.parametrize("name,kw", [
+    ("tiles", dict(seed=0, nframes=2)),
+    ("tiles-P", dict(seed=1, nframes=3, slice_type=1)),
+    ("tiles-no-lf", dict(seed=2, nframes=2, lf_across_tiles=0)),
+    ("slices", dict(seed=3, nframes=2, slices=[(0, 2), (2, 2)])),
+    ("slices-no-lf", dict(seed=4, nframes=2, slices=[(0, 2), (2, 2)],
+                          lf_across_slices=0)),
+    ("wpp", dict(seed=5, nframes=2, cols=(3,), rows=(3,), wpp=True)),
+    ("wpp-tiles", dict(seed=6, nframes=2, wpp=True)),
+])
+def test_l8_partitions(name, kw, tmp_path):
+    from forge import forge_tiled_stream
+    stream = forge_tiled_stream(**kw)
+    _check_stream(stream, tmp_path, kw["nframes"])
+
+
 @pytest.mark.parametrize("seed,tools", [
     (1, dict(sps_sao_enabled_flag=1)),                       # SAO
     (2, dict(sps_alf_enabled_flag=1)),                       # ALF

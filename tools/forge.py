@@ -19,10 +19,11 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from ffvvc_tpu.bitstream import write_nal, NalType, BitReader
+from ffvvc_tpu.bitstream import write_nal, NalType, BitReader, BitWriter
 from ffvvc_tpu.bitstream.h266 import SyntaxObj, H266ParamSets, read_sps, read_pps
 from ffvvc_tpu.bitstream.h266_write import (write_sps, write_pps,
-                                            write_slice_header, write_aps)
+                                            write_slice_header, write_aps,
+                                            write_picture_header)
 from ffvvc_tpu import ps as derived
 from ffvvc_tpu.cabac.engine import CabacEncoder, make_states
 from ffvvc_tpu.ctu import CtuCoder, FrameTabs, SPLIT_NONE, SINGLE_TREE, \
@@ -429,11 +430,34 @@ class ColFrameShim:
         return self.rpl
 
 
+def _epb_chunk_lens(chunks):
+    """Coded (post-EPB-insertion) byte length of each chunk, tracking the
+    zero-run carry across chunk boundaries (mirror of nal.insert_epb).  The
+    slice header always ends with a nonzero alignment byte, so the carry
+    into chunk 0 is zero."""
+    zeros = 0
+    lens = []
+    for ch in chunks:
+        n = 0
+        for b in ch:
+            if zeros >= 2 and b <= 3:
+                n += 1
+                zeros = 0
+            n += 1
+            zeros = zeros + 1 if b == 0 else 0
+        lens.append(n)
+    return lens
+
+
 def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                 slice_type=SLICE_I, n_refs=(1, 0), collocated=None,
                 ref_deltas=None, alf_aps=None, ccalf=False, lmcs_aps=None,
-                scaling_aps=None):
-    """Encode one frame; returns (slice NAL bytes, ColFrameShim)."""
+                scaling_aps=None, slices=None):
+    """Encode one frame; returns (NAL bytes, ColFrameShim).
+
+    slices: None for a single slice covering the picture (PH in SH);
+    otherwise a list of (sh_slice_address, num_tiles_in_slice) raster-scan
+    slice definitions — a standalone PH NAL is emitted first."""
     ps0 = H266ParamSets()
     sps_rb = write_sps(sps_r)
     pps_rb = write_pps(pps_r, sps_r)
@@ -498,121 +522,161 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
         sps_raw.sps_log2_diff_max_tt_min_qt_intra_slice_chroma
 
     nal_type = NalType.IDR_N_LP if idr else NalType.TRAIL
-    sh_r = SyntaxObj()
-    sh_r.nal_unit_type = int(nal_type)
-    if sps_raw.sps_sao_enabled_flag:
-        sh_r.sh_sao_luma_used_flag = 1
-        sh_r.sh_sao_chroma_used_flag = int(bool(sps_raw.sps_chroma_format_idc))
-    if alf_aps is not None:
-        sh_r.sh_alf_enabled_flag = 1
-        sh_r.sh_num_alf_aps_ids_luma = 1
-        sh_r.sh_alf_aps_id_luma = [alf_aps.aps_adaptation_parameter_set_id]
-        if sps_raw.sps_chroma_format_idc:
-            sh_r.sh_alf_cb_enabled_flag = 1
-            sh_r.sh_alf_cr_enabled_flag = 1
-            sh_r.sh_alf_aps_id_chroma = \
-                alf_aps.aps_adaptation_parameter_set_id
-            if ccalf and sps_raw.sps_ccalf_enabled_flag:
-                sh_r.sh_alf_cc_cb_enabled_flag = 1
-                sh_r.sh_alf_cc_cb_aps_id = \
-                    alf_aps.aps_adaptation_parameter_set_id
-                sh_r.sh_alf_cc_cr_enabled_flag = 1
-                sh_r.sh_alf_cc_cr_aps_id = \
-                    alf_aps.aps_adaptation_parameter_set_id
-    if sps_raw.sps_dep_quant_enabled_flag:
-        sh_r.sh_dep_quant_used_flag = 1
-    elif sps_raw.sps_sign_data_hiding_enabled_flag:
-        sh_r.sh_sign_data_hiding_used_flag = 1
-    sh_r.sh_picture_header_in_slice_header_flag = 1
-    sh_r.sh_slice_type = slice_type
-    sh_r.sh_qp_delta = qp - 26 - pps_raw.pps_init_qp_minus26
-    sh_r.ph = ph
-    rpl = None
-    if inter:
-        if ph.ph_temporal_mvp_enabled_flag:
-            sh_r.sh_collocated_from_l0_flag = 1
-            sh_r.sh_collocated_ref_idx = 0
-        weighted = bool(sps_raw.sps_weighted_pred_flag or
-                        sps_raw.sps_weighted_bipred_flag)
-        if ref_deltas is None:
-            ref_deltas = ([-1] * n_refs[0], [-1] * n_refs[1])
-        n_refs = (len(ref_deltas[0]), len(ref_deltas[1]))
-        sh_r.sh_ref_pic_lists = make_explicit_rpl(*ref_deltas,
-                                                  weighted=weighted)
-        sh_r.ref_pic_lists = sh_r.sh_ref_pic_lists
-        sh_r.num_ref_idx_active = [min(1, n_refs[0]), 0]
-        if slice_type == SLICE_B:
-            sh_r.num_ref_idx_active[1] = min(1, n_refs[1])
-        if n_refs[0] > 1 or (slice_type == SLICE_B and n_refs[1] > 1):
-            sh_r.sh_num_ref_idx_active_override_flag = 1
-            sh_r.sh_num_ref_idx_active_minus1 = [max(0, n_refs[0] - 1),
-                                                 max(0, n_refs[1] - 1)]
-            sh_r.num_ref_idx_active = [n_refs[0], 0]
-            if slice_type == SLICE_B:
-                sh_r.num_ref_idx_active[1] = n_refs[1]
-        # derived RefPicList for the symmetric coder (POC lists only; MV
-        # derivation never touches reference pixels)
-        rpl = []
-        for lx in range(2):
-            rp = derived.RefPicList()
-            base = poc
-            for d in ref_deltas[lx]:
-                base += d
-                rp.add(base, False, None)
-            rpl.append(rp)
-    if inter and ((pps_raw.pps_weighted_pred_flag and
-                   slice_type == SLICE_P) or
-                  (pps_raw.pps_weighted_bipred_flag and
-                   slice_type == SLICE_B)):
-        sh_r.sh_pred_weight_table = make_pwt(
-            policy.rng, sps_raw, sh_r.num_ref_idx_active[0],
-            sh_r.num_ref_idx_active[1],
-            bool(pps_raw.pps_weighted_bipred_flag and n_refs[1]))
-    w = write_slice_header(sh_r, sps_raw, pps_raw, ph)
-    sh_bytes = w.bytes()
+    wpp = bool(sps_raw.sps_entropy_coding_sync_enabled_flag)
+    multi_slice = slices is not None
+    out = b""
+    if multi_slice:
+        wph = BitWriter()
+        write_picture_header(wph, ph, sps_raw, pps_raw)
+        wph.rbsp_trailing_bits()
+        out += write_nal(NalType.PH, wph.bytes())
+    slice_defs = slices if multi_slice else [None]
 
-    sh = derived.SH(sh_r, ph, sps, pps)
-    if rpl is not None and sps_raw.sps_smvd_enabled_flag:
-        derived.smvd_ref_idx(sh, rpl, poc)
     tabs = FrameTabs(sps, pps)
-    engine = CabacEncoder()
-    coder = CtuCoder(engine, sps, pps, sh, tabs, policy=policy)
-    coder.coeff_enc_cb = policy.coeffs
-    if alf_aps is not None:
-        coder.num_chroma_alt_filters = \
-            alf_aps.alf_chroma_num_alt_filters_minus1 + 1
-        if ccalf:
-            coder.num_cc_filters = (
-                alf_aps.alf_cc_cb_filters_signalled_minus1 + 1,
-                alf_aps.alf_cc_cr_filters_signalled_minus1 + 1)
-    if rpl is not None:
-        coder.rpl = rpl
-        coder.poc = poc
-        if ph.ph_temporal_mvp_enabled_flag:
-            coder.collocated_ref = collocated
-    data = b""
-    started = False
-    ctu_addrs = sh.ctu_addrs
-    for ctu_idx, rs in enumerate(ctu_addrs):
-        rx = rs % pps.ctb_width
-        ry = rs // pps.ctb_width
-        first_in_tile = rx == pps.ctb_to_col_bd[rx] and ry == pps.ctb_to_row_bd[ry]
-        if ctu_idx == 0 or first_in_tile:
-            if started:
-                data += engine.bytes_aligned()
-                engine = CabacEncoder()
-                coder.e = engine
-            qpc = max(0, min(63, sh.slice_qp_y))
-            engine.states = make_states(qpc, sh.cabac_init_type)
-            coder.init_stat_coeff()
-            started = True
-        coder.coding_tree_unit(ctu_idx, rs, rx, ry, len(ctu_addrs), 0)
-    data += engine.bytes_aligned()
-    slice_rbsp = sh_bytes + data
-    shim = ColFrameShim(poc, tabs, rpl or
+    shared_rpl = None
+    for slice_no, sdef in enumerate(slice_defs):
+        sh_r = SyntaxObj()
+        sh_r.nal_unit_type = int(nal_type)
+        if sps_raw.sps_sao_enabled_flag:
+            sh_r.sh_sao_luma_used_flag = 1
+            sh_r.sh_sao_chroma_used_flag = \
+                int(bool(sps_raw.sps_chroma_format_idc))
+        if alf_aps is not None:
+            sh_r.sh_alf_enabled_flag = 1
+            sh_r.sh_num_alf_aps_ids_luma = 1
+            sh_r.sh_alf_aps_id_luma = \
+                [alf_aps.aps_adaptation_parameter_set_id]
+            if sps_raw.sps_chroma_format_idc:
+                sh_r.sh_alf_cb_enabled_flag = 1
+                sh_r.sh_alf_cr_enabled_flag = 1
+                sh_r.sh_alf_aps_id_chroma = \
+                    alf_aps.aps_adaptation_parameter_set_id
+                if ccalf and sps_raw.sps_ccalf_enabled_flag:
+                    sh_r.sh_alf_cc_cb_enabled_flag = 1
+                    sh_r.sh_alf_cc_cb_aps_id = \
+                        alf_aps.aps_adaptation_parameter_set_id
+                    sh_r.sh_alf_cc_cr_enabled_flag = 1
+                    sh_r.sh_alf_cc_cr_aps_id = \
+                        alf_aps.aps_adaptation_parameter_set_id
+        if sps_raw.sps_dep_quant_enabled_flag:
+            sh_r.sh_dep_quant_used_flag = 1
+        elif sps_raw.sps_sign_data_hiding_enabled_flag:
+            sh_r.sh_sign_data_hiding_used_flag = 1
+        sh_r.sh_picture_header_in_slice_header_flag = \
+            0 if multi_slice else 1
+        if multi_slice:
+            sh_r.sh_slice_address = sdef[0]
+            sh_r.sh_num_tiles_in_slice_minus1 = sdef[1] - 1
+        elif not pps_raw.pps_rect_slice_flag and \
+                pps_raw.num_tiles_in_pic > 1:
+            # single slice covering every tile
+            sh_r.sh_num_tiles_in_slice_minus1 = \
+                pps_raw.num_tiles_in_pic - 1
+        sh_r.sh_slice_type = slice_type
+        sh_r.sh_qp_delta = qp - 26 - pps_raw.pps_init_qp_minus26
+        sh_r.ph = ph
+        rpl = None
+        if inter:
+            if ph.ph_temporal_mvp_enabled_flag:
+                sh_r.sh_collocated_from_l0_flag = 1
+                sh_r.sh_collocated_ref_idx = 0
+            weighted = bool(sps_raw.sps_weighted_pred_flag or
+                            sps_raw.sps_weighted_bipred_flag)
+            if ref_deltas is None:
+                ref_deltas = ([-1] * n_refs[0], [-1] * n_refs[1])
+            n_refs = (len(ref_deltas[0]), len(ref_deltas[1]))
+            sh_r.sh_ref_pic_lists = make_explicit_rpl(*ref_deltas,
+                                                      weighted=weighted)
+            sh_r.ref_pic_lists = sh_r.sh_ref_pic_lists
+            sh_r.num_ref_idx_active = [min(1, n_refs[0]), 0]
+            if slice_type == SLICE_B:
+                sh_r.num_ref_idx_active[1] = min(1, n_refs[1])
+            if n_refs[0] > 1 or (slice_type == SLICE_B and n_refs[1] > 1):
+                sh_r.sh_num_ref_idx_active_override_flag = 1
+                sh_r.sh_num_ref_idx_active_minus1 = [max(0, n_refs[0] - 1),
+                                                     max(0, n_refs[1] - 1)]
+                sh_r.num_ref_idx_active = [n_refs[0], 0]
+                if slice_type == SLICE_B:
+                    sh_r.num_ref_idx_active[1] = n_refs[1]
+            rpl = []
+            for lx in range(2):
+                rp = derived.RefPicList()
+                base = poc
+                for d in ref_deltas[lx]:
+                    base += d
+                    rp.add(base, False, None)
+                rpl.append(rp)
+            shared_rpl = rpl
+        if inter and ((pps_raw.pps_weighted_pred_flag and
+                       slice_type == SLICE_P) or
+                      (pps_raw.pps_weighted_bipred_flag and
+                       slice_type == SLICE_B)):
+            sh_r.sh_pred_weight_table = make_pwt(
+                policy.rng, sps_raw, sh_r.num_ref_idx_active[0],
+                sh_r.num_ref_idx_active[1],
+                bool(pps_raw.pps_weighted_bipred_flag and n_refs[1]))
+
+        sh = derived.SH(sh_r, ph, sps, pps)
+        if rpl is not None and sps_raw.sps_smvd_enabled_flag:
+            derived.smvd_ref_idx(sh, rpl, poc)
+        engine = CabacEncoder()
+        coder = CtuCoder(engine, sps, pps, sh, tabs, policy=policy)
+        coder.coeff_enc_cb = policy.coeffs
+        if alf_aps is not None:
+            coder.num_chroma_alt_filters = \
+                alf_aps.alf_chroma_num_alt_filters_minus1 + 1
+            if ccalf:
+                coder.num_cc_filters = (
+                    alf_aps.alf_cc_cb_filters_signalled_minus1 + 1,
+                    alf_aps.alf_cc_cr_filters_signalled_minus1 + 1)
+        if rpl is not None:
+            coder.rpl = rpl
+            coder.poc = poc
+            if ph.ph_temporal_mvp_enabled_flag:
+                coder.collocated_ref = collocated
+        chunks = []
+        started = False
+        wpp_states = None
+        ctu_addrs = sh.ctu_addrs
+        qpc = max(0, min(63, sh.slice_qp_y))
+        for ctu_idx, rs in enumerate(ctu_addrs):
+            rx = rs % pps.ctb_width
+            ry = rs // pps.ctb_width
+            first_in_tile = rx == pps.ctb_to_col_bd[rx] and \
+                ry == pps.ctb_to_row_bd[ry]
+            first_in_wpp_row = wpp and ctu_idx and \
+                rx == pps.ctb_to_col_bd[rx] and not first_in_tile
+            if ctu_idx == 0 or first_in_tile or first_in_wpp_row:
+                if started:
+                    chunks.append(engine.bytes_aligned())
+                    engine = CabacEncoder()
+                    coder.e = engine
+                if first_in_wpp_row:
+                    engine.states = tuple(list(x) for x in wpp_states)
+                else:
+                    engine.states = make_states(qpc, sh.cabac_init_type)
+                coder.init_stat_coeff()
+                started = True
+            coder.coding_tree_unit(ctu_idx, rs, rx, ry, len(ctu_addrs),
+                                   sh.slice_idx)
+            if wpp and rx == pps.ctb_to_col_bd[rx]:
+                wpp_states = tuple(list(x) for x in engine.states)
+        chunks.append(engine.bytes_aligned())
+        if sps_raw.sps_entry_point_offsets_present_flag and len(chunks) > 1:
+            lens = _epb_chunk_lens(chunks)
+            offs = [l - 1 for l in lens[:-1]]
+            sh_r.num_entry_points = len(chunks) - 1
+            sh_r.sh_entry_point_offset_minus1 = offs
+            sh_r.sh_entry_offset_len_minus1 = \
+                max(max(offs).bit_length(), 1) - 1 if offs else 0
+        w = write_slice_header(sh_r, sps_raw, pps_raw, ph)
+        sh_bytes = w.bytes()
+        out += write_nal(nal_type, sh_bytes + b"".join(chunks))
+
+    shim = ColFrameShim(poc, tabs, shared_rpl or
                         [derived.RefPicList(), derived.RefPicList()],
                         sps.ctb_log2_size_y)
-    return write_nal(nal_type, slice_rbsp), shim
+    return out, shim
 
 
 def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
@@ -634,6 +698,72 @@ def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
     for i in range(nframes):
         # all-intra: every frame IDR until the forge writes ref pic lists
         nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=True)
+        stream += nal
+    return stream
+
+
+def build_tiled_pps(sps, col_widths, row_heights, lf_across_tiles=1,
+                    lf_across_slices=1, **kw):
+    """PPS with an explicit tile grid (raster-scan slices).  col_widths /
+    row_heights in CTUs, must cover the picture exactly."""
+    pps = build_pps(sps, **kw)
+    pps.pps_no_pic_partition_flag = 0
+    pps.pps_log2_ctu_size_minus5 = sps.sps_log2_ctu_size_minus5
+    pps.pps_num_exp_tile_columns_minus1 = len(col_widths) - 1
+    pps.pps_num_exp_tile_rows_minus1 = len(row_heights) - 1
+    pps.pps_tile_column_width_minus1 = [w - 1 for w in col_widths]
+    pps.pps_tile_row_height_minus1 = [h - 1 for h in row_heights]
+    pps.pps_loop_filter_across_tiles_enabled_flag = lf_across_tiles
+    pps.pps_rect_slice_flag = 0
+    pps.pps_loop_filter_across_slices_enabled_flag = lf_across_slices
+    # derived fields the PPS writer consults
+    pps.num_tile_columns = len(col_widths)
+    pps.num_tile_rows = len(row_heights)
+    pps.num_tiles_in_pic = len(col_widths) * len(row_heights)
+    pps.col_width_val = list(col_widths)
+    pps.row_height_val = list(row_heights)
+    return pps
+
+
+def forge_tiled_stream(seed=0, width=96, height=96, qp=32, bit_depth=8,
+                       nframes=2, slice_type=SLICE_I, cols=(2, 1),
+                       rows=(2, 1), slices=None, wpp=False,
+                       lf_across_tiles=1, lf_across_slices=1, deblock=True,
+                       pps_kw=None, **sps_kw):
+    """Tiled / WPP / multi-slice stream.  `slices`: list of
+    (first_tile, num_tiles) raster-scan slice defs, or None for one slice
+    covering all tiles."""
+    sps_kw.setdefault("sps_entry_point_offsets_present_flag", 1)
+    if wpp:
+        sps_kw["sps_entropy_coding_sync_enabled_flag"] = 1
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2, **sps_kw)
+    pps_kw = dict(pps_kw or {})
+    if not deblock:
+        pps_kw.update(pps_deblocking_filter_control_present_flag=1,
+                      pps_deblocking_filter_disabled_flag=1)
+    if len(cols) * len(rows) > 1:
+        pps_r = build_tiled_pps(sps_r, cols, rows,
+                                lf_across_tiles=lf_across_tiles,
+                                lf_across_slices=lf_across_slices, **pps_kw)
+    else:
+        pps_r = build_pps(sps_r, **pps_kw)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    policy = FuzzPolicy(seed)
+    prev = None
+    ntiles = len(cols) * len(rows)
+    if slices is not None:
+        assert sum(n for _, n in slices) == ntiles
+    for i in range(nframes):
+        if i == 0 or slice_type == SLICE_I:
+            # all-intra frames stay IDR (TRAIL I-slices would need RPLs)
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=True, slices=slices)
+        else:
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=False, slice_type=slice_type,
+                                    collocated=prev, slices=slices)
         stream += nal
     return stream
 
