@@ -80,6 +80,11 @@ class VVCDecoder:
         self.dpb = []           # DecodedFrame entries with flags
         self.seq_decode = 0
         self.seq_output = 0
+        # GDR recovery state (decode_recovery_flag/poc, vvc_ps.c:745-761)
+        self.last_eos = 1
+        self.no_output_before_recovery = 0
+        self.gdr_recovery_point_poc = 0
+        self.gdr_recovered = True
 
     def decode(self, data: bytes):
         nals = split_annexb(data)
@@ -125,7 +130,10 @@ class VVCDecoder:
                     self.last_sei = read_sei(r, t == NalType.PREFIX_SEI)
                 except Exception:
                     self.last_sei = []
-            # AUD/EOS/EOB/FD/OPI/DCI: no decoder state
+            elif t in (NalType.EOS, NalType.EOB):
+                flush_frame()
+                self.last_eos = 1
+            # AUD/FD/OPI/DCI: no decoder state
         flush_frame()
         out.extend(self._output_frames(flush=True))
         return out
@@ -277,6 +285,21 @@ class VVCDecoder:
                 f.flags &= ~(FLAG_SHORT_REF | FLAG_LONG_REF)
                 self._unref_check(f)
         self.prev_poc = poc
+        # GDR recovery tracking (decode_recovery_flag/poc, vvc_ps.c:745-761)
+        nt = nal0.nal_unit_type
+        if is_idr(nt):
+            self.no_output_before_recovery = 0
+        elif nt in (NalType.CRA, NalType.GDR):
+            self.no_output_before_recovery = self.last_eos
+            if self.no_output_before_recovery:
+                self.gdr_recovered = False
+        self.last_eos = 0
+        if self.no_output_before_recovery:
+            if nt == NalType.GDR:
+                self.gdr_recovery_point_poc = poc + ph.ph_recovery_poc_cnt
+            if not self.gdr_recovered and \
+                    self.gdr_recovery_point_poc <= poc:
+                self.gdr_recovered = True
         tabs = FrameTabs(sps, pps)
         fb = FrameBuffer(sps, pps)
 
@@ -284,8 +307,10 @@ class VVCDecoder:
         frame = DecodedFrame(poc=poc, buffer=fb, tabs=tabs,
                              sequence=self.seq_decode)
         frame._ctb_log2 = sps.ctb_log2_size_y
+        suppressed = self.no_output_before_recovery and not \
+            self.gdr_recovered
         frame.flags = FLAG_SHORT_REF | \
-            (FLAG_OUTPUT if ph.ph_pic_output_flag else 0)
+            (FLAG_OUTPUT if ph.ph_pic_output_flag and not suppressed else 0)
         self.dpb.append(frame)
         outputs = self._output_frames()
         self._bump_frame(poc)

@@ -150,3 +150,22 @@ def test_l7_loop_filters(seed, tools, tmp_path):
     from forge import forge_inter_stream
     _check_stream(forge_inter_stream(seed=seed, nframes=3, deblock=True,
                                      **tools), tmp_path, 3)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("mono", dict(seed=0, nframes=2, chroma=0)),
+    ("422", dict(seed=1, nframes=2, chroma=2)),
+    ("444", dict(seed=2, nframes=2, chroma=3)),
+    ("12bit", dict(seed=3, nframes=2, bit_depth=12)),
+])
+def test_l9_formats(name, kw, tmp_path):
+    from forge import forge_inter_stream
+    _check_stream(forge_inter_stream(deblock=True, **kw), tmp_path,
+                  kw["nframes"])
+
+
+def test_l10_gdr(tmp_path):
+    """GDR: output suppressed until the recovery-point POC."""
+    from forge import forge_gdr_stream
+    _check_stream(forge_gdr_stream(seed=0, nframes=4, recovery=2),
+                  tmp_path, 2)

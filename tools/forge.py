@@ -452,7 +452,7 @@ def _epb_chunk_lens(chunks):
 def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                 slice_type=SLICE_I, n_refs=(1, 0), collocated=None,
                 ref_deltas=None, alf_aps=None, ccalf=False, lmcs_aps=None,
-                scaling_aps=None, slices=None):
+                scaling_aps=None, slices=None, gdr_recovery=None):
     """Encode one frame; returns (NAL bytes, ColFrameShim).
 
     slices: None for a single slice covering the picture (PH in SH);
@@ -469,7 +469,10 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
 
     inter = slice_type != SLICE_I
     ph = SyntaxObj()
-    ph.ph_gdr_or_irap_pic_flag = 1 if idr else 0
+    ph.ph_gdr_or_irap_pic_flag = 1 if (idr or gdr_recovery is not None) else 0
+    if gdr_recovery is not None:
+        ph.ph_gdr_pic_flag = 1
+        ph.ph_recovery_poc_cnt = gdr_recovery
     ph.ph_inter_slice_allowed_flag = int(inter)
     ph.ph_intra_slice_allowed_flag = 1
     ph.ph_pic_parameter_set_id = 0
@@ -521,7 +524,8 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     ph.ph_log2_diff_max_tt_min_qt_intra_slice_chroma = \
         sps_raw.sps_log2_diff_max_tt_min_qt_intra_slice_chroma
 
-    nal_type = NalType.IDR_N_LP if idr else NalType.TRAIL
+    nal_type = NalType.IDR_N_LP if idr else (
+        NalType.GDR if gdr_recovery is not None else NalType.TRAIL)
     wpp = bool(sps_raw.sps_entropy_coding_sync_enabled_flag)
     multi_slice = slices is not None
     out = b""
@@ -607,6 +611,11 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                     rp.add(base, False, None)
                 rpl.append(rp)
             shared_rpl = rpl
+        if not inter and not idr:
+            # non-IDR intra (GDR / TRAIL-I): empty ref pic lists
+            sh_r.sh_ref_pic_lists = make_explicit_rpl([], [])
+            sh_r.ref_pic_lists = sh_r.sh_ref_pic_lists
+            sh_r.num_ref_idx_active = [0, 0]
         if inter and ((pps_raw.pps_weighted_pred_flag and
                        slice_type == SLICE_P) or
                       (pps_raw.pps_weighted_bipred_flag and
@@ -819,6 +828,24 @@ def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
                                     alf_aps=alf_aps, ccalf=ccalf,
                                     lmcs_aps=lmcs_aps,
                                     scaling_aps=scaling_aps)
+        stream += nal
+    return stream
+
+
+def forge_gdr_stream(seed=0, width=64, height=64, qp=32, nframes=4,
+                     recovery=2, **sps_kw):
+    """GDR stream: gradual-refresh start; output suppressed until the
+    recovery point POC (decode_recovery_poc, vvc_ps.c:752-761)."""
+    sps_kw.setdefault("sps_gdr_enabled_flag", 1)
+    sps_r = build_sps(width, height, min_qt_log2=2, max_mtt_depth=2,
+                      **sps_kw)
+    pps_r = build_pps(sps_r)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    policy = FuzzPolicy(seed)
+    for i in range(nframes):
+        nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=False,
+                             gdr_recovery=recovery if i == 0 else None)
         stream += nal
     return stream
 
