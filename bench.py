@@ -32,7 +32,9 @@ def main():
     stream = forge_stream(level=1, seed=0, width=w, height=h, qp=qp,
                           nframes=n_frames)
 
-    # our decode (device path); first frame warms jit caches, then time
+    # our decode (device path); first full decode warms the jit caches
+    # (each TB-bucket shape compiles once), then a timed run
+    VVCDecoder(DecoderConfig(backend="tpu")).decode(stream)
     dec = VVCDecoder(DecoderConfig(backend="tpu"))
     t0 = time.monotonic()
     frames = dec.decode(stream)

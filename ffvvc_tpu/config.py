@@ -33,3 +33,7 @@ class DecoderConfig:
     # Output: if True, frames are returned in display (POC/bumping) order as
     # the reference does; if False, decode order.
     reorder_output: bool = True
+
+    # Native C CABAC engine + residual fast path (falls back to the Python
+    # golden engine when the library can't be built/loaded).
+    native_cabac: bool = True

@@ -228,7 +228,8 @@ class CtuCoder:
 
     def __init__(self, engine, sps, pps, sh, tabs: FrameTabs, policy=None):
         self.e = engine
-        self.decode = isinstance(engine, CabacDecoder)
+        # decode mode = any engine exposing decode_bin (Python or native)
+        self.decode = hasattr(engine, "decode_bin")
         self.policy = policy
         self.sps = sps
         self.pps = pps

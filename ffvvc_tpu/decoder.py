@@ -20,6 +20,7 @@ from .bitstream.h266 import (H266ParamSets, read_sps, read_pps, read_aps,
                              read_sei, SLICE_I)
 from . import ps as derived
 from .cabac.engine import CabacDecoder, make_states
+from .cabac.native import NativeCabacDecoder, load_lib
 from .ctu import CtuCoder, FrameTabs
 from .recon import FrameBuffer, Reconstructor
 from .config import DecoderConfig
@@ -455,10 +456,13 @@ class VVCDecoder:
         # partition CTUs across entry points (tiles / WPP rows)
         ep_ctus = self._partition_ctus(ctu_addrs, len(eps))
         jobs = []
+        engine_cls = NativeCabacDecoder if (self.config.native_cabac and
+                                            load_lib() is not None) \
+            else CabacDecoder
         wpp = bool(sps.r.sps_entropy_coding_sync_enabled_flag)
         wpp_states = None  # CABAC state after first CTU of the row above
         for ep_idx, (ep_range, ctus) in enumerate(zip(eps, ep_ctus)):
-            engine = CabacDecoder(nal.rbsp, ep_range[0] * 8)
+            engine = engine_cls(nal.rbsp, ep_range[0] * 8)
             coder = CtuCoder(engine, sps, pps, sh, tabs)
             coder.rpl = rpl
             coder.poc = poc
@@ -479,7 +483,7 @@ class VVCDecoder:
                 if ctu_idx == 0 or first_in_tile:
                     if len(eps) == 1 and ctu_idx != 0:
                         # re-align to byte boundary within same entry point
-                        engine2 = CabacDecoder(
+                        engine2 = engine_cls(
                             nal.rbsp, engine.byte_pos_after_terminate() * 8)
                         engine = engine2
                         coder.e = engine

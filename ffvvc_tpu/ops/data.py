@@ -24,7 +24,9 @@ _NPZ = os.path.join(os.path.dirname(__file__), "_data_tables.npz")
 
 @functools.lru_cache()
 def tables():
-    return np.load(_NPZ)
+    # materialize: NpzFile.__getitem__ decompresses on EVERY access
+    with np.load(_NPZ) as z:
+        return {k: z[k] for k in z.files}
 
 
 # ---------------------------------------------------------------------------

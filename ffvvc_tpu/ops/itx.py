@@ -15,12 +15,24 @@ bucket instead of per-TB scalar calls.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import data as D
+
+# persistent compilation cache: the axon remote-compile path costs seconds
+# per shape; cache executables across processes
+try:
+    _cache_dir = os.environ.get("FFVVC_JAX_CACHE",
+                                os.path.expanduser("~/.ffvvc_jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
 
 DCT2, DST7, DCT8 = 0, 1, 2
 _MATS = {DCT2: D.dct2_matrix, DST7: D.dst7_matrix, DCT8: D.dct8_matrix}
@@ -65,14 +77,22 @@ def _int_matmul(a, b):
         preferred_element_type=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "h", "trh", "trv",
-                                             "log2_range", "bit_depth"))
 def itx_batch(coeffs, w: int, h: int, trh: int, trv: int,
               log2_range: int = 15, bit_depth: int = 8):
     """Inverse 2-D transform of a batch of TBs: coeffs [B, h, w] int32 ->
-    residual [B, h, w] int32.  Matches itx_2d (vvcdsp.c:94) bit-exactly."""
-    mv = jnp.asarray(matrix(trv, h), dtype=jnp.int32)       # [h, h]
-    mh = jnp.asarray(matrix(trh, w), dtype=jnp.int32)       # [w, w]
+    residual [B, h, w] int32.  Matches itx_2d (vvcdsp.c:94) bit-exactly.
+
+    The transform matrices are traced arguments, so XLA specializes only on
+    (w, h, B) shapes, not on transform type."""
+    mv = jnp.asarray(matrix(trv, h), dtype=jnp.int32)
+    mh = jnp.asarray(matrix(trh, w), dtype=jnp.int32)
+    return _itx_batch_m(coeffs, mv, mh, w, h, log2_range, bit_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h",
+                                             "log2_range", "bit_depth"))
+def _itx_batch_m(coeffs, mv, mh, w: int, h: int,
+                 log2_range: int = 15, bit_depth: int = 8):
     shift0 = 7
     shift1 = 5 + log2_range - bit_depth
     lo = -(1 << log2_range)
@@ -154,10 +174,22 @@ def frame_device_residuals(recon_jobs, tabs, bit_depth: int):
                         key = (tb.w, tb.h, trh, trv, l2r)
                         buckets.setdefault(key, []).append(tb)
                         tb.itx_queued = True
+    # launch every bucket asynchronously (jax dispatch), sync once at the
+    # end — avoids serializing on per-bucket device round trips.  Batch
+    # sizes are padded to powers of two to bound shape specializations.
+    launched = []
     for (w, h, trh, trv, l2r), tbs in buckets.items():
         coeffs = np.stack([t.coeffs for t in tbs]).astype(np.int32)
-        out = np.asarray(itx_batch(coeffs, w, h, trh, trv,
-                                   log2_range=l2r, bit_depth=bit_depth))
+        B = coeffs.shape[0]
+        Bp = 1 << max(B - 1, 0).bit_length() if B > 1 else 1
+        if Bp != B:
+            coeffs = np.concatenate(
+                [coeffs, np.zeros((Bp - B, h, w), np.int32)])
+        out = itx_batch(coeffs, w, h, trh, trv,
+                        log2_range=l2r, bit_depth=bit_depth)
+        launched.append((tbs, out))
+    for tbs, out in launched:
+        res = np.asarray(out)
         for i, t in enumerate(tbs):
-            t.coeffs = out[i].astype(np.int64)
+            t.coeffs = res[i].astype(np.int64)
             t.residual_ready = True

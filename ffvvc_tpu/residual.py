@@ -267,6 +267,10 @@ def _code_residual_regular(coder, tb: TransformBlock, sbt_flag):
         log2_zo_h = 4
     else:
         log2_zo_h = min(tb.log2_h, 5)
+    if coder.decode:
+        from .cabac.native import decode_residual_regular_native
+        if decode_residual_regular_native(coder, tb, log2_zo_w, log2_zo_h):
+            return 0
     rc = ResidualCtx(coder, tb, log2_zo_w, log2_zo_h)
     dec = coder.decode
     if dec:
