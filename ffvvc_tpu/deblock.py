@@ -8,9 +8,12 @@ strong/weak/large, chroma strong/one-side/weak filters).
 """
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from .ctu import MODE_INTRA, LUMA, CB, CR
+from .native import deblock as _native
 
 DEBLOCK_STEP = 8
 LUMA_GRID = 4
@@ -59,6 +62,18 @@ class _Edge:
         else:
             self.plane[self.y + off, self.x + line] = v
 
+    def vget(self, off, n):
+        """All n lines at offset `off` as an int64 vector."""
+        if self.vertical:
+            return self.plane[self.y:self.y + n, self.x + off].astype(np.int64)
+        return self.plane[self.y + off, self.x:self.x + n].astype(np.int64)
+
+    def vset(self, off, v, n):
+        if self.vertical:
+            self.plane[self.y:self.y + n, self.x + off] = v
+        else:
+            self.plane[self.y + off, self.x:self.x + n] = v
+
 
 class Deblocker:
     def __init__(self, sps, pps, tabs, fb):
@@ -77,6 +92,7 @@ class Deblocker:
         self.horizontal_p = g()
         self.horizontal_q = g()
         self.pixel_max = (1 << sps.bit_depth) - 1
+        self.lib = _native.load_lib()
 
     # --- frame entry --------------------------------------------------------
 
@@ -176,6 +192,22 @@ class Deblocker:
         hs, vs = sps.hshift[c_idx], sps.vshift[c_idx]
         plane = self.fb.planes[c_idx]
         px, py = x >> hs, y >> vs
+        lib = self.lib
+        if lib is not None and plane.dtype == np.int32 and \
+                plane.flags.c_contiguous:
+            A4 = ctypes.c_int32 * 4
+            if c_idx == 0:
+                lib.deblock_filter_luma(
+                    _native.as_i32p(plane), plane.shape[1], px, py,
+                    int(vertical), A4(*beta), A4(*tc), A4(*mlp), A4(*mlq),
+                    int(hor_ctu_edge), bd, self.pixel_max)
+            else:
+                shift = vs if vertical else hs
+                lib.deblock_filter_chroma(
+                    _native.as_i32p(plane), plane.shape[1], px, py,
+                    int(vertical), A4(*beta), A4(*tc), A4(*mlp), A4(*mlq),
+                    shift, bd, self.pixel_max)
+            return
         if c_idx == 0:
             self._filter_luma(plane, px, py, vertical, beta, tc, mlp, mlq,
                               hor_ctu_edge)
@@ -597,9 +629,9 @@ class Deblocker:
                     self._luma_weak(e, tc, nd_p, nd_q)
 
     def _luma_large(self, e, tc, ml_p, ml_q):
-        for d in range(4):
-            p = [e.get(-k - 1, d) for k in range(8)]
-            q = [e.get(k, d) for k in range(8)]
+        if True:
+            p = [e.vget(-k - 1, 4) for k in range(8)]
+            q = [e.vget(k, 4) for k in range(8)]
             if ml_p == 5 and ml_q == 5:
                 m = (p[4] + p[3] + 2 * (p[2] + p[1] + p[0] + q[0] + q[1] + q[2])
                      + q[3] + q[4] + 8) >> 4
@@ -627,50 +659,48 @@ class Deblocker:
             tc_w_p = {3: (6, 4, 2), 5: (6, 5, 4, 3, 2),
                       7: (6, 5, 4, 3, 2, 1, 1)}[ml_p]
             for k in range(ml_p):
-                v = p[k] + clip(((m * cp[k] + refp * (64 - cp[k]) + 32) >> 6) - p[k],
-                                -(tc * tc_w_p[k] >> 1), tc * tc_w_p[k] >> 1)
-                e.set(-k - 1, d, v)
+                lim = tc * tc_w_p[k] >> 1
+                v = p[k] + np.clip(((m * cp[k] + refp * (64 - cp[k]) + 32)
+                                    >> 6) - p[k], -lim, lim)
+                e.vset(-k - 1, v, 4)
             cq = coef[ml_q]
             tc_w_q = {3: (6, 4, 2), 5: (6, 5, 4, 3, 2),
                       7: (6, 5, 4, 3, 2, 1, 1)}[ml_q]
             for k in range(ml_q):
-                v = q[k] + clip(((m * cq[k] + refq * (64 - cq[k]) + 32) >> 6) - q[k],
-                                -(tc * tc_w_q[k] >> 1), tc * tc_w_q[k] >> 1)
-                e.set(k, d, v)
+                lim = tc * tc_w_q[k] >> 1
+                v = q[k] + np.clip(((m * cq[k] + refq * (64 - cq[k]) + 32)
+                                    >> 6) - q[k], -lim, lim)
+                e.vset(k, v, 4)
 
     def _luma_strong(self, e, tc):
         tc2, tc3 = tc << 1, tc * 3
-        for d in range(4):
-            p3, p2, p1, p0 = (e.get(-4, d), e.get(-3, d), e.get(-2, d),
-                              e.get(-1, d))
-            q0, q1, q2, q3 = (e.get(0, d), e.get(1, d), e.get(2, d),
-                              e.get(3, d))
-            e.set(-1, d, p0 + clip(((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3) - p0, -tc3, tc3))
-            e.set(-2, d, p1 + clip(((p2 + p1 + p0 + q0 + 2) >> 2) - p1, -tc2, tc2))
-            e.set(-3, d, p2 + clip(((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3) - p2, -tc, tc))
-            e.set(0, d, q0 + clip(((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3) - q0, -tc3, tc3))
-            e.set(1, d, q1 + clip(((p0 + q0 + q1 + q2 + 2) >> 2) - q1, -tc2, tc2))
-            e.set(2, d, q2 + clip(((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3) - q2, -tc, tc))
+        p3, p2, p1, p0 = (e.vget(-4, 4), e.vget(-3, 4), e.vget(-2, 4),
+                          e.vget(-1, 4))
+        q0, q1, q2, q3 = (e.vget(0, 4), e.vget(1, 4), e.vget(2, 4),
+                          e.vget(3, 4))
+        e.vset(-1, p0 + np.clip(((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3) - p0, -tc3, tc3), 4)
+        e.vset(-2, p1 + np.clip(((p2 + p1 + p0 + q0 + 2) >> 2) - p1, -tc2, tc2), 4)
+        e.vset(-3, p2 + np.clip(((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3) - p2, -tc, tc), 4)
+        e.vset(0, q0 + np.clip(((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3) - q0, -tc3, tc3), 4)
+        e.vset(1, q1 + np.clip(((p0 + q0 + q1 + q2 + 2) >> 2) - q1, -tc2, tc2), 4)
+        e.vset(2, q2 + np.clip(((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3) - q2, -tc, tc), 4)
 
     def _luma_weak(self, e, tc, nd_p, nd_q):
         mx = self.pixel_max
         tc_2 = tc >> 1
-        for d in range(4):
-            p2, p1, p0 = e.get(-3, d), e.get(-2, d), e.get(-1, d)
-            q0, q1, q2 = e.get(0, d), e.get(1, d), e.get(2, d)
-            delta0 = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
-            if abs(delta0) < 10 * tc:
-                delta0 = clip(delta0, -tc, tc)
-                e.set(-1, d, clip(p0 + delta0, 0, mx))
-                e.set(0, d, clip(q0 - delta0, 0, mx))
-                if nd_p > 1:
-                    dp1 = clip((((p2 + p0 + 1) >> 1) - p1 + delta0) >> 1,
-                               -tc_2, tc_2)
-                    e.set(-2, d, clip(p1 + dp1, 0, mx))
-                if nd_q > 1:
-                    dq1 = clip((((q2 + q0 + 1) >> 1) - q1 - delta0) >> 1,
-                               -tc_2, tc_2)
-                    e.set(1, d, clip(q1 + dq1, 0, mx))
+        p2, p1, p0 = e.vget(-3, 4), e.vget(-2, 4), e.vget(-1, 4)
+        q0, q1, q2 = e.vget(0, 4), e.vget(1, 4), e.vget(2, 4)
+        delta0 = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+        apply = np.abs(delta0) < 10 * tc
+        d0 = np.clip(delta0, -tc, tc)
+        e.vset(-1, np.where(apply, np.clip(p0 + d0, 0, mx), p0), 4)
+        e.vset(0, np.where(apply, np.clip(q0 - d0, 0, mx), q0), 4)
+        if nd_p > 1:
+            dp1 = np.clip((((p2 + p0 + 1) >> 1) - p1 + d0) >> 1, -tc_2, tc_2)
+            e.vset(-2, np.where(apply, np.clip(p1 + dp1, 0, mx), p1), 4)
+        if nd_q > 1:
+            dq1 = np.clip((((q2 + q0 + 1) >> 1) - q1 - d0) >> 1, -tc_2, tc_2)
+            e.vset(1, np.where(apply, np.clip(q1 + dq1, 0, mx), q1), 4)
 
     def _filter_chroma(self, plane, px, py, vertical, beta_a, tc_a, mlp_a,
                        mlq_a, shift):
@@ -733,43 +763,43 @@ class Deblocker:
                 self._chroma_weak(e, size, tc)
 
     def _chroma_strong(self, e, size, tc):
-        for d in range(size):
-            p3, p2, p1, p0 = (e.get(-4, d), e.get(-3, d), e.get(-2, d),
-                              e.get(-1, d))
-            q0, q1, q2, q3 = (e.get(0, d), e.get(1, d), e.get(2, d),
-                              e.get(3, d))
-            e.set(-1, d, clip((p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3,
-                              p0 - tc, p0 + tc))
-            e.set(-2, d, clip((2 * p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3,
-                              p1 - tc, p1 + tc))
-            e.set(-3, d, clip((3 * p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3,
-                              p2 - tc, p2 + tc))
-            e.set(0, d, clip((p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3,
-                             q0 - tc, q0 + tc))
-            e.set(1, d, clip((p1 + p0 + q0 + 2 * q1 + q2 + 2 * q3 + 4) >> 3,
-                             q1 - tc, q1 + tc))
-            e.set(2, d, clip((p0 + q0 + q1 + 2 * q2 + 3 * q3 + 4) >> 3,
-                             q2 - tc, q2 + tc))
+        n = size
+        p3, p2, p1, p0 = (e.vget(-4, n), e.vget(-3, n), e.vget(-2, n),
+                          e.vget(-1, n))
+        q0, q1, q2, q3 = (e.vget(0, n), e.vget(1, n), e.vget(2, n),
+                          e.vget(3, n))
+        e.vset(-1, np.clip((p3 + p2 + p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3,
+                           p0 - tc, p0 + tc), n)
+        e.vset(-2, np.clip((2 * p3 + p2 + 2 * p1 + p0 + q0 + q1 + 4) >> 3,
+                           p1 - tc, p1 + tc), n)
+        e.vset(-3, np.clip((3 * p3 + 2 * p2 + p1 + p0 + q0 + 4) >> 3,
+                           p2 - tc, p2 + tc), n)
+        e.vset(0, np.clip((p2 + p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3,
+                          q0 - tc, q0 + tc), n)
+        e.vset(1, np.clip((p1 + p0 + q0 + 2 * q1 + q2 + 2 * q3 + 4) >> 3,
+                          q1 - tc, q1 + tc), n)
+        e.vset(2, np.clip((p0 + q0 + q1 + 2 * q2 + 3 * q3 + 4) >> 3,
+                          q2 - tc, q2 + tc), n)
 
     def _chroma_strong_one_side(self, e, size, tc):
-        for d in range(size):
-            p1, p0 = e.get(-2, d), e.get(-1, d)
-            q0, q1, q2, q3 = (e.get(0, d), e.get(1, d), e.get(2, d),
-                              e.get(3, d))
-            e.set(-1, d, clip((3 * p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3,
-                              p0 - tc, p0 + tc))
-            e.set(0, d, clip((2 * p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3,
-                             q0 - tc, q0 + tc))
-            e.set(1, d, clip((p1 + p0 + q0 + 2 * q1 + q2 + 2 * q3 + 4) >> 3,
-                             q1 - tc, q1 + tc))
-            e.set(2, d, clip((p0 + q0 + q1 + 2 * q2 + 3 * q3 + 4) >> 3,
-                             q2 - tc, q2 + tc))
+        n = size
+        p1, p0 = e.vget(-2, n), e.vget(-1, n)
+        q0, q1, q2, q3 = (e.vget(0, n), e.vget(1, n), e.vget(2, n),
+                          e.vget(3, n))
+        e.vset(-1, np.clip((3 * p1 + 2 * p0 + q0 + q1 + q2 + 4) >> 3,
+                           p0 - tc, p0 + tc), n)
+        e.vset(0, np.clip((2 * p1 + p0 + 2 * q0 + q1 + q2 + q3 + 4) >> 3,
+                          q0 - tc, q0 + tc), n)
+        e.vset(1, np.clip((p1 + p0 + q0 + 2 * q1 + q2 + 2 * q3 + 4) >> 3,
+                          q1 - tc, q1 + tc), n)
+        e.vset(2, np.clip((p0 + q0 + q1 + 2 * q2 + 3 * q3 + 4) >> 3,
+                          q2 - tc, q2 + tc), n)
 
     def _chroma_weak(self, e, size, tc):
         mx = self.pixel_max
-        for d in range(size):
-            p1, p0 = e.get(-2, d), e.get(-1, d)
-            q0, q1 = e.get(0, d), e.get(1, d)
-            delta0 = clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
-            e.set(-1, d, clip(p0 + delta0, 0, mx))
-            e.set(0, d, clip(q0 - delta0, 0, mx))
+        n = size
+        p1, p0 = e.vget(-2, n), e.vget(-1, n)
+        q0, q1 = e.vget(0, n), e.vget(1, n)
+        delta0 = np.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
+        e.vset(-1, np.clip(p0 + delta0, 0, mx), n)
+        e.vset(0, np.clip(q0 - delta0, 0, mx), n)

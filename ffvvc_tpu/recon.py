@@ -495,104 +495,103 @@ class Reconstructor:
         scale = (ilog2(w) + ilog2(h) - 2) >> 2
         mx = (1 << self.sps.bit_depth) - 1
         res = out.astype(np.int64)
-        for yy in range(h):
-            for xx in range(w):
-                if mode in (INTRA_PLANAR, INTRA_DC):
-                    l, t = left[yy], top[xx]
-                    wl = 32 >> min((xx << 1) >> scale, 31)
-                    wt = 32 >> min((yy << 1) >> scale, 31)
-                else:
-                    val0 = res[yy, xx]
-                    l = left[yy] - left[-1] + val0
-                    t = top[xx] - top[-1] + val0
-                    wl = (32 >> min((xx << 1) >> scale, 31)) if mode == INTRA_VERT else 0
-                    wt = (32 >> min((yy << 1) >> scale, 31)) if mode == INTRA_HORZ else 0
-                val = res[yy, xx]
-                pred = val + ((wl * (l - val) + wt * (t - val) + 32) >> 6)
-                res[yy, xx] = max(0, min(mx, pred))
-        return res
+        xs = np.arange(w, dtype=np.int64)
+        ys = np.arange(h, dtype=np.int64)
+        la = left.arr(0, h).astype(np.int64)[:, None]     # [h, 1]
+        ta = top.arr(0, w).astype(np.int64)[None, :]      # [1, w]
+        wl_row = 32 >> np.minimum((xs << 1) >> scale, 31)
+        wt_col = 32 >> np.minimum((ys << 1) >> scale, 31)
+        if mode in (INTRA_PLANAR, INTRA_DC):
+            l = la
+            t = ta
+            wl = wl_row[None, :]
+            wt = wt_col[:, None]
+        else:
+            l = la - left[-1] + res
+            t = ta - top[-1] + res
+            wl = wl_row[None, :] if mode == INTRA_VERT else 0
+            wt = wt_col[:, None] if mode == INTRA_HORZ else 0
+        pred = res + ((wl * (l - res) + wt * (t - res) + 32) >> 6)
+        return np.clip(pred, 0, mx)
+
+    def _angular_core(self, ref, n_main, n_cross, c_idx, angle, ref_idx,
+                      filter_flag):
+        """Shared directional interpolation: for each cross-line j
+        (rows for V, cols for H) produce n_main predicted samples from the
+        1-D reference `ref` (an _OffsetArray).  Returns [n_cross, n_main]."""
+        mx = (1 << self.sps.bit_depth) - 1
+        is_luma = not c_idx
+        js = np.arange(1, n_cross + 1, dtype=np.int64)
+        pos = (js + ref_idx) * angle
+        idx = (pos >> 5) + ref_idx
+        fact = pos & 31                                  # [n_cross]
+        base = idx - (1 + ref_idx)
+        ks = np.arange(n_main, dtype=np.int64)
+        p = base[:, None] + ks[None, :]                  # ref-space index
+
+        ra = ref.a.astype(np.int64)
+        off = ref.off
+
+        def R(d):
+            return ra[off + p + d]
+        if is_luma:
+            f = (D.intra_filter(1) if filter_flag else
+                 D.intra_filter(0))[fact].astype(np.int64)   # [n_cross, 4]
+            v = (R(0) * f[:, 0:1] + R(1) * f[:, 1:2] +
+                 R(2) * f[:, 2:3] + R(3) * f[:, 3:4] + 32) >> 6
+            v = np.clip(v, 0, mx)
+            if not filter_flag:
+                copy_rows = fact == 0
+                if copy_rows.any():
+                    v = np.where(copy_rows[:, None], R(1), v)
+        else:
+            v = ((32 - fact)[:, None] * R(1) + fact[:, None] * R(2) + 16) >> 5
+        return v
 
     def _pred_angular_v(self, left, top, w, h, c_idx, mode, ref_idx,
                         filter_flag, pdpc):
-        sps = self.sps
-        mx = (1 << sps.bit_depth) - 1
+        mx = (1 << self.sps.bit_depth) - 1
         angle = intra_pred_angle(mode)
-        pos = (1 + ref_idx) * angle
-        out = np.zeros((h, w), dtype=np.int64)
-        is_luma = not c_idx
+        out = self._angular_core(top, w, h, c_idx, angle, ref_idx,
+                                 filter_flag)
         if pdpc:
             inv_angle = intra_inv_angle(angle)
             nscale = nscale_derive(w, h, mode)
-        fC = D.intra_filter(0)
-        fG = D.intra_filter(1)
-        for yy in range(h):
-            idx = (pos >> 5) + ref_idx
-            fact = pos & 31
-            base = idx - (1 + ref_idx)
-            if not fact and (not is_luma or not filter_flag):
-                for xx in range(w):
-                    out[yy, xx] = top[xx + base + 1]
-            elif is_luma:
-                f = (fG if filter_flag else fC)[fact]
-                for xx in range(w):
-                    p = xx + base
-                    v = (top[p] * f[0] + top[p + 1] * f[1] +
-                         top[p + 2] * f[2] + top[p + 3] * f[3] + 32) >> 6
-                    out[yy, xx] = max(0, min(mx, v))
-            else:
-                for xx in range(w):
-                    p = xx + base
-                    out[yy, xx] = ((32 - fact) * top[p + 1] +
-                                   fact * top[p + 2] + 16) >> 5
-            if pdpc:
-                s = 256 + inv_angle
-                for xx in range(min(w, 3 << nscale)):
-                    l = left[yy + (s >> 9)]
-                    val = out[yy, xx]
-                    wl = 32 >> ((xx << 1) >> nscale)
-                    out[yy, xx] = max(0, min(mx, val + (((l - val) * wl + 32) >> 6)))
-                    s += inv_angle
-            pos += angle
+            wp = min(w, 3 << nscale)
+            if wp > 0:
+                xs = np.arange(wp, dtype=np.int64)
+                s = 256 + inv_angle * (xs + 1)
+                la = left.a.astype(np.int64)
+                lidx = left.off + np.arange(h, dtype=np.int64)[:, None] + \
+                    (s >> 9)[None, :]
+                L = la[lidx]
+                wl = (32 >> ((xs << 1) >> nscale))[None, :]
+                val = out[:, :wp]
+                out[:, :wp] = np.clip(
+                    val + (((L - val) * wl + 32) >> 6), 0, mx)
         return out
 
     def _pred_angular_h(self, left, top, w, h, c_idx, mode, ref_idx,
                         filter_flag, pdpc):
-        sps = self.sps
-        mx = (1 << sps.bit_depth) - 1
+        mx = (1 << self.sps.bit_depth) - 1
         angle = intra_pred_angle(mode)
-        out = np.zeros((h, w), dtype=np.int64)
-        is_luma = not c_idx
+        out = self._angular_core(left, h, w, c_idx, angle, ref_idx,
+                                 filter_flag).T                # [h, w]
         if pdpc:
             inv_angle = intra_inv_angle(angle)
-            inv_angle_sum = 256 + inv_angle
             nscale = nscale_derive(w, h, mode)
-        fC = D.intra_filter(0)
-        fG = D.intra_filter(1)
-        for yy in range(h):
-            pos = (1 + ref_idx) * angle
-            if pdpc:
-                wt = 32 >> min(31, (yy * 2) >> nscale)
-            for xx in range(w):
-                idx = (pos >> 5) + ref_idx
-                fact = pos & 31
-                base = yy + idx - (1 + ref_idx)
-                if not fact and (not is_luma or not filter_flag):
-                    pred = int(left[base + 1])
-                elif is_luma:
-                    f = (fG if filter_flag else fC)[fact]
-                    pred = (left[base] * f[0] + left[base + 1] * f[1] +
-                            left[base + 2] * f[2] + left[base + 3] * f[3] + 32) >> 6
-                    pred = max(0, min(mx, pred))
-                else:
-                    pred = ((32 - fact) * left[base + 1] +
-                            fact * left[base + 2] + 16) >> 5
-                if pdpc and yy < (3 << nscale):
-                    t = top[xx + (inv_angle_sum >> 9)]
-                    pred = max(0, min(mx, pred + (((t - pred) * wt + 32) >> 6)))
-                out[yy, xx] = pred
-                pos += angle
-            if pdpc:
-                inv_angle_sum += inv_angle
+            hp = min(h, 3 << nscale)
+            if hp > 0:
+                ys = np.arange(hp, dtype=np.int64)
+                s = 256 + inv_angle * (ys + 1)
+                ta = top.a.astype(np.int64)
+                tidx = top.off + np.arange(w, dtype=np.int64)[None, :] + \
+                    (s >> 9)[:, None]
+                T = ta[tidx]
+                wt = (32 >> np.minimum((ys << 1) >> nscale, 31))[:, None]
+                val = out[:hp, :]
+                out[:hp, :] = np.clip(
+                    val + (((T - val) * wt + 32) >> 6), 0, mx)
         return out
 
     def _pred_mip(self, plane, left, top, x, y, w, h, mode_id, transposed):
