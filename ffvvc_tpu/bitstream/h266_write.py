@@ -445,7 +445,11 @@ def write_sps(sps: SyntaxObj) -> bytes:
         w.ue(sps.sps_six_minus_max_num_ibc_merge_cand)
     w.flag(sps.sps_ladf_enabled_flag)
     if sps.sps_ladf_enabled_flag:
-        raise NotImplementedError("LADF write")
+        w.u(sps.sps_num_ladf_intervals_minus2, 2)
+        w.se(sps.sps_ladf_lowest_interval_qp_offset)
+        for i in range(sps.sps_num_ladf_intervals_minus2 + 1):
+            w.se(sps.sps_ladf_qp_offset[i])
+            w.ue(sps.sps_ladf_delta_threshold_minus1[i])
     w.flag(sps.sps_explicit_scaling_list_enabled_flag)
     if sps.sps_lfnst_enabled_flag and sps.sps_explicit_scaling_list_enabled_flag:
         w.flag(sps.sps_scaling_matrix_for_lfnst_disabled_flag)

@@ -224,10 +224,32 @@ class Deblocker:
         if c_idx == 0:
             qp_p = int(tabs.qp[LUMA][(y - dy) >> 2, (x - dx) >> 2])
             qp_q = int(tabs.qp[LUMA][y >> 2, x >> 2])
-            return (qp_p + qp_q + 1) >> 1
+            qp = (qp_p + qp_q + 1) >> 1
+            if sps.num_ladf_intervals:
+                qp += self._ladf_qp_offset(x, y, vertical)
+            return qp
         qp_p = int(tabs.qp[c_idx][(y - dy) >> 2, (x - dx) >> 2])
         qp_q = int(tabs.qp[c_idx][y >> 2, x >> 2])
         return (qp_p + qp_q - 2 * sps.qp_bd_offset + 1) >> 1
+
+    def _ladf_qp_offset(self, x, y, vertical):
+        """Luma-adaptive deblocking qp offset (get_qp_y, vvc_filter.c:829-845;
+        level kernel vvc_filter_template.c:788-803)."""
+        sps = self.sps
+        plane = self.fb.planes[0]
+        if vertical:
+            level = (int(plane[y, x - 1]) + int(plane[y + 3, x - 1]) +
+                     int(plane[y, x]) + int(plane[y + 3, x])) >> 2
+        else:
+            level = (int(plane[y - 1, x]) + int(plane[y - 1, x + 3]) +
+                     int(plane[y, x]) + int(plane[y, x + 3])) >> 2
+        r = sps.r
+        qp_offset = r.sps_ladf_lowest_interval_qp_offset
+        for i in range(sps.num_ladf_intervals - 1):
+            if level <= sps.ladf_interval_lower_bound[i + 1]:
+                break
+            qp_offset = r.sps_ladf_qp_offset[i]
+        return qp_offset
 
     def _max_filter_length(self, qx, qy, c_idx, vertical, hor_ctu_edge, bs):
         tabs = self.tabs

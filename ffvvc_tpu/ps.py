@@ -55,6 +55,14 @@ class SPS:
         elif r.sps_sbtmvp_enabled_flag:  # and ph_temporal_mvp (checked per pic)
             self.max_num_subblock_merge_cand = 1
         self._derive_chroma_qp_tables()
+        # LADF intervals (sps_ladf, vvc_ps.c:161-172)
+        self.num_ladf_intervals = 0
+        if r.sps_ladf_enabled_flag:
+            self.num_ladf_intervals = r.sps_num_ladf_intervals_minus2 + 2
+            b = [0] * self.num_ladf_intervals
+            for i in range(self.num_ladf_intervals - 1):
+                b[i + 1] = b[i] + r.sps_ladf_delta_threshold_minus1[i] + 1
+            self.ladf_interval_lower_bound = b
 
     def _derive_chroma_qp_tables(self):
         """ChromaQpTable (H.266 7.4.3.4 eq. 58-64; reference vvc_ps.c:86)."""

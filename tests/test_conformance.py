@@ -145,6 +145,10 @@ def test_l8_partitions(name, kw, tmp_path):
     (2, dict(sps_lmcs_enabled_flag=1)),                      # LMCS
     (3, dict(sps_sao_enabled_flag=1, sps_alf_enabled_flag=1,
              sps_ccalf_enabled_flag=1, sps_lmcs_enabled_flag=1)),  # chain
+    (4, dict(sps_ladf_enabled_flag=1, sps_num_ladf_intervals_minus2=1,
+             sps_ladf_lowest_interval_qp_offset=3,
+             sps_ladf_qp_offset=[-2, 4],
+             sps_ladf_delta_threshold_minus1=[30, 100])),          # LADF
 ])
 def test_l7_loop_filters(seed, tools, tmp_path):
     from forge import forge_inter_stream
@@ -162,6 +166,25 @@ def test_l9_formats(name, kw, tmp_path):
     from forge import forge_inter_stream
     _check_stream(forge_inter_stream(deblock=True, **kw), tmp_path,
                   kw["nframes"])
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("rect_i", dict(seed=0, slice_type=2)),
+    ("rect_p", dict(seed=1, slice_type=1, nframes=3)),
+    ("subpic_i", dict(seed=2, slice_type=2, subpic=True)),
+    ("subpic_p", dict(seed=3, slice_type=1, nframes=3, subpic=True)),
+    ("subpic_noclf", dict(seed=4, slice_type=2, subpic=True,
+                          lf_across_tiles=0, lf_across_slices=0)),
+])
+def test_l11_rect_slices_subpics(name, kw, tmp_path):
+    """Rectangular slices and subpictures (reference slice-idx mapping
+    vvc_ps.c:1034-1041; subpic SH resolution cbs template :3050-3070)."""
+    from forge import forge_rect_slice_stream, forge_subpic_stream
+    kw = dict(kw)
+    fn = forge_subpic_stream if kw.pop("subpic", False) \
+        else forge_rect_slice_stream
+    n = kw.setdefault("nframes", 2)
+    _check_stream(fn(**kw), tmp_path, n)
 
 
 def test_l10_gdr(tmp_path):

@@ -569,8 +569,22 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
         sh_r.sh_picture_header_in_slice_header_flag = \
             0 if multi_slice else 1
         if multi_slice:
-            sh_r.sh_slice_address = sdef[0]
-            sh_r.sh_num_tiles_in_slice_minus1 = sdef[1] - 1
+            if pps_raw.pps_rect_slice_flag:
+                # rect slices: sdef[0] is the picture-level slice index;
+                # map to (subpic, address-in-subpic)
+                sidx = sdef[0]
+                sub = 0
+                addr = sidx
+                while addr >= pps_raw.num_slices_in_subpic[sub]:
+                    addr -= pps_raw.num_slices_in_subpic[sub]
+                    sub += 1
+                sh_r.curr_subpic_idx = sub
+                if sps_raw.sps_subpic_info_present_flag:
+                    sh_r.sh_subpic_id = pps_raw.sub_pic_id_val[sub]
+                sh_r.sh_slice_address = addr
+            else:
+                sh_r.sh_slice_address = sdef[0]
+                sh_r.sh_num_tiles_in_slice_minus1 = sdef[1] - 1
         elif not pps_raw.pps_rect_slice_flag and \
                 pps_raw.num_tiles_in_pic > 1:
             # single slice covering every tile
@@ -767,6 +781,99 @@ def forge_tiled_stream(seed=0, width=96, height=96, qp=32, bit_depth=8,
     for i in range(nframes):
         if i == 0 or slice_type == SLICE_I:
             # all-intra frames stay IDR (TRAIL I-slices would need RPLs)
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=True, slices=slices)
+        else:
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=False, slice_type=slice_type,
+                                    collocated=prev, slices=slices)
+        stream += nal
+    return stream
+
+
+def forge_subpic_stream(seed=0, width=128, height=64, qp=30, bit_depth=8,
+                        nframes=2, slice_type=SLICE_I, lf_across_tiles=1,
+                        lf_across_slices=1, **sps_kw):
+    """Two side-by-side subpictures, one rectangular slice each
+    (pps_single_slice_per_subpic_flag; subpic boundaries on the tile grid).
+    Reference: slice-idx mapping vvc_ps.c:1034-1041, CBS sh_subpic_id
+    resolution cbs_h266_syntax_template.c:3050-3070."""
+    w_ctu = -(-width // 32)
+    h_ctu = -(-height // 32)
+    assert w_ctu % 2 == 0, "need an even CTU-column count"
+    half = w_ctu // 2
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2,
+                      sps_subpic_info_present_flag=1,
+                      sps_num_subpics_minus1=1,
+                      sps_independent_subpics_flag=1,
+                      sps_subpic_same_size_flag=0,
+                      sps_subpic_ctu_top_left_x=[0, half],
+                      sps_subpic_ctu_top_left_y=[0, 0],
+                      sps_subpic_width_minus1=[half - 1, half - 1],
+                      sps_subpic_height_minus1=[h_ctu - 1, h_ctu - 1],
+                      sps_subpic_id_len_minus1=0,
+                      sps_subpic_id_mapping_explicitly_signalled_flag=0,
+                      **sps_kw)
+    pps_r = build_tiled_pps(sps_r, (half, half), (h_ctu,),
+                            lf_across_tiles=lf_across_tiles,
+                            lf_across_slices=lf_across_slices)
+    # explicit one-slice-per-subpic layout: the oracle's CBS never
+    # initializes num_slices_in_subpic when pps_single_slice_per_subpic_flag
+    # is set (cbs_h266_syntax_template.c:2101-2114 only covers the explicit
+    # branch) and crashes on such streams, so signal the slices explicitly
+    pps_r.pps_rect_slice_flag = 1
+    pps_r.pps_single_slice_per_subpic_flag = 0
+    pps_r.pps_num_slices_in_pic_minus1 = 1
+    pps_r.pps_tile_idx_delta_present_flag = 0
+    pps_r.pps_slice_width_in_tiles_minus1 = [0, 0]
+    pps_r.pps_slice_height_in_tiles_minus1 = [0, 0]
+    pps_r.pps_num_exp_slices_in_tile = [0, 0]
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    policy = FuzzPolicy(seed)
+    prev = None
+    slices = [(0, 1), (1, 1)]
+    for i in range(nframes):
+        if i == 0 or slice_type == SLICE_I:
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=True, slices=slices)
+        else:
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=False, slice_type=slice_type,
+                                    collocated=prev, slices=slices)
+        stream += nal
+    return stream
+
+
+def forge_rect_slice_stream(seed=0, width=128, height=64, qp=30, bit_depth=8,
+                            nframes=2, slice_type=SLICE_I, lf_across_tiles=1,
+                            lf_across_slices=1, **sps_kw):
+    """Explicitly-signalled rectangular slices (2 tiles, one slice each),
+    no subpictures.  Reference: pps_slice_map vvc_ps.c:414."""
+    h_ctu = -(-height // 32)
+    w_ctu = -(-width // 32)
+    assert w_ctu % 2 == 0
+    half = w_ctu // 2
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2, **sps_kw)
+    pps_r = build_tiled_pps(sps_r, (half, half), (h_ctu,),
+                            lf_across_tiles=lf_across_tiles,
+                            lf_across_slices=lf_across_slices)
+    pps_r.pps_rect_slice_flag = 1
+    pps_r.pps_single_slice_per_subpic_flag = 0
+    pps_r.pps_num_slices_in_pic_minus1 = 1
+    pps_r.pps_tile_idx_delta_present_flag = 0
+    pps_r.pps_slice_width_in_tiles_minus1 = [0, 0]
+    pps_r.pps_slice_height_in_tiles_minus1 = [0, 0]
+    pps_r.pps_num_exp_slices_in_tile = [0, 0]
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    policy = FuzzPolicy(seed)
+    prev = None
+    slices = [(0, 1), (1, 1)]
+    for i in range(nframes):
+        if i == 0 or slice_type == SLICE_I:
             nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
                                     idr=True, slices=slices)
         else:
