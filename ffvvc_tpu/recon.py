@@ -15,7 +15,8 @@ import numpy as np
 
 from .ctu import (MODE_INTRA, MODE_IBC, MODE_PLT, INTRA_PLANAR, INTRA_DC,
                   INTRA_HORZ, INTRA_VERT, INTRA_DIAG, INTRA_VDIAG,
-                  INTRA_LT_CCLM, INTRA_T_CCLM, ISP_NO_SPLIT, ISP_HOR_SPLIT,
+                  INTRA_LT_CCLM, INTRA_L_CCLM, INTRA_T_CCLM,
+                  ISP_NO_SPLIT, ISP_HOR_SPLIT,
                   ISP_VER_SPLIT, DUAL_TREE_CHROMA, DUAL_TREE_LUMA, SINGLE_TREE,
                   LUMA, CB, CR, JCBCR, MTS_DCT2_DCT2)
 from .ops import data as D
@@ -297,9 +298,10 @@ class Reconstructor:
                 x0, y0, w, h = unit
                 self.nbr.set_neighbour_available(x0, y0, w, h)
                 if is_cclm(cu.intra_pred_mode_c):
-                    raise NotImplementedError("CCLM prediction")
-                self.intra_pred(cu, x0, y0, w, h, 1)
-                self.intra_pred(cu, x0, y0, w, h, 2)
+                    self.cclm_pred(cu, x0, y0, w, h)
+                else:
+                    self.intra_pred(cu, x0, y0, w, h, 1)
+                    self.intra_pred(cu, x0, y0, w, h, 2)
                 self.add_ra(1, x0, y0, w, h)
 
     def _luma_predict_unit(self, cu, tu, idx):
@@ -358,6 +360,191 @@ class Reconstructor:
                                             INTRA_VERT, INTRA_HORZ):
             out = self._pdpc_hv(out, left, top, w, h, mode)
         plane[y:y + h, x:x + w] = out
+
+    # --- CCLM (8.4.5.2.14; reference vvc_intra_template.c:29-377) ----------
+
+    def cclm_pred(self, cu, x0, y0, width, height):
+        """Cross-component linear-model chroma prediction: derive (a, b, k)
+        per chroma component from up to 4 neighbour (downsampled-luma,
+        chroma) pairs, then Cb/Cr = clip(((dsY * a) >> k) + b)."""
+        sps = self.sps
+        fb = self.fb
+        hs, vs = sps.hshift[1], sps.vshift[1]
+        x, y = x0 >> hs, y0 >> vs
+        w, h = width >> hs, height >> vs
+        avail_t = self.get_top_available(x0, y0, 1, 0)
+        avail_l = self.get_left_available(x0, y0, 1, 0)
+        maxv = (1 << sps.bit_depth) - 1
+        if not avail_t and not avail_l:
+            for c in (1, 2):
+                fb.planes[c][y:y + h, x:x + w] = 1 << (sps.bit_depth - 1)
+            return
+        dsy = self._cclm_luma_ds(x0, y0, w, h, avail_t, avail_l)
+        params = self._cclm_params(cu, x0, y0, w, h, avail_t, avail_l)
+        for i, c in enumerate((1, 2)):
+            a, b, k = params[i]
+            pred = ((dsy.astype(np.int64) * a) >> k) + b
+            fb.planes[c][y:y + h, x:x + w] = np.clip(pred, 0, maxv)
+
+    def _cclm_luma_ds(self, x0, y0, w, h, avail_t, avail_l):
+        """Downsample the colocated reconstructed luma to the chroma grid
+        (cclm_get_luma_rec_pixels, vvc_intra_template.c:285-341)."""
+        sps = self.sps
+        L = self.fb.planes[0].astype(np.int64)
+        hs, vs = sps.hshift[1], sps.vshift[1]
+        if not hs and not vs:
+            return L[y0:y0 + h, x0:x0 + w]
+        # column indices of the left 3-tap neighbour (2j-1; j=0 clamps to
+        # x0 - avail_l so an unavailable left edge replicates the block edge)
+        xm1 = x0 + 2 * np.arange(w) - 1
+        xm1[0] = x0 - avail_l
+        xc = x0 + 2 * np.arange(w)
+        if not vs:  # 4:2:2 horizontal-only
+            rows = y0 + np.arange(h)
+            return (L[np.ix_(rows, xm1)] + 2 * L[np.ix_(rows, xc)]
+                    + L[np.ix_(rows, xc + 1)] + 2) >> 2
+        r0 = y0 + 2 * np.arange(h)
+        if sps.r.sps_chroma_vertical_collocated_flag:
+            # 5-tap cross; the row above clamps to y0 - avail_t at i == 0
+            rt = r0 - 1
+            rt[0] = y0 - avail_t
+            return (L[np.ix_(r0, xm1)] + L[np.ix_(rt, xc)]
+                    + 4 * L[np.ix_(r0, xc)] + L[np.ix_(r0, xc + 1)]
+                    + L[np.ix_(r0 + 1, xc)] + 4) >> 3
+        return (L[np.ix_(r0, xm1)] + L[np.ix_(r0 + 1, xm1)]
+                + 2 * L[np.ix_(r0, xc)] + 2 * L[np.ix_(r0 + 1, xc)]
+                + L[np.ix_(r0, xc + 1)] + L[np.ix_(r0 + 1, xc + 1)] + 4) >> 3
+
+    def _cclm_select_pos(self, cu, x, y, w, h, avail_t, avail_l):
+        """(cnt, pos) of neighbour sample picks per side
+        (cclm_get_select_pos, vvc_intra_template.c:60-86)."""
+        mode = cu.intra_pred_mode_c
+        num_is4 = int(not avail_t or not avail_l or mode != INTRA_LT_CCLM)
+        if mode == INTRA_LT_CCLM:
+            ns_top = w if avail_t else 0
+            ns_left = h if avail_l else 0
+        else:
+            ns_top = self.get_top_available(x, y, w + min(w, h), 1) \
+                if (avail_t and mode == INTRA_T_CCLM) else 0
+            ns_left = self.get_left_available(x, y, h + min(w, h), 1) \
+                if (avail_l and mode == INTRA_L_CCLM) else 0
+        if not ns_top and not ns_left:
+            return None
+        cnt, pos = [0, 0], [[], []]
+        for side, ns in enumerate((ns_top, ns_left)):
+            start = ns >> (2 + num_is4)
+            step = max(1, ns >> (1 + num_is4))
+            cnt[side] = min(ns, (1 + num_is4) << 1)
+            pos[side] = [start + c * step for c in range(cnt[side])]
+        return cnt, pos
+
+    def _cclm_select_luma(self, x0, y0, avail_t, avail_l, cnt, pos):
+        """Downsampled luma at the picked neighbour positions
+        (cclm_select_luma, vvc_intra_template.c:96-165)."""
+        sps = self.sps
+        L = self.fb.planes[0].astype(np.int64)
+        hs, vs = sps.hshift[1], sps.vshift[1]
+        sel = []
+        if not hs and not vs:
+            for p in pos[0]:
+                sel.append(int(L[y0 - avail_t, x0 + p]))
+            for p in pos[1]:
+                sel.append(int(L[y0 + p, x0 - avail_l]))
+            return sel
+        b_ctu_boundary = not (y0 & ((1 << sps.ctb_log2_size_y) - 1))
+        coll = sps.r.sps_chroma_vertical_collocated_flag
+        for p in pos[0]:  # top row(s)
+            xx = p << hs
+            xl = x0 + xx - 1 if (xx or avail_l) else x0 + xx
+            if vs and not b_ctu_boundary:
+                yb = y0 - 2
+                if coll:
+                    v = (L[yb - 1, x0 + xx] + L[yb, xl] + 4 * L[yb, x0 + xx]
+                         + L[yb, x0 + xx + 1] + L[yb + 1, x0 + xx] + 4) >> 3
+                else:
+                    v = (L[yb, xl] + L[yb + 1, xl]
+                         + 2 * (L[yb, x0 + xx] + L[yb + 1, x0 + xx])
+                         + L[yb, x0 + xx + 1] + L[yb + 1, x0 + xx + 1] + 4) >> 3
+                sel.append(int(v))
+            else:
+                yb = y0 - 1
+                sel.append(int((L[yb, xl] + 2 * L[yb, x0 + xx]
+                                + L[yb, x0 + xx + 1] + 2) >> 2))
+        x_src = x0 - (1 + hs) * avail_l   # left column pair origin
+        x_l = x_src - avail_l
+        for p in pos[1]:  # left column
+            yy = y0 + (p << vs)
+            if not vs:
+                v = (L[yy, x_l] + 2 * L[yy, x_src] + L[yy, x_src + 1] + 2) >> 2
+            elif coll:
+                t = L[yy - 1, x_src] if ((p << vs) or avail_t) else L[yy, x_src]
+                v = (L[yy, x_l] + t + 4 * L[yy, x_src]
+                     + L[yy, x_src + 1] + L[yy + 1, x_src] + 4) >> 3
+            else:
+                v = (L[yy, x_l] + L[yy + 1, x_l] + 2 * L[yy, x_src]
+                     + 2 * L[yy + 1, x_src] + L[yy, x_src + 1]
+                     + L[yy + 1, x_src + 1] + 4) >> 3
+            sel.append(int(v))
+        return sel
+
+    def _cclm_params(self, cu, x0, y0, w, h, avail_t, avail_l):
+        """Per-component (a, b, k) from the 4-sample min/max groups
+        (cclm_get_params, vvc_intra_template.c:239-282)."""
+        sps = self.sps
+        bd = sps.bit_depth
+        hs, vs = sps.hshift[1], sps.vshift[1]
+        x, y = x0 >> hs, y0 >> vs
+        sp = self._cclm_select_pos(cu, x, y, w, h, avail_t, avail_l)
+        if sp is None:
+            return [(0, 1 << (bd - 1), 0), (0, 1 << (bd - 1), 0)]
+        cnt, pos = sp
+        sel_y = self._cclm_select_luma(x0, y0, avail_t, avail_l, cnt, pos)
+        sel_c = [[], []]
+        for i, c in enumerate((1, 2)):
+            C = self.fb.planes[c]
+            for p in pos[0]:
+                sel_c[i].append(int(C[y - 1, x + p]))
+            for p in pos[1]:
+                sel_c[i].append(int(C[y + p, x - 1]))
+        if cnt[0] + cnt[1] == 2:
+            # duplicate the 2 pairs into 4 slots, swapped
+            sel_y = [sel_y[1], sel_y[0], sel_y[1], sel_y[0]]
+            sel_c = [[s[1], s[0], s[1], s[0]] for s in sel_c]
+        # two-min / two-max grouping sort network (cclm_get_min_max)
+        mn, mx = [0, 2], [1, 3]
+        if sel_y[mn[0]] > sel_y[mn[1]]:
+            mn = [mn[1], mn[0]]
+        if sel_y[mx[0]] > sel_y[mx[1]]:
+            mx = [mx[1], mx[0]]
+        if sel_y[mn[0]] > sel_y[mx[1]]:
+            mn, mx = mx, mn
+        if sel_y[mn[1]] > sel_y[mx[0]]:
+            mn[1], mx[0] = mx[0], mn[1]
+        min_y = (sel_y[mn[0]] + sel_y[mn[1]] + 1) >> 1
+        max_y = (sel_y[mx[0]] + sel_y[mx[1]] + 1) >> 1
+        out = []
+        diff = max_y - min_y
+        div_sig = (0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0)
+        for s in sel_c:
+            min_c = (s[mn[0]] + s[mn[1]] + 1) >> 1
+            max_c = (s[mx[0]] + s[mx[1]] + 1) >> 1
+            if diff == 0:
+                out.append((0, min_c, 0))
+                continue
+            diffc = max_c - min_c
+            xsh = diff.bit_length() - 1
+            norm_diff = ((diff << 4) >> xsh) & 15
+            xsh += 1 if norm_diff else 0
+            ysh = (abs(diffc).bit_length()) if diffc else 0
+            v = div_sig[norm_diff] | 8
+            add = (1 << ysh) >> 1
+            a = (diffc * v + add) >> ysh
+            k = max(1, 3 + xsh - ysh)
+            if 3 + xsh - ysh < 1:
+                a = 15 if a > 0 else (-15 if a < 0 else 0)
+            b = min_c - ((a * min_y) >> k)
+            out.append((a, b, k))
+        return out
 
     def _edge_params(self, cu, plane, x, y, w, h, c_idx, is_mip, mode,
                      ref_idx, pdpc):

@@ -14,14 +14,14 @@ pytestmark = pytest.mark.skipif(not have_oracle(),
                                 reason="oracle not built")
 
 
-def _forge(level, seed=0, w=64, h=64, qp=32, deblock=False):
+def _forge(level, seed=0, w=64, h=64, qp=32, deblock=False, **sps_kw):
     from forge import (build_sps, build_pps, forge_frame, FlatPolicy,
                        FuzzPolicy, write_nal, write_sps, write_pps, NalType)
     if level == 0:
-        sps_r = build_sps(w, h, min_qt_log2=5, max_mtt_depth=0)
+        sps_r = build_sps(w, h, min_qt_log2=5, max_mtt_depth=0, **sps_kw)
         policy = FlatPolicy()
     else:
-        sps_r = build_sps(w, h, min_qt_log2=2, max_mtt_depth=2)
+        sps_r = build_sps(w, h, min_qt_log2=2, max_mtt_depth=2, **sps_kw)
         policy = FuzzPolicy(seed)
     kw = {}
     if not deblock:
@@ -58,6 +58,13 @@ def test_l1_intra_fuzz(seed, w, h, qp, tmp_path):
 @pytest.mark.parametrize("seed,qp", [(1, 32), (4, 38)])
 def test_l2_deblock(seed, qp, tmp_path):
     _check(_forge(1, seed, 64, 64, qp, deblock=True), tmp_path)
+
+
+@pytest.mark.parametrize("seed,vert_coll", [(1, 1), (2, 0), (7, 1)])
+def test_l1_cclm(seed, vert_coll, tmp_path):
+    """CCLM chroma prediction (8.4.5.2.14), collocated & midpoint filters."""
+    _check(_forge(1, seed, 64, 64, 30, sps_cclm_enabled_flag=1,
+                  sps_chroma_vertical_collocated_flag=vert_coll), tmp_path)
 
 
 def _check_stream(stream, tmp_path, n_frames):

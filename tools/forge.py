@@ -143,6 +143,10 @@ class FuzzPolicy:
             return r.randrange(0, 67)
         if tag == "intra_chroma_mode":
             return r.randrange(0, 5)
+        if tag == "cclm_mode_flag":
+            return int(r.random() < 0.6)
+        if tag == "cclm_mode_idx":
+            return r.randrange(3)
         if tag == "tu_y_coded":
             return self._gen_coeffs(ctx, 0)
         if tag == "tu_cb_coded":
