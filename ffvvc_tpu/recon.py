@@ -19,6 +19,7 @@ from .ctu import (MODE_INTRA, MODE_IBC, MODE_PLT, INTRA_PLANAR, INTRA_DC,
                   ISP_NO_SPLIT, ISP_HOR_SPLIT,
                   ISP_VER_SPLIT, DUAL_TREE_CHROMA, DUAL_TREE_LUMA, SINGLE_TREE,
                   LUMA, CB, CR, JCBCR, MTS_DCT2_DCT2)
+from .native import intra as _intra_native
 from .ops import data as D
 from .residual import ilog2
 
@@ -123,6 +124,9 @@ class Reconstructor:
         self.nbr = nbr  # CtuCoder-like neighbour context (flags per CTU)
         self.ras = [[], []]  # reconstructed areas per ch_type, per CTU
         self.cu = None
+        self._ilib = _intra_native.load_lib()
+        self._fc_filt = np.ascontiguousarray(D.intra_filter(0))
+        self._fg_filt = np.ascontiguousarray(D.intra_filter(1))
 
     # --- CTU walk ----------------------------------------------------------
 
@@ -336,8 +340,31 @@ class Reconstructor:
         ref_idx = 0 if c_idx else cu.intra_luma_ref_idx
         pdpc = need_pdpc(w, h, cu.bdpcm_flag[c_idx], mode, ref_idx) \
             if not is_mip else 0
-        left, top, filter_flag = self._edge_params(
-            cu, plane, x, y, w, h, c_idx, is_mip, mode, ref_idx, pdpc)
+        geom = self._edge_geometry(cu, w, h, c_idx, is_mip, mode, ref_idx,
+                                   pdpc)
+        (rff, filter_smoothing, ref_line, refw, refh,
+         left_size, top_size, unf_left, unf_top, angle, inv_angle) = geom
+        left_avail = self.get_left_available(x, y, unf_left, c_idx)
+        top_avail = self.get_top_available(x, y, unf_top, c_idx)
+        cand_up_left = self.nbr.na.cand_up_left
+        filter_flag = self._filter_flag(cu, w, h, is_mip, mode, rff, ref_idx)
+        if (self._ilib is not None and not is_mip and w <= 64 and h <= 64
+                and plane.dtype == np.int32 and plane.flags.c_contiguous):
+            nscale = nscale_derive(w, h, mode) \
+                if pdpc and mode not in (INTRA_PLANAR, INTRA_DC,
+                                         INTRA_VERT, INTRA_HORZ) else 0
+            self._ilib.vvc_intra_pred(
+                _intra_native.as_i32p(plane), plane.shape[1], x, y, w, h,
+                c_idx, mode, ref_idx, pdpc, int(rff and filter_smoothing),
+                left_size, top_size, unf_left, unf_top, refw, refh,
+                angle, inv_angle, filter_flag, nscale,
+                left_avail, top_avail, int(bool(cand_up_left)),
+                self.sps.bit_depth, _intra_native.as_i32p(self._fc_filt),
+                _intra_native.as_i32p(self._fg_filt))
+            return
+        left, top = self._edge_params(
+            cu, plane, x, y, w, h, c_idx, is_mip, mode, ref_idx, geom,
+            left_avail, top_avail, cand_up_left)
         if is_mip:
             out = self._pred_mip(plane, left, top, x, y, w, h,
                                  int(self.tabs.imm[yc4, xc4]),
@@ -546,9 +573,9 @@ class Reconstructor:
             out.append((a, b, k))
         return out
 
-    def _edge_params(self, cu, plane, x, y, w, h, c_idx, is_mip, mode,
-                     ref_idx, pdpc):
-        """prepare_intra_edge_params (vvc_intra_template.c:467)."""
+    def _edge_geometry(self, cu, w, h, c_idx, is_mip, mode, ref_idx, pdpc):
+        """Scalar prologue of prepare_intra_edge_params: reference-array
+        sizes and angle parameters (vvc_intra_template.c:467-520)."""
         sps = self.sps
         rff = 0 if is_mip else int(ref_filter_flag(mode))
         filter_smoothing = (not ref_idx and w * h > 32 and not c_idx and
@@ -580,19 +607,36 @@ class Reconstructor:
             inv_angle = intra_inv_angle(angle)
             unf_top = top_size = refw
             unf_left = left_size = refh
+        return (rff, filter_smoothing, ref_line, refw, refh,
+                left_size, top_size, unf_left, unf_top, angle, inv_angle)
+
+    def _filter_flag(self, cu, w, h, is_mip, mode, rff, ref_idx):
+        """Interpolation-filter selection flag for angular modes."""
+        if is_mip or mode in (INTRA_PLANAR, INTRA_DC):
+            return 0
+        if rff or ref_idx or cu.isp_split_type != ISP_NO_SPLIT:
+            return 0
+        min_dist = min(abs(mode - 50), abs(mode - 18))
+        thres = (24, 14, 2, 0, 0)
+        ntbs = (ilog2(w) + ilog2(h)) >> 1
+        return int(min_dist > thres[ntbs - 2])
+
+    def _edge_params(self, cu, plane, x, y, w, h, c_idx, is_mip, mode,
+                     ref_idx, geom, left_avail, top_avail, cand_up_left):
+        """prepare_intra_edge_params (vvc_intra_template.c:467)."""
+        sps = self.sps
+        (rff, filter_smoothing, ref_line, refw, refh,
+         left_size, top_size, unf_left, unf_top, angle, inv_angle) = geom
         # gather with offset arrays: index 0 == position 0; negative via dict
         PAD = 68
         left = np.zeros(PAD + 2 * 64 + 16, dtype=np.int64)
         top = np.zeros(PAD + 2 * 64 + 16, dtype=np.int64)
         L = lambda i: PAD + i
 
-        left_avail = self.get_left_available(x, y, unf_left, c_idx)
         for i in range(left_avail):
             left[L(i)] = plane[y + i, x + ref_line]
-        top_avail = self.get_top_available(x, y, unf_top, c_idx)
         if top_avail:
             top[L(0):L(top_avail)] = plane[y + ref_line, x:x + top_avail]
-        cand_up_left = self.nbr.na.cand_up_left
         for i in range(-1, ref_line - 1, -1):
             if cand_up_left:
                 left[L(i)] = plane[y + i, x + ref_line]
@@ -624,34 +668,26 @@ class Reconstructor:
                 ft[L(top_size - 1)] = top[L(top_size - 1)]
                 fl[L(left_size - 1)] = left[L(left_size - 1)]
             left, top = fl, ft
-        filter_flag = 0
-        if not is_mip and mode not in (INTRA_PLANAR, INTRA_DC):
-            if rff or ref_idx or cu.isp_split_type != ISP_NO_SPLIT:
-                filter_flag = 0
-            else:
-                min_dist = min(abs(mode - 50), abs(mode - 18))
-                thres = (24, 14, 2, 0, 0)
-                ntbs = (ilog2(w) + ilog2(h)) >> 1
-                filter_flag = int(min_dist > thres[ntbs - 2])
-            if mode not in (INTRA_VERT, INTRA_HORZ):
-                if mode >= INTRA_DIAG:
-                    if angle < 0:
-                        for xx in range(-h, 0):
-                            idx = -1 - ref_idx + min((xx * inv_angle + 256) >> 9, h)
-                            top[L(xx - (ref_idx + 1))] = left[L(idx)]
-                    else:
-                        for i in range(refw, refw + max(1, w // h) * ref_idx + 2):
-                            top[L(i)] = top[L(refw - 1)]
+        if not is_mip and mode not in (INTRA_PLANAR, INTRA_DC,
+                                       INTRA_VERT, INTRA_HORZ):
+            if mode >= INTRA_DIAG:
+                if angle < 0:
+                    for xx in range(-h, 0):
+                        idx = -1 - ref_idx + min((xx * inv_angle + 256) >> 9, h)
+                        top[L(xx - (ref_idx + 1))] = left[L(idx)]
                 else:
-                    if angle < 0:
-                        for xx in range(-w, 0):
-                            idx = -1 - ref_idx + min((xx * inv_angle + 256) >> 9, w)
-                            left[L(xx - (ref_idx + 1))] = top[L(idx)]
-                    else:
-                        for i in range(refh, refh + max(1, h // w) * ref_idx + 2):
-                            left[L(i)] = left[L(refh - 1)]
+                    for i in range(refw, refw + max(1, w // h) * ref_idx + 2):
+                        top[L(i)] = top[L(refw - 1)]
+            else:
+                if angle < 0:
+                    for xx in range(-w, 0):
+                        idx = -1 - ref_idx + min((xx * inv_angle + 256) >> 9, w)
+                        left[L(xx - (ref_idx + 1))] = top[L(idx)]
+                else:
+                    for i in range(refh, refh + max(1, h // w) * ref_idx + 2):
+                        left[L(i)] = left[L(refh - 1)]
         # return views offset so that index [PAD] == 0
-        return _OffsetArray(left, PAD), _OffsetArray(top, PAD), filter_flag
+        return _OffsetArray(left, PAD), _OffsetArray(top, PAD)
 
     def _pred_planar(self, left, top, w, h):
         logw, logh = ilog2(w), ilog2(h)
