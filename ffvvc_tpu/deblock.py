@@ -93,6 +93,14 @@ class Deblocker:
         self.horizontal_q = g()
         self.pixel_max = (1 << sps.bit_depth) - 1
         self.lib = _native.load_lib()
+        if sps.num_ladf_intervals:
+            self._ladf_offsets = np.ascontiguousarray(
+                sps.r.sps_ladf_qp_offset, dtype=np.int32)
+            self._ladf_bounds = np.ascontiguousarray(
+                sps.ladf_interval_lower_bound, dtype=np.int32)
+        else:
+            self._ladf_offsets = self._ladf_bounds = \
+                np.zeros(1, dtype=np.int32)
 
     # --- frame entry --------------------------------------------------------
 
@@ -134,10 +142,42 @@ class Deblocker:
             if vertical:
                 grid = (CHROMA_GRID << hs) if c_idx else LUMA_GRID
                 step = DEBLOCK_STEP << vs
-                n = DEBLOCK_STEP >> (2 - vs) if c_idx else 2
-                if not c_idx:
-                    n = DEBLOCK_STEP >> 2
+                n = DEBLOCK_STEP >> (2 - vs) if c_idx else DEBLOCK_STEP >> 2
                 bs_tab = self.vertical_bs[c_idx]
+            else:
+                grid = (CHROMA_GRID << vs) if c_idx else LUMA_GRID
+                step = DEBLOCK_STEP << hs
+                n = DEBLOCK_STEP >> (2 - hs) if c_idx else DEBLOCK_STEP >> 2
+                bs_tab = self.horizontal_bs[c_idx]
+            plane = self.fb.planes[c_idx]
+            lib = self.lib
+            if lib is not None and plane.dtype == np.int32 and \
+                    plane.flags.c_contiguous:
+                if c_idx == 0:
+                    mlp_tab = self.vertical_p if vertical else \
+                        self.horizontal_p
+                    mlq_tab = self.vertical_q if vertical else \
+                        self.horizontal_q
+                    tb_tab = mlp_tab  # unused for luma
+                else:
+                    mlp_tab = mlq_tab = bs_tab  # unused for chroma
+                    tb_tab = tabs.tb_width[1] if vertical else \
+                        tabs.tb_height[1]
+                lib.deblock_ctb_edges(
+                    _native.as_i32p(plane), plane.shape[1], c_idx,
+                    int(vertical), x0, y0, x_end, y_end, grid, step, n,
+                    hs, vs, sps.ctb_size_y,
+                    _native.as_i32p(bs_tab), _native.as_i32p(mlp_tab),
+                    _native.as_i32p(mlq_tab), _native.as_i32p(tb_tab),
+                    _native.as_i32p(tabs.qp[c_idx]), tabs.w4,
+                    beta_off, tc_off, sps.qp_bd_offset, sps.bit_depth,
+                    self.pixel_max, sps.num_ladf_intervals,
+                    int(getattr(sps.r, "sps_ladf_lowest_interval_qp_offset",
+                                0) or 0),
+                    _native.as_i32p(self._ladf_offsets),
+                    _native.as_i32p(self._ladf_bounds))
+                continue
+            if vertical:
                 for y in range(y0, y_end, step):
                     x = x0 if x0 else grid
                     while x < x_end:
@@ -145,10 +185,6 @@ class Deblocker:
                                           beta_off, tc_off, bs_tab, False)
                         x += grid
             else:
-                grid = (CHROMA_GRID << vs) if c_idx else LUMA_GRID
-                step = DEBLOCK_STEP << hs
-                n = DEBLOCK_STEP >> (2 - hs) if c_idx else DEBLOCK_STEP >> 2
-                bs_tab = self.horizontal_bs[c_idx]
                 for y in range(y0, y_end, grid):
                     if y == 0:
                         continue

@@ -44,6 +44,16 @@ def load_lib():
         _I32P, _I32P, _I32P, _I32P,
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.deblock_filter_chroma.restype = None
+    lib.deblock_ctb_edges.argtypes = [
+        _I32P, ctypes.c_long, ctypes.c_int, ctypes.c_int,        # plane c v
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # x0 y0 ends
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,                # grid step n
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,                # hs vs ctb
+        _I32P, _I32P, _I32P, _I32P, _I32P, ctypes.c_int,         # tabs, w4
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # offs qbd bd
+        ctypes.c_int,                                            # pixel max
+        ctypes.c_int, ctypes.c_int, _I32P, _I32P]                # ladf
+    lib.deblock_ctb_edges.restype = None
     return lib
 
 

@@ -326,3 +326,130 @@ void deblock_filter_chroma(int32_t *plane, long stride, int px, int py,
             chroma_weak(e, size, tc, mx);
     }
 }
+
+/* ---- per-CTB edge driver (golden model: deblock.py deblock_ctb /
+ * _filter_edge / _edge_qp / _ladf_qp_offset / _max_filter_length).
+ * Reference analogue: /root/reference/libavcodec/vvc/vvc_filter.c:861-1000. */
+
+static const int TC_TABLE_C[66] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 3, 4, 4, 4, 4, 5, 5, 5, 5, 7, 7, 8, 9, 10,
+    10, 11, 13, 14, 15, 17, 19, 21, 24, 25, 29, 33, 36, 41, 45, 51,
+    57, 64, 71, 80, 89, 100, 112, 125, 141, 157, 177, 198, 222, 250, 280, 314,
+    352, 395};
+static const int BETA_TABLE_C[64] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24,
+    26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56,
+    58, 60, 62, 64, 66, 68, 70, 72, 74, 76, 78, 80, 82, 84, 86, 88};
+
+static int ladf_qp_offset_c(const int32_t *luma, long lstride, int x, int y,
+                            int vertical, int n_ladf, int ladf_lowest,
+                            const int32_t *ladf_offsets,
+                            const int32_t *ladf_bounds)
+{
+    int level;
+    if (vertical)
+        level = (luma[(long)y * lstride + x - 1] +
+                 luma[(long)(y + 3) * lstride + x - 1] +
+                 luma[(long)y * lstride + x] +
+                 luma[(long)(y + 3) * lstride + x]) >> 2;
+    else
+        level = (luma[(long)(y - 1) * lstride + x] +
+                 luma[(long)(y - 1) * lstride + x + 3] +
+                 luma[(long)y * lstride + x] +
+                 luma[(long)y * lstride + x + 3]) >> 2;
+    int qp_offset = ladf_lowest;
+    for (int i = 0; i < n_ladf - 1; i++) {
+        if (level <= ladf_bounds[i + 1])
+            break;
+        qp_offset = ladf_offsets[i];
+    }
+    return qp_offset;
+}
+
+void deblock_ctb_edges(
+    int32_t *plane, long stride, int c_idx, int vertical,
+    int x0, int y0, int x_end, int y_end,
+    int grid, int step, int n, int hs, int vs, int ctb_size,
+    const int32_t *bs_tab, const int32_t *mlp_tab, const int32_t *mlq_tab,
+    const int32_t *tb_size_tab, const int32_t *qp_map, int w4,
+    int beta_off, int tc_off, int qp_bd_offset, int bd, int mx,
+    int n_ladf, int ladf_lowest, const int32_t *ladf_offsets,
+    const int32_t *ladf_bounds)
+{
+    int dx = vertical ? 1 : 0, dy = vertical ? 0 : 1;
+    int ys = vertical ? step : grid;
+    for (int y = y0; y < y_end; y += ys) {
+        int hor_ctu_edge = !vertical && (y % ctb_size) == 0;
+        if (!vertical && y == 0)
+            continue;
+        int x = x0;
+        int xs;
+        if (vertical) {
+            if (!x0)
+                x = grid;
+            xs = grid;
+        } else {
+            xs = step;
+        }
+        for (; x < x_end; x += xs) {
+            int32_t bs[4], beta[4], tc[4], mlp[4], mlq[4];
+            int all_zero = 1;
+            for (int i = 0; i < n; i++) {
+                int d = i << 2;
+                int pos_x = vertical ? x : x + d;
+                int pos_y = vertical ? y + d : y;
+                int in_range = vertical ? pos_y < y_end : pos_x < x_end;
+                bs[i] = in_range ? bs_tab[(pos_y >> 2) * w4 + (pos_x >> 2)]
+                                 : 0;
+                beta[i] = tc[i] = mlp[i] = mlq[i] = 0;
+                if (!bs[i])
+                    continue;
+                int qp;
+                int qp_p = qp_map[((pos_y - dy) >> 2) * w4 +
+                                  ((pos_x - dx) >> 2)];
+                int qp_q = qp_map[(pos_y >> 2) * w4 + (pos_x >> 2)];
+                if (c_idx == 0) {
+                    qp = (qp_p + qp_q + 1) >> 1;
+                    if (n_ladf)
+                        qp += ladf_qp_offset_c(plane, stride, pos_x, pos_y,
+                                               vertical, n_ladf, ladf_lowest,
+                                               ladf_offsets, ladf_bounds);
+                } else {
+                    qp = (qp_p + qp_q - 2 * qp_bd_offset + 1) >> 1;
+                }
+                beta[i] = BETA_TABLE_C[iclip(qp + beta_off, 0, 63)];
+                tc[i] = TC_TABLE_C[iclip(qp + 2 * (bs[i] - 1) + (tc_off & -2),
+                                         0, 65)];
+                if (c_idx == 0) {
+                    mlp[i] = mlp_tab[(pos_y >> 2) * w4 + (pos_x >> 2)];
+                    mlq[i] = mlq_tab[(pos_y >> 2) * w4 + (pos_x >> 2)];
+                } else {
+                    int ppx = vertical ? pos_x - 1 : pos_x;
+                    int ppy = vertical ? pos_y : pos_y - 1;
+                    int size_p = tb_size_tab[(ppy >> 2) * w4 + (ppx >> 2)];
+                    int size_q = tb_size_tab[(pos_y >> 2) * w4 +
+                                             (pos_x >> 2)];
+                    if (size_p >= 8 && size_q >= 8) {
+                        mlp[i] = hor_ctu_edge ? 1 : 3;
+                        mlq[i] = 3;
+                    } else {
+                        mlp[i] = mlq[i] = bs[i] == 2;
+                    }
+                }
+                all_zero = 0;
+            }
+            if (all_zero)
+                continue;
+            int px = x >> hs, py = y >> vs;
+            if (c_idx == 0)
+                deblock_filter_luma(plane, stride, px, py, vertical,
+                                    beta, tc, mlp, mlq, hor_ctu_edge, bd, mx);
+            else
+                deblock_filter_chroma(plane, stride, px, py, vertical,
+                                      beta, tc, mlp, mlq,
+                                      vertical ? vs : hs, bd, mx);
+        }
+    }
+}
