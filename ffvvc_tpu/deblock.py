@@ -101,11 +101,75 @@ class Deblocker:
         else:
             self._ladf_offsets = self._ladf_bounds = \
                 np.zeros(1, dtype=np.int32)
+        p = _native.as_i32p
+        self._ptr = {
+            "planes": [p(pl) if pl.dtype == np.int32 and
+                       pl.flags.c_contiguous else None for pl in fb.planes],
+            "vbs": [p(t) for t in self.vertical_bs],
+            "hbs": [p(t) for t in self.horizontal_bs],
+            "vp": p(self.vertical_p), "vq": p(self.vertical_q),
+            "hp": p(self.horizontal_p), "hq": p(self.horizontal_q),
+            "qp": [p(t) for t in tabs.qp[:3]],
+            "tbw": p(tabs.tb_width[1]), "tbh": p(tabs.tb_height[1]),
+            "ladf_off": p(self._ladf_offsets),
+            "ladf_bnd": p(self._ladf_bounds),
+        }
 
     # --- frame entry --------------------------------------------------------
 
+    def _build_bs_ctx(self):
+        """Assemble the native BsCtx over the frame's tab planes + RPL POCs
+        (valid for one frame; slice_rpls must be final)."""
+        import ctypes as ct
+        sps, pps, tabs = self.sps, self.pps, self.tabs
+        needed = [tabs.tu_coded_flag[0], tabs.tu_joint_cbcr, tabs.msf]
+        if any(a.dtype != np.int32 or not a.flags.c_contiguous
+               for a in needed):
+            return None
+        n = max(1, len(self.slice_rpls))
+        rp = np.zeros((n, 2, 17), dtype=np.int32)
+        for si, rpl in enumerate(self.slice_rpls):
+            for lx in (0, 1):
+                pl = list(rpl[lx].poc_list)
+                rp[si, lx, :len(pl)] = pl
+        self._rpl_poc = rp  # keep alive
+        p32 = lambda a: _native.as_ptr(a, _native._I32P)
+        ctx = _native.BsCtx(
+            tb_pos_x0=p32(tabs.tb_pos_x[0]), tb_pos_y0=p32(tabs.tb_pos_y[0]),
+            tb_w0=p32(tabs.tb_width[0]), tb_h0=p32(tabs.tb_height[0]),
+            tb_pos_x1=p32(tabs.tb_pos_x[1]), tb_pos_y1=p32(tabs.tb_pos_y[1]),
+            tb_w1=p32(tabs.tb_width[1]), tb_h1=p32(tabs.tb_height[1]),
+            mvf_pf=_native.as_ptr(tabs.mvf_pf, _native._U8P),
+            mvf_ciip=_native.as_ptr(tabs.mvf_ciip, _native._I8P),
+            mvf_mv=p32(tabs.mvf_mv),
+            mvf_ref=_native.as_ptr(tabs.mvf_ref, _native._I8P),
+            tu_coded0=p32(tabs.tu_coded_flag[0]),
+            tu_coded1=p32(tabs.tu_coded_flag[1]),
+            tu_coded2=p32(tabs.tu_coded_flag[2]),
+            tu_joint=p32(tabs.tu_joint_cbcr),
+            pcmf0=p32(tabs.pcmf[0]), pcmf1=p32(tabs.pcmf[1]),
+            cb_pos_x=p32(tabs.cb_pos_x[0]), cb_pos_y=p32(tabs.cb_pos_y[0]),
+            cb_w=p32(tabs.cb_width[0]), cb_h=p32(tabs.cb_height[0]),
+            msf=p32(tabs.msf), iaf=p32(tabs.iaf),
+            slice_idx=p32(tabs.slice_idx), rpl_poc=p32(rp),
+            vbs0=p32(self.vertical_bs[0]), vbs1=p32(self.vertical_bs[1]),
+            vbs2=p32(self.vertical_bs[2]),
+            hbs0=p32(self.horizontal_bs[0]), hbs1=p32(self.horizontal_bs[1]),
+            hbs2=p32(self.horizontal_bs[2]),
+            vp=p32(self.vertical_p), vq=p32(self.vertical_q),
+            hp=p32(self.horizontal_p), hq=p32(self.horizontal_q),
+            w4=tabs.w4, h4=tabs.h4, max_refs=17,
+            ctb_size=sps.ctb_size_y, ctb_log2=sps.ctb_log2_size_y,
+            ctb_width=pps.ctb_width, pic_w=pps.width, pic_h=pps.height,
+            lf_slices=int(pps.r.pps_loop_filter_across_slices_enabled_flag),
+            lf_tiles=int(pps.r.pps_loop_filter_across_tiles_enabled_flag),
+            hs1=sps.hshift[1], vs1=sps.vshift[1],
+            chroma=int(bool(sps.chroma_format_idc)))
+        return ctx
+
     def deblock_frame(self):
         pps = self.pps
+        self._bs_ctx = self._build_bs_ctx() if self.lib is not None else None
         for vertical in (True, False):
             for ry in range(pps.ctb_height):
                 for rx in range(pps.ctb_width):
@@ -126,10 +190,17 @@ class Deblocker:
         return left_tile, left_slice, up_tile, up_slice
 
     def deblock_ctb(self, rx, ry, vertical):
+        import ctypes as ct
         sps, pps = self.sps, self.pps
         ctb = sps.ctb_size_y
         x0, y0 = rx * ctb, ry * ctb
-        self._compute_bs(rx, ry, x0, y0, vertical)
+        if getattr(self, "_bs_ctx", None) is not None:
+            lt, ls, ut, us = self._boundary_flags(rx, ry)
+            self.lib.deblock_compute_bs(ct.byref(self._bs_ctx), x0, y0,
+                                        int(vertical), int(lt), int(ls),
+                                        int(ut), int(us))
+        else:
+            self._compute_bs(rx, ry, x0, y0, vertical)
         x_end = min(x0 + ctb, pps.width)
         y_end = min(y0 + ctb, pps.height)
         rs = ry * pps.ctb_width + rx
@@ -151,31 +222,27 @@ class Deblocker:
                 bs_tab = self.horizontal_bs[c_idx]
             plane = self.fb.planes[c_idx]
             lib = self.lib
-            if lib is not None and plane.dtype == np.int32 and \
-                    plane.flags.c_contiguous:
+            ptr = self._ptr
+            if lib is not None and ptr["planes"][c_idx] is not None:
+                bs_ptr = ptr["vbs" if vertical else "hbs"][c_idx]
                 if c_idx == 0:
-                    mlp_tab = self.vertical_p if vertical else \
-                        self.horizontal_p
-                    mlq_tab = self.vertical_q if vertical else \
-                        self.horizontal_q
-                    tb_tab = mlp_tab  # unused for luma
+                    mlp_ptr = ptr["vp"] if vertical else ptr["hp"]
+                    mlq_ptr = ptr["vq"] if vertical else ptr["hq"]
+                    tb_ptr = mlp_ptr  # unused for luma
                 else:
-                    mlp_tab = mlq_tab = bs_tab  # unused for chroma
-                    tb_tab = tabs.tb_width[1] if vertical else \
-                        tabs.tb_height[1]
+                    mlp_ptr = mlq_ptr = bs_ptr  # unused for chroma
+                    tb_ptr = ptr["tbw"] if vertical else ptr["tbh"]
                 lib.deblock_ctb_edges(
-                    _native.as_i32p(plane), plane.shape[1], c_idx,
+                    ptr["planes"][c_idx], plane.shape[1], c_idx,
                     int(vertical), x0, y0, x_end, y_end, grid, step, n,
                     hs, vs, sps.ctb_size_y,
-                    _native.as_i32p(bs_tab), _native.as_i32p(mlp_tab),
-                    _native.as_i32p(mlq_tab), _native.as_i32p(tb_tab),
-                    _native.as_i32p(tabs.qp[c_idx]), tabs.w4,
+                    bs_ptr, mlp_ptr, mlq_ptr, tb_ptr,
+                    ptr["qp"][c_idx], tabs.w4,
                     beta_off, tc_off, sps.qp_bd_offset, sps.bit_depth,
                     self.pixel_max, sps.num_ladf_intervals,
                     int(getattr(sps.r, "sps_ladf_lowest_interval_qp_offset",
                                 0) or 0),
-                    _native.as_i32p(self._ladf_offsets),
-                    _native.as_i32p(self._ladf_bounds))
+                    ptr["ladf_off"], ptr["ladf_bnd"])
                 continue
             if vertical:
                 for y in range(y0, y_end, step):

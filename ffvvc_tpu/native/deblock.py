@@ -17,6 +17,28 @@ _SO = os.path.join(_DIR, "libvvc_deblock.so")
 _SRC = os.path.join(_DIR, "vvc_deblock.c")
 
 _I32P = ctypes.POINTER(ctypes.c_int32)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_I8P = ctypes.POINTER(ctypes.c_int8)
+
+
+class BsCtx(ctypes.Structure):
+    """Mirror of BsCtx in vvc_deblock.c (field order must match)."""
+    _fields_ = (
+        [(n, _I32P) for n in
+         ("tb_pos_x0", "tb_pos_y0", "tb_w0", "tb_h0",
+          "tb_pos_x1", "tb_pos_y1", "tb_w1", "tb_h1")] +
+        [("mvf_pf", _U8P), ("mvf_ciip", _I8P), ("mvf_mv", _I32P),
+         ("mvf_ref", _I8P)] +
+        [(n, _I32P) for n in
+         ("tu_coded0", "tu_coded1", "tu_coded2", "tu_joint",
+          "pcmf0", "pcmf1", "cb_pos_x", "cb_pos_y", "cb_w", "cb_h",
+          "msf", "iaf", "slice_idx", "rpl_poc",
+          "vbs0", "vbs1", "vbs2", "hbs0", "hbs1", "hbs2",
+          "vp", "vq", "hp", "hq")] +
+        [(n, ctypes.c_int32) for n in
+         ("w4", "h4", "max_refs", "ctb_size", "ctb_log2", "ctb_width",
+          "pic_w", "pic_h", "lf_slices", "lf_tiles", "hs1", "vs1",
+          "chroma")])
 
 
 def _build():
@@ -54,7 +76,15 @@ def load_lib():
         ctypes.c_int,                                            # pixel max
         ctypes.c_int, ctypes.c_int, _I32P, _I32P]                # ladf
     lib.deblock_ctb_edges.restype = None
+    lib.deblock_compute_bs.argtypes = [
+        ctypes.POINTER(BsCtx), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.deblock_compute_bs.restype = None
     return lib
+
+
+def as_ptr(arr: np.ndarray, ptr_type):
+    return arr.ctypes.data_as(ptr_type)
 
 
 def as_i32p(arr: np.ndarray):

@@ -453,3 +453,334 @@ void deblock_ctb_edges(
         }
     }
 }
+
+/* ---- boundary-strength computation (golden model: deblock.py _compute_bs
+ * and helpers).  Reference: /root/reference/libavcodec/vvc/vvc_filter.c
+ * :308-620 (boundary_strength, vvc_deblock_bs_luma/chroma, subblock bs,
+ * derive_max_filter_length_luma). */
+
+typedef struct {
+    const int32_t *tb_pos_x0, *tb_pos_y0, *tb_w0, *tb_h0;
+    const int32_t *tb_pos_x1, *tb_pos_y1, *tb_w1, *tb_h1;
+    const uint8_t *mvf_pf;
+    const int8_t  *mvf_ciip;
+    const int32_t *mvf_mv;     /* [2][h4][w4][2] */
+    const int8_t  *mvf_ref;    /* [2][h4][w4] */
+    const int32_t *tu_coded0, *tu_coded1, *tu_coded2, *tu_joint;
+    const int32_t *pcmf0, *pcmf1;
+    const int32_t *cb_pos_x, *cb_pos_y, *cb_w, *cb_h;
+    const int32_t *msf, *iaf;
+    const int32_t *slice_idx;
+    const int32_t *rpl_poc;    /* [n_slices][2][max_refs] */
+    int32_t *vbs0, *vbs1, *vbs2, *hbs0, *hbs1, *hbs2;
+    int32_t *vp, *vq, *hp, *hq;
+    int32_t w4, h4, max_refs;
+    int32_t ctb_size, ctb_log2, ctb_width;
+    int32_t pic_w, pic_h;
+    int32_t lf_slices, lf_tiles;
+    int32_t hs1, vs1, chroma;
+} BsCtx;
+
+static inline long idx4(const BsCtx *c, int x, int y)
+{
+    return (long)(y >> 2) * c->w4 + (x >> 2);
+}
+
+static int is_intra_bs(const BsCtx *c, int x, int y)
+{
+    long i = idx4(c, x, y);
+    return c->mvf_pf[i] == 0 || c->mvf_ciip[i];
+}
+
+static int rpl_poc_at(const BsCtx *c, int x, int y, int lst, int ref)
+{
+    int si = c->slice_idx[(y >> c->ctb_log2) * c->ctb_width +
+                          (x >> c->ctb_log2)];
+    return c->rpl_poc[((long)si * 2 + lst) * c->max_refs + ref];
+}
+
+static inline int mv_far(const int *a, const int *b)
+{
+    return iabs(a[0] - b[0]) >= 8 || iabs(a[1] - b[1]) >= 8;
+}
+
+static int boundary_strength_bs(const BsCtx *c, int qx, int qy,
+                                int px, int py)
+{
+    long qi = idx4(c, qx, qy), pi = idx4(c, px, py);
+    long plane2 = (long)c->h4 * c->w4;
+    int cpf = c->mvf_pf[qi], npf = c->mvf_pf[pi];
+    int cmv[2][2], nmv[2][2];
+    for (int l = 0; l < 2; l++) {
+        cmv[l][0] = c->mvf_mv[(l * plane2 + qi) * 2];
+        cmv[l][1] = c->mvf_mv[(l * plane2 + qi) * 2 + 1];
+        nmv[l][0] = c->mvf_mv[(l * plane2 + pi) * 2];
+        nmv[l][1] = c->mvf_mv[(l * plane2 + pi) * 2 + 1];
+    }
+    if (cpf == 3 && npf == 3) {
+        int c0 = rpl_poc_at(c, qx, qy, 0, c->mvf_ref[qi]);
+        int c1 = rpl_poc_at(c, qx, qy, 1, c->mvf_ref[plane2 + qi]);
+        int n0 = rpl_poc_at(c, px, py, 0, c->mvf_ref[pi]);
+        int n1 = rpl_poc_at(c, px, py, 1, c->mvf_ref[plane2 + pi]);
+        if (c0 == n0 && c0 == c1 && n0 == n1) {
+            if ((mv_far(nmv[0], cmv[0]) || mv_far(nmv[1], cmv[1])) &&
+                (mv_far(nmv[1], cmv[0]) || mv_far(nmv[0], cmv[1])))
+                return 1;
+            return 0;
+        }
+        if (n0 == c0 && n1 == c1)
+            return (mv_far(nmv[0], cmv[0]) || mv_far(nmv[1], cmv[1])) ? 1 : 0;
+        if (n1 == c0 && n0 == c1)
+            return (mv_far(nmv[1], cmv[0]) || mv_far(nmv[0], cmv[1])) ? 1 : 0;
+        return 1;
+    }
+    if (cpf != 3 && npf != 3) {
+        const int *a, *b;
+        int ref_a, ref_b;
+        if (cpf & 1) { a = cmv[0]; ref_a = rpl_poc_at(c, qx, qy, 0, c->mvf_ref[qi]); }
+        else         { a = cmv[1]; ref_a = rpl_poc_at(c, qx, qy, 1, c->mvf_ref[plane2 + qi]); }
+        if (npf & 1) { b = nmv[0]; ref_b = rpl_poc_at(c, px, py, 0, c->mvf_ref[pi]); }
+        else         { b = nmv[1]; ref_b = rpl_poc_at(c, px, py, 1, c->mvf_ref[plane2 + pi]); }
+        if (ref_a == ref_b)
+            return mv_far(a, b) ? 1 : 0;
+        return 1;
+    }
+    return 1;
+}
+
+static int bs_inter_c(const BsCtx *c, int x, int y, int vertical)
+{
+    int dx = vertical ? 1 : 0, dy = vertical ? 0 : 1;
+    long q = idx4(c, x, y);
+    int cb_x = c->cb_pos_x[q], cb_y = c->cb_pos_y[q];
+    int has_sb = 0;
+    if (c->msf[q] || c->iaf[q]) {
+        int size = vertical ? c->cb_w[q] : c->cb_h[q];
+        has_sb = size > 8;
+    }
+    int off = vertical ? cb_x - x : cb_y - y;
+    if (off && ((off % 8) || !has_sb))
+        return 0;
+    return boundary_strength_bs(c, x, y, x - dx, y - dy);
+}
+
+static void max_len_luma_c(const BsCtx *c, int qx, int qy, int vertical,
+                           int has_sb, int *mlp, int *mlq)
+{
+    int px = vertical ? qx - 1 : qx;
+    int py = vertical ? qy : qy - 1;
+    const int32_t *tb_size = vertical ? c->tb_w0 : c->tb_h0;
+    int size_p = tb_size[idx4(c, px, py)];
+    int size_q = tb_size[idx4(c, qx, qy)];
+    if (size_p <= 4 || size_q <= 4) {
+        *mlp = *mlq = 1;
+        return;
+    }
+    int p = size_p >= 32 ? 7 : 3;
+    int q = size_q >= 32 ? 7 : 3;
+    if (has_sb && q > 5)
+        q = 5;
+    long pi = idx4(c, px, py);
+    if ((c->msf[pi] || c->iaf[pi]) && p > 5)
+        p = 5;
+    *mlp = p;
+    *mlq = q;
+}
+
+static void subblock_bs_c(const BsCtx *c, int cb_x, int cb_y, int x0, int y0,
+                          int width, int height, int vertical)
+{
+    if (vertical) {
+        int start = 8 - ((x0 - cb_x) % 8);
+        for (int j = 0; j < height; j += 4) {
+            int y = y0 + j;
+            for (int i = start; i < width; i += 8) {
+                int x = x0 + i;
+                int bs = boundary_strength_bs(c, x, y, x - 1, y);
+                long q = idx4(c, x, y);
+                c->vbs0[q] = bs;
+                int ml = (i == 4 || i == width - 4) ? 1 :
+                         ((i == 8 || i == width - 8) ? 2 : 3);
+                c->vp[q] = ml;
+                c->vq[q] = ml;
+            }
+        }
+    } else {
+        int start = 8 - ((y0 - cb_y) % 8);
+        for (int j = start; j < height; j += 8) {
+            int y = y0 + j;
+            for (int i = 0; i < width; i += 4) {
+                int x = x0 + i;
+                int bs = boundary_strength_bs(c, x, y, x, y - 1);
+                long q = idx4(c, x, y);
+                c->hbs0[q] = bs;
+                int ml = (j == 4 || j == height - 4) ? 1 :
+                         ((j == 8 || j == height - 8) ? 2 : 3);
+                c->hp[q] = ml;
+                c->hq[q] = ml;
+            }
+        }
+    }
+}
+
+static void bs_luma_c(const BsCtx *c, int x0, int y0, int width, int height,
+                      int vertical, int left_tile, int left_slice,
+                      int up_tile, int up_slice)
+{
+    int ctb_mask = c->ctb_size - 1;
+    long q4 = idx4(c, x0, y0);
+    int cb_x = c->cb_pos_x[q4], cb_y = c->cb_pos_y[q4];
+    int has_sb = 0;
+    if (c->mvf_pf[q4] != 0 && (c->msf[q4] || c->iaf[q4])) {
+        int size = vertical ? c->cb_w[q4] : c->cb_h[q4];
+        has_sb = size > 8;
+    }
+    if (vertical) {
+        int boundary = x0 > 0 && !(x0 & 3);
+        if (boundary &&
+            ((!c->lf_slices && left_slice && (x0 & ctb_mask) == 0) ||
+             (!c->lf_tiles && left_tile && (x0 & ctb_mask) == 0)))
+            boundary = 0;
+        if (!boundary) {
+            if (has_sb)
+                subblock_bs_c(c, cb_x, cb_y, x0, y0, width, height, 1);
+            return;
+        }
+        for (int i = 0; i < height; i += 4) {
+            int y = y0 + i;
+            int p_intra = is_intra_bs(c, x0 - 1, y);
+            int q_intra = is_intra_bs(c, x0, y);
+            long pi = idx4(c, x0 - 1, y), qi = idx4(c, x0, y);
+            int p_cbf = c->tu_coded0[pi], q_cbf = c->tu_coded0[qi];
+            int pcmf = c->pcmf0[pi] && c->pcmf0[qi];
+            int bs;
+            if (pcmf) bs = 0;
+            else if (p_intra || q_intra) bs = 2;
+            else if (p_cbf || q_cbf) bs = 1;
+            else bs = bs_inter_c(c, x0, y, 1);
+            c->vbs0[qi] = bs;
+            int mlp, mlq;
+            max_len_luma_c(c, x0, y, 1, has_sb, &mlp, &mlq);
+            c->vp[qi] = mlp;
+            c->vq[qi] = mlq;
+        }
+        if (has_sb)
+            subblock_bs_c(c, cb_x, cb_y, x0, y0, width, height, 1);
+    } else {
+        int boundary = y0 > 0 && !(y0 & 3);
+        if (boundary &&
+            ((!c->lf_slices && up_slice && (y0 & ctb_mask) == 0) ||
+             (!c->lf_tiles && up_tile && (y0 & ctb_mask) == 0)))
+            boundary = 0;
+        if (!boundary) {
+            if (has_sb)
+                subblock_bs_c(c, cb_x, cb_y, x0, y0, width, height, 0);
+            return;
+        }
+        for (int i = 0; i < width; i += 4) {
+            int x = x0 + i;
+            int p_intra = is_intra_bs(c, x, y0 - 1);
+            int q_intra = is_intra_bs(c, x, y0);
+            long pi = idx4(c, x, y0 - 1), qi = idx4(c, x, y0);
+            int p_cbf = c->tu_coded0[pi], q_cbf = c->tu_coded0[qi];
+            int pcmf = c->pcmf0[pi] && c->pcmf0[qi];
+            int bs;
+            if (pcmf) bs = 0;
+            else if (p_intra || q_intra) bs = 2;
+            else if (p_cbf || q_cbf) bs = 1;
+            else bs = bs_inter_c(c, x, y0, 0);
+            c->hbs0[qi] = bs;
+            int mlp, mlq;
+            max_len_luma_c(c, x, y0, 0, has_sb, &mlp, &mlq);
+            c->hp[qi] = mlp;
+            c->hq[qi] = mlq;
+        }
+        if (has_sb)
+            subblock_bs_c(c, cb_x, cb_y, x0, y0, width, height, 0);
+    }
+}
+
+static void bs_chroma_one_c(const BsCtx *c, int px, int py, int qx, int qy,
+                            int ex, int ey, int vertical)
+{
+    long p4 = idx4(c, px, py), q4 = idx4(c, qx, qy);
+    int pcmf = c->pcmf1[p4] && c->pcmf1[q4];
+    int p_intra = is_intra_bs(c, px, py);
+    int q_intra = is_intra_bs(c, qx, qy);
+    long e4 = idx4(c, ex, ey);
+    for (int ci = 1; ci <= 2; ci++) {
+        const int32_t *coded = ci == 1 ? c->tu_coded1 : c->tu_coded2;
+        int cbf = coded[p4] | coded[q4] | c->tu_joint[p4] | c->tu_joint[q4];
+        int bs;
+        if (pcmf) bs = 0;
+        else if (p_intra || q_intra) bs = 2;
+        else if (cbf) bs = 1;
+        else bs = 0;
+        if (vertical)
+            (ci == 1 ? c->vbs1 : c->vbs2)[e4] = bs;
+        else
+            (ci == 1 ? c->hbs1 : c->hbs2)[e4] = bs;
+    }
+}
+
+static void bs_chroma_c(const BsCtx *c, int x0, int y0, int width, int height,
+                        int vertical, int left_tile, int left_slice,
+                        int up_tile, int up_slice)
+{
+    int ctb_mask = c->ctb_size - 1;
+    if (vertical) {
+        int boundary = x0 > 0 && !(x0 & ((8 << c->hs1) - 1));
+        if (boundary &&
+            ((!c->lf_slices && left_slice && (x0 & ctb_mask) == 0) ||
+             (!c->lf_tiles && left_tile && (x0 & ctb_mask) == 0)))
+            boundary = 0;
+        if (!boundary)
+            return;
+        for (int i = 0; i < height; i += 2)
+            bs_chroma_one_c(c, x0 - 1, y0 + i, x0, y0 + i, x0, y0 + i, 1);
+    } else {
+        int boundary = y0 > 0 && !(y0 & ((8 << c->vs1) - 1));
+        if (boundary &&
+            ((!c->lf_slices && up_slice && (y0 & ctb_mask) == 0) ||
+             (!c->lf_tiles && up_tile && (y0 & ctb_mask) == 0)))
+            boundary = 0;
+        if (!boundary)
+            return;
+        for (int i = 0; i < width; i += 2)
+            bs_chroma_one_c(c, x0 + i, y0 - 1, x0 + i, y0, x0 + i, y0, 0);
+    }
+}
+
+void deblock_compute_bs(const BsCtx *c, int x0, int y0, int vertical,
+                        int left_tile, int left_slice,
+                        int up_tile, int up_slice)
+{
+    int x_end4 = (x0 + c->ctb_size < c->pic_w ? x0 + c->ctb_size
+                                              : c->pic_w) >> 2;
+    int y_end4 = (y0 + c->ctb_size < c->pic_h ? y0 + c->ctb_size
+                                              : c->pic_h) >> 2;
+    int n_ch = c->chroma ? 2 : 1;
+    for (int is_chroma = 0; is_chroma < n_ch; is_chroma++) {
+        const int32_t *tpx = is_chroma ? c->tb_pos_x1 : c->tb_pos_x0;
+        const int32_t *tpy = is_chroma ? c->tb_pos_y1 : c->tb_pos_y0;
+        const int32_t *tw = is_chroma ? c->tb_w1 : c->tb_w0;
+        const int32_t *th = is_chroma ? c->tb_h1 : c->tb_h0;
+        int hs = is_chroma ? c->hs1 : 0;
+        int vs = is_chroma ? c->vs1 : 0;
+        for (int y4 = y0 >> 2; y4 < y_end4; y4++) {
+            for (int x4 = x0 >> 2; x4 < x_end4; x4++) {
+                long i = (long)y4 * c->w4 + x4;
+                if ((tpx[i] >> 2) == x4 && (tpy[i] >> 2) == y4) {
+                    int w = tw[i] << hs;
+                    int h = th[i] << vs;
+                    if (is_chroma)
+                        bs_chroma_c(c, x4 << 2, y4 << 2, w, h, vertical,
+                                    left_tile, left_slice, up_tile, up_slice);
+                    else
+                        bs_luma_c(c, x4 << 2, y4 << 2, w, h, vertical,
+                                  left_tile, left_slice, up_tile, up_slice);
+                }
+            }
+        }
+    }
+}

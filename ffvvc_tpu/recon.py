@@ -127,6 +127,12 @@ class Reconstructor:
         self._ilib = _intra_native.load_lib()
         self._fc_filt = np.ascontiguousarray(D.intra_filter(0))
         self._fg_filt = np.ascontiguousarray(D.intra_filter(1))
+        self._fc_ptr = _intra_native.as_i32p(self._fc_filt)
+        self._fg_ptr = _intra_native.as_i32p(self._fg_filt)
+        self._plane_ptrs = [
+            _intra_native.as_i32p(p) if p.dtype == np.int32 and
+            p.flags.c_contiguous else None
+            for p in fb.planes]
 
     # --- CTU walk ----------------------------------------------------------
 
@@ -349,18 +355,17 @@ class Reconstructor:
         cand_up_left = self.nbr.na.cand_up_left
         filter_flag = self._filter_flag(cu, w, h, is_mip, mode, rff, ref_idx)
         if (self._ilib is not None and not is_mip and w <= 64 and h <= 64
-                and plane.dtype == np.int32 and plane.flags.c_contiguous):
+                and self._plane_ptrs[c_idx] is not None):
             nscale = nscale_derive(w, h, mode) \
                 if pdpc and mode not in (INTRA_PLANAR, INTRA_DC,
                                          INTRA_VERT, INTRA_HORZ) else 0
             self._ilib.vvc_intra_pred(
-                _intra_native.as_i32p(plane), plane.shape[1], x, y, w, h,
+                self._plane_ptrs[c_idx], plane.shape[1], x, y, w, h,
                 c_idx, mode, ref_idx, pdpc, int(rff and filter_smoothing),
                 left_size, top_size, unf_left, unf_top, refw, refh,
                 angle, inv_angle, filter_flag, nscale,
                 left_avail, top_avail, int(bool(cand_up_left)),
-                self.sps.bit_depth, _intra_native.as_i32p(self._fc_filt),
-                _intra_native.as_i32p(self._fg_filt))
+                self.sps.bit_depth, self._fc_ptr, self._fg_ptr)
             return
         left, top = self._edge_params(
             cu, plane, x, y, w, h, c_idx, is_mip, mode, ref_idx, geom,
