@@ -149,12 +149,19 @@ class NativeCabacDecoder:
         return self.c.pos
 
 
+_SCAN_KEEP = {}
+
+
 @functools.lru_cache(maxsize=256)
 def _scan_u8(w, h):
+    """(x, y) diagonal-scan component pointers as c_void_p; the backing
+    arrays are pinned in _SCAN_KEEP."""
     from ..ops.data import diag_scan
     s = diag_scan(w, h)
-    return (np.ascontiguousarray(s[:, 0].astype(np.uint8)),
-            np.ascontiguousarray(s[:, 1].astype(np.uint8)))
+    sx = np.ascontiguousarray(s[:, 0].astype(np.uint8))
+    sy = np.ascontiguousarray(s[:, 1].astype(np.uint8))
+    _SCAN_KEEP[(w, h)] = (sx, sy)
+    return (ctypes.c_void_p(sx.ctypes.data), ctypes.c_void_p(sy.ctypes.data))
 
 
 def decode_residual_regular_native(coder, tb, log2_zo_w, log2_zo_h):
@@ -163,29 +170,33 @@ def decode_residual_regular_native(coder, tb, log2_zo_w, log2_zo_h):
     e = coder.e
     if not isinstance(e, NativeCabacDecoder):
         return False
-    from .engine import CTX
-    sps = coder.sps
-    rsh = coder.sh.r
-    pp = _ResParams()
+    pp = getattr(coder, "_res_pp_native", None)
+    if pp is None:
+        # slice-constant fields filled once; per-TB fields set below
+        from .engine import CTX
+        sps = coder.sps
+        rsh = coder.sh.r
+        pp = _ResParams()
+        pp.dep_quant = rsh.sh_dep_quant_used_flag
+        pp.sdh = rsh.sh_sign_data_hiding_used_flag
+        pp.reverse_last = rsh.sh_reverse_last_sig_coeff_flag
+        pp.persistent_rice = sps.r.sps_persistent_rice_adaptation_enabled_flag
+        pp.rrc_rice_ext = sps.r.sps_rrc_rice_extension_flag
+        pp.bd_gt12 = int(sps.bit_depth > 12)
+        pp.is_i_slice = int(rsh.sh_slice_type == 2)
+        pp.log2_transform_range = coder.log2_transform_range
+        pp.ctx_sig = CTX.SIG_COEFF_FLAG
+        pp.ctx_last_x = CTX.LAST_SIG_COEFF_X_PREFIX
+        pp.ctx_last_y = CTX.LAST_SIG_COEFF_Y_PREFIX
+        pp.ctx_sb_coded = CTX.SB_CODED_FLAG
+        pp.ctx_gtx = CTX.ABS_LEVEL_GTX_FLAG
+        pp.ctx_par = CTX.PAR_LEVEL_FLAG
+        coder._res_pp_native = pp
     pp.w, pp.h = tb.w, tb.h
     pp.log2_w, pp.log2_h = tb.log2_w, tb.log2_h
     pp.c_idx = tb.c_idx
     pp.log2_zo_w, pp.log2_zo_h = log2_zo_w, log2_zo_h
     pp.ts = tb.ts
-    pp.dep_quant = rsh.sh_dep_quant_used_flag
-    pp.sdh = rsh.sh_sign_data_hiding_used_flag
-    pp.reverse_last = rsh.sh_reverse_last_sig_coeff_flag
-    pp.persistent_rice = sps.r.sps_persistent_rice_adaptation_enabled_flag
-    pp.rrc_rice_ext = sps.r.sps_rrc_rice_extension_flag
-    pp.bd_gt12 = int(sps.bit_depth > 12)
-    pp.is_i_slice = int(rsh.sh_slice_type == 2)
-    pp.log2_transform_range = coder.log2_transform_range
-    pp.ctx_sig = CTX.SIG_COEFF_FLAG
-    pp.ctx_last_x = CTX.LAST_SIG_COEFF_X_PREFIX
-    pp.ctx_last_y = CTX.LAST_SIG_COEFF_Y_PREFIX
-    pp.ctx_sb_coded = CTX.SB_CODED_FLAG
-    pp.ctx_gtx = CTX.ABS_LEVEL_GTX_FLAG
-    pp.ctx_par = CTX.PAR_LEVEL_FLAG
     pp.stat_coeff = coder.stat_coeff[tb.c_idx]
     pp.max_scan_x = pp.max_scan_y = 0
     pp.lfnst_dc_only = 1
@@ -209,11 +220,7 @@ def decode_residual_regular_native(coder, tb, log2_zo_w, log2_zo_h):
     coeffs = np.zeros((tb.h, tb.w), dtype=np.int32)
     e.lib.decode_residual_regular(
         ctypes.byref(e.c), ctypes.byref(pp),
-        coeffs.ctypes.data_as(ctypes.c_void_p),
-        sb_sx.ctypes.data_as(ctypes.c_void_p),
-        sb_sy.ctypes.data_as(ctypes.c_void_p),
-        sx.ctypes.data_as(ctypes.c_void_p),
-        sy.ctypes.data_as(ctypes.c_void_p))
+        ctypes.c_void_p(coeffs.ctypes.data), sb_sx, sb_sy, sx, sy)
     tb.coeffs = coeffs
     tb.max_scan_x = pp.max_scan_x
     tb.max_scan_y = pp.max_scan_y

@@ -44,6 +44,10 @@ def load_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,   # lavail tavail cul
         ctypes.c_int, _I32P, _I32P]                 # bd, fc, fg
     lib.vvc_intra_pred.restype = None
+    lib.vvc_dequant_flat.argtypes = [
+        _I32P, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.vvc_dequant_flat.restype = None
     return lib
 
 

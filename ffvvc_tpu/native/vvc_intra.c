@@ -344,3 +344,14 @@ void vvc_intra_pred(int32_t *plane, long stride, int x, int y, int w, int h,
             plane[(long)(y + yy) * stride + x + xx] =
                 (int32_t)out[yy * w + xx];
 }
+
+/* ---- flat dequant fast path (recon.py _dequant, scale_m == 16) ---------- */
+
+void vvc_dequant_flat(int32_t *c, int n, long long scale_x_m,
+                      long long bd_offset, int bd_shift, int lo, int hi)
+{
+    for (int i = 0; i < n; i++) {
+        long long v = ((long long)c[i] * scale_x_m + bd_offset) >> bd_shift;
+        c[i] = v < lo ? lo : (v > hi ? hi : (int32_t)v);
+    }
+}

@@ -1021,11 +1021,19 @@ class Reconstructor:
         q = qp + addin
         scale = int(D.LEVEL_SCALE[rect_non_ts][q % 6]) << (q // 6)
         scale_m = self._derive_scale_m(cu, tb)
-        c = tb.coeffs.astype(np.int64)
-        c = (c * scale * scale_m + bd_offset) >> bd_shift
         lo, hi = -(1 << log2_range), (1 << log2_range) - 1
-        tb.coeffs = np.clip(c, lo, hi)
         self._log2_range = log2_range
+        c = tb.coeffs
+        if (self._ilib is not None and np.isscalar(scale_m) and
+                isinstance(c, np.ndarray) and c.dtype == np.int32 and
+                c.flags.c_contiguous):
+            self._ilib.vvc_dequant_flat(
+                _intra_native.as_i32p(c), c.size, scale * scale_m,
+                bd_offset, bd_shift, lo, hi)
+            return
+        c = c.astype(np.int64)
+        c = (c * scale * scale_m + bd_offset) >> bd_shift
+        tb.coeffs = np.clip(c, lo, hi)
 
     scaling_list = None       # VVCScalingList, attached by the decoder
     explicit_sl_used = False  # sh_explicit_scaling_list_used_flag
