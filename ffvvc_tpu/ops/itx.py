@@ -121,6 +121,58 @@ def _itx_batch_m(coeffs, mv, mh, w: int, h: int,
     return out.astype(jnp.int32)
 
 
+def itx_batch_host(coeffs, w: int, h: int, trh: int, trv: int,
+                   log2_range: int = 15, bit_depth: int = 8):
+    """Host (NumPy) twin of itx_batch, bit-identical.  Used when the device
+    interconnect is too slow to pay for the round trip (measured at init) —
+    e.g. a remote-tunneled chip; a locally attached TPU always takes the
+    device path."""
+    mv = matrix(trv, h).astype(np.int64)
+    mh = matrix(trh, w).astype(np.int64)
+    shift0 = 7
+    shift1 = 5 + log2_range - bit_depth
+    lo, hi = -(1 << log2_range), (1 << log2_range) - 1
+    c = coeffs.astype(np.int64)
+    if w == 1 or h == 1:
+        shift = 6 + log2_range - bit_depth
+        add = 1 << (shift - 1)
+        if w > 1:
+            t = c[:, 0, :] @ mh
+            return ((t + add) >> shift)[:, None, :].astype(np.int32)
+        t = c[:, :, 0] @ mv
+        return ((t + add) >> shift)[:, :, None].astype(np.int32)
+    tmp = np.tensordot(c, mv, axes=([1], [0]))         # [B, w, h]
+    tmp = np.clip((tmp + (1 << (shift0 - 1))) >> shift0, lo, hi)
+    out = np.tensordot(tmp, mh, axes=([1], [0]))       # [B, h, w]
+    out = (out + (1 << (shift1 - 1))) >> shift1
+    return out.astype(np.int32)
+
+
+@functools.lru_cache()
+def device_roundtrip_ms() -> float:
+    """Measured host->device->host latency for a small buffer: the dispatch
+    cost model deciding device vs host itx (FFVVC_ITX=device|host|auto)."""
+    import time
+    try:
+        x = np.zeros((64, 64), np.int32)
+        f = jax.jit(lambda a: a + 1)
+        np.asarray(f(jnp.asarray(x)))          # warm compile + transfer
+        t0 = time.monotonic()
+        np.asarray(f(jnp.asarray(x)))
+        return (time.monotonic() - t0) * 1000.0
+    except Exception:
+        return float("inf")
+
+
+def _use_device_itx() -> bool:
+    mode = os.environ.get("FFVVC_ITX", "auto")
+    if mode == "device":
+        return True
+    if mode == "host":
+        return False
+    return device_roundtrip_ms() < 2.0
+
+
 def dequant_batch(coeffs, scales, bd_shift, log2_range=15):
     """Batched dequant: coeffs [B,h,w] int32, scales [B] int32 (scale*scale_m),
     bd_shift [B] int32.  Matches scale_coeff (vvc_intra.c:389)."""
@@ -177,9 +229,15 @@ def frame_device_residuals(recon_jobs, tabs, bit_depth: int):
     # launch every bucket asynchronously (jax dispatch), sync once at the
     # end — avoids serializing on per-bucket device round trips.  Batch
     # sizes are padded to powers of two to bound shape specializations.
+    use_device = _use_device_itx()
     launched = []
     for (w, h, trh, trv, l2r), tbs in buckets.items():
         coeffs = np.stack([t.coeffs for t in tbs]).astype(np.int32)
+        if not use_device:
+            launched.append((tbs, itx_batch_host(coeffs, w, h, trh, trv,
+                                                 log2_range=l2r,
+                                                 bit_depth=bit_depth)))
+            continue
         B = coeffs.shape[0]
         Bp = 1 << max(B - 1, 0).bit_length() if B > 1 else 1
         if Bp != B:
