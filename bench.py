@@ -24,23 +24,25 @@ def main():
     from ffvvc_tpu.decoder import VVCDecoder
     from ffvvc_tpu.config import DecoderConfig
 
+    from ffvvc_tpu.pipeline import decode_parallel
+
     w, h = (int(v) for v in os.environ.get(
         "FFVVC_BENCH_SIZE", "256x256").split("x"))
-    n_frames = int(os.environ.get("FFVVC_BENCH_FRAMES", "2"))
+    n_frames = int(os.environ.get("FFVVC_BENCH_FRAMES", "8"))
     qp = int(os.environ.get("FFVVC_BENCH_QP", "27"))
+    workers = int(os.environ.get("FFVVC_BENCH_WORKERS", os.cpu_count() or 1))
 
     stream = forge_stream(level=1, seed=0, width=w, height=h, qp=qp,
                           nframes=n_frames)
 
-    # our decode (device path); first full decode warms the jit caches
-    # (each TB-bucket shape compiles once), then a timed run
-    VVCDecoder(DecoderConfig(backend="tpu")).decode(stream)
-    dec = VVCDecoder(DecoderConfig(backend="tpu"))
+    # warm run builds native libs / jit caches / forked-worker state, then a
+    # timed GOP-parallel decode (host pipeline P1; device itx auto-dispatch)
+    decode_parallel(stream, workers=workers)
     t0 = time.monotonic()
-    frames = dec.decode(stream)
+    yuvs = decode_parallel(stream, workers=workers)
     t1 = time.monotonic()
-    ours_fps = len(frames) / (t1 - t0)
-    ours_yuv = b"".join(f.to_yuv_bytes() for f in frames)
+    ours_fps = len(yuvs) / (t1 - t0)
+    ours_yuv = b"".join(yuvs)
 
     # reference decode timing (if the oracle is built)
     vs_baseline = 0.0
@@ -53,7 +55,7 @@ def main():
                         "-f", "vvc", "-i", bit, "-f", "rawvideo", "-y", yuv],
                        check=True)
         t1 = time.monotonic()
-        ref_fps = len(frames) / (t1 - t0)
+        ref_fps = len(yuvs) / (t1 - t0)
         with open(yuv, "rb") as f:
             assert f.read() == ours_yuv, "bench decode NOT bit-exact vs oracle"
         vs_baseline = ours_fps / ref_fps
