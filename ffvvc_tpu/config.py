@@ -34,6 +34,11 @@ class DecoderConfig:
     # the reference does; if False, decode order.
     reorder_output: bool = True
 
+    # Error latch (reference vvc_thread.c:605-617 / vvcdec.c:795-798): when
+    # True, a frame that fails to parse or reconstruct is dropped and decode
+    # continues at the next access unit instead of raising.
+    error_resilient: bool = False
+
     # Native C CABAC engine + residual fast path (falls back to the Python
     # golden engine when the library can't be built/loaded).
     native_cabac: bool = True

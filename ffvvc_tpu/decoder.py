@@ -95,14 +95,25 @@ class VVCDecoder:
         cur_slices = []
         cur_ph = None
 
+        resilient = self.config.error_resilient
+
         def flush_frame():
             nonlocal cur_slices, cur_ph
             if cur_slices:
-                out.extend(self._decode_frame(cur_ph, cur_slices))
+                if resilient:
+                    # error latch (vvc_thread.c:605-617): first failure marks
+                    # the frame broken; decode resumes at the next AU
+                    try:
+                        out.extend(self._decode_frame(cur_ph, cur_slices))
+                    except Exception:
+                        pass
+                else:
+                    out.extend(self._decode_frame(cur_ph, cur_slices))
             cur_slices = []
             cur_ph = None
 
-        for nal in nals:
+        def handle(nal):
+            nonlocal cur_ph
             t = nal.nal_unit_type
             r = BitReader(nal.rbsp)
             if t == NalType.SPS:
@@ -135,6 +146,18 @@ class VVCDecoder:
                 flush_frame()
                 self.last_eos = 1
             # AUD/FD/OPI/DCI: no decoder state
+
+        for nal in nals:
+            if resilient:
+                try:
+                    handle(nal)
+                except Exception:
+                    # broken NAL: drop the in-flight frame's pending slices
+                    # (decode_nal_units fail path, vvcdec.c:795-798)
+                    cur_slices = []
+                    cur_ph = None
+            else:
+                handle(nal)
         flush_frame()
         out.extend(self._output_frames(flush=True))
         return out

@@ -22,6 +22,13 @@ class SPS:
 
     def __post_init__(self):
         r = self.r
+        # sanity limits (level 6.3 caps; also shields the error latch from
+        # absurd allocations on corrupted headers)
+        if not (1 <= r.sps_pic_width_max_in_luma_samples <= 16888) or \
+                not (1 <= r.sps_pic_height_max_in_luma_samples <= 16888):
+            raise ValueError("SPS picture size out of range")
+        if r.sps_bitdepth_minus8 > 8:
+            raise ValueError("SPS bit depth out of range")
         self.sps_id = r.sps_seq_parameter_set_id
         self.chroma_format_idc = r.sps_chroma_format_idc
         self.hshift = [0] + [ceil_log2(SUB_WIDTH_C[self.chroma_format_idc])] * 2
