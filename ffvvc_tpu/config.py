@@ -42,3 +42,9 @@ class DecoderConfig:
     # Native C CABAC engine + residual fast path (falls back to the Python
     # golden engine when the library can't be built/loaded).
     native_cabac: bool = True
+
+    # Run whole-frame SAO on device (per-pixel parameter maps + one fused
+    # XLA/Pallas pass) instead of the host per-CTB path. Off by default:
+    # over a tunneled single chip the map transfer can outweigh the compute
+    # win; enable on real local chips / large frames.
+    device_sao: bool = False

@@ -436,8 +436,12 @@ class VVCDecoder:
         db = Deblocker(sps, pps, tabs, fb)
         db.slice_rpls = frame.slice_rpls
         db.deblock_frame()
-        from .sao import SaoFilter
-        SaoFilter(sps, pps, tabs, fb).sao_frame()
+        if self.config.backend == "tpu" and self.config.device_sao:
+            from .ops.sao_device import sao_frame_device
+            sao_frame_device(sps, pps, tabs, fb)
+        else:
+            from .sao import SaoFilter
+            SaoFilter(sps, pps, tabs, fb).sao_frame()
         if sps.r.sps_alf_enabled_flag:
             from .alf import AlfFilter, VVCALF
             alf_list = {i: VVCALF(a) for i, a in self.ps.aps_alf.items()}

@@ -1,6 +1,11 @@
 import os
 import sys
 
+# Tests run on a virtual CPU mesh (the real-chip path is exercised by
+# bench.py / the driver); must be set before jax is first imported.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402

@@ -1,0 +1,70 @@
+"""Device (XLA/Pallas) filter passes must match the host golden bit-exactly.
+
+Runs on the CPU backend mesh-free; the same code path runs on a real chip.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from ffvvc_tpu.sao import SaoFilter
+
+
+def _fake_ctx(seed, W=96, H=64, ctb_log2=5, bit_depth=8, ntiles=1):
+    rng = np.random.default_rng(seed)
+    sps = types.SimpleNamespace(
+        hshift=[0, 1, 1], vshift=[0, 1, 1], bit_depth=bit_depth,
+        chroma_format_idc=1, ctb_size_y=1 << ctb_log2,
+        ctb_log2_size_y=ctb_log2)
+    cw, ch = -(-W // (1 << ctb_log2)), -(-H // (1 << ctb_log2))
+    pps_r = types.SimpleNamespace(
+        pps_loop_filter_across_slices_enabled_flag=int(seed % 2 == 0),
+        pps_loop_filter_across_tiles_enabled_flag=int(seed % 3 == 0),
+        num_tiles_in_pic=ntiles)
+    pps = types.SimpleNamespace(
+        r=pps_r, width=W, height=H, ctb_width=cw, ctb_height=ch,
+        ctb_to_col_bd=list(range(cw + 1)) if ntiles > 1 else [0] * (cw + 1),
+        ctb_to_row_bd=[0] * (ch + 1))
+    nctb = cw * ch
+    tabs = types.SimpleNamespace(
+        sao_type=rng.integers(0, 3, (nctb, 3)).astype(np.int32),
+        sao_band_pos=rng.integers(0, 32, (nctb, 3)).astype(np.int32),
+        sao_eo_class=rng.integers(0, 4, (nctb, 3)).astype(np.int32),
+        sao_offset=rng.integers(-31, 32, (nctb, 3, 5)).astype(np.int32),
+        slice_idx=rng.integers(0, 2, (ch, cw)).astype(np.int32))
+    tabs.sao_offset[:, :, 0] = 0
+    planes = [rng.integers(0, (1 << bit_depth), (H, W)).astype(np.int32),
+              rng.integers(0, (1 << bit_depth),
+                           (H // 2, W // 2)).astype(np.int32),
+              rng.integers(0, (1 << bit_depth),
+                           (H // 2, W // 2)).astype(np.int32)]
+    fb = types.SimpleNamespace(planes=planes)
+    return sps, pps, tabs, fb
+
+
+@pytest.mark.parametrize("seed,pallas", [
+    (0, False), (1, False), (2, False), (3, False), (4, False),
+    (1, True), (3, True)])
+def test_sao_device_matches_host(seed, pallas):
+    from ffvvc_tpu.ops.sao_device import sao_frame_device
+    sps, pps, tabs, fb = _fake_ctx(seed, ntiles=1 + (seed % 2))
+    ref_fb = types.SimpleNamespace(planes=[p.copy() for p in fb.planes])
+    SaoFilter(sps, pps, tabs, ref_fb).sao_frame()
+    sao_frame_device(sps, pps, tabs, fb, force_pallas=pallas)
+    for c in range(3):
+        assert np.array_equal(fb.planes[c], ref_fb.planes[c]), f"plane {c}"
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_sao_device_10bit(seed):
+    from ffvvc_tpu.ops.sao_device import sao_frame_device
+    sps, pps, tabs, fb = _fake_ctx(seed, bit_depth=10)
+    ref_fb = types.SimpleNamespace(planes=[p.copy() for p in fb.planes])
+    SaoFilter(sps, pps, tabs, ref_fb).sao_frame()
+    sao_frame_device(sps, pps, tabs, fb)
+    for c in range(3):
+        assert np.array_equal(fb.planes[c], ref_fb.planes[c])
