@@ -43,6 +43,11 @@ class DecoderConfig:
     # golden engine when the library can't be built/loaded).
     native_cabac: bool = True
 
+    # Native C coding-tree parse core (whole-CTU syntax parse in one call;
+    # native/vvc_parse.c). Falls back to the Python golden parse per slice
+    # when the stream uses a tool the C core doesn't cover.
+    native_parse: bool = True
+
     # Run whole-frame SAO on device (per-pixel parameter maps + one fused
     # XLA/Pallas pass) instead of the host per-CTB path. Off by default:
     # over a tunneled single chip the map transfer can outweigh the compute

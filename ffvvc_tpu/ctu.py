@@ -298,6 +298,9 @@ class CtuCoder:
             self.cu_chroma_qp_offset_subdiv = ph.ph_cu_chroma_qp_offset_subdiv_inter_slice
         self.cu = None
         self.coeff_enc_cb = None  # forge: callback returning TB coeffs
+        # native C tree parser (native/parse.py), installed by the decoder
+        # when the slice is eligible; replaces the Python coding_tree walk
+        self.native_tree = None
         # per-slice inter state, attached by the decoder (reference
         # SliceContext: rpl, ff_vvc_slice_rpl vvc_refs.c:415)
         self.rpl = None             # [RefPicList, RefPicList]
@@ -2315,7 +2318,10 @@ class CtuCoder:
         self.tabs.deblock_beta[rs] = self.sh.beta_offset
         self.tabs.deblock_tc[rs] = self.sh.tc_offset
         ctb_size = sps.ctb_size_y
-        if rsh.sh_slice_type == SLICE_I and sps.r.sps_qtbtt_dual_tree_intra_flag:
+        if self.native_tree is not None:
+            self.native_tree(self, ctu_idx, rs, rx, ry)
+        elif rsh.sh_slice_type == SLICE_I and \
+                sps.r.sps_qtbtt_dual_tree_intra_flag:
             self.dual_tree_implicit_qt_split(x_ctb, y_ctb, ctb_size, 0)
         else:
             self.coding_tree(x_ctb, y_ctb, ctb_size, ctb_size, 1, 1, 0, 0, 0,

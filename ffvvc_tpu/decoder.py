@@ -495,6 +495,9 @@ class VVCDecoder:
             coder.poc = poc
             coder.collocated_ref = collocated
             self._set_alf_counts(coder, sh)
+            if self.config.native_parse:
+                from .native.parse import make_native_tree
+                coder.native_tree = make_native_tree(coder)
             engine.set_states(None)
             rec = Reconstructor(sps, pps, tabs, fb, coder)
             rec.ph_r = sh.ph

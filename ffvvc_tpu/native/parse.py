@@ -1,0 +1,395 @@
+"""ctypes binding for the native CTU parse core (native/vvc_parse.c).
+
+The C library parses the coding-tree portion of a CTU (intra slices) in one
+call, filling the FrameTabs planes in place and emitting flat CU/TU/TB
+records that are converted back into the CodingUnit objects the recon walk
+consumes.  ffvvc_tpu/ctu.py remains the golden model (and the encode path);
+`make_native_tree` returns None whenever the stream uses a tool the C core
+doesn't cover yet, falling back to Python per slice.
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_DIR, "native", "libvvc_parse.so")
+_SRCS = [os.path.join(_DIR, "native", "vvc_parse.c"),
+         os.path.join(_DIR, "native", "vvc_cabac.c")]
+_HDR = os.path.join(_DIR, "native", "vvc_cabac.h")
+
+CU_STRIDE, TU_STRIDE, TB_STRIDE = 32, 12, 12
+
+_I = ctypes.c_int
+_P = ctypes.c_void_p
+
+
+class _SliceParams(ctypes.Structure):
+    _fields_ = (
+        [(n, _I) for n in (
+            "width", "height", "ctb_log2", "min_cb_log2", "w4", "h4",
+            "w32", "w64", "ctb_width", "ctb_height", "chroma_format_idc",
+            "hshift1", "vshift1", "bit_depth", "qp_bd_offset",
+            "max_tb_size_y", "max_ts_size", "log2_transform_range",
+            "sps_mip", "sps_mrl", "sps_isp", "sps_cclm", "sps_dual_tree",
+            "sps_bdpcm", "sps_transform_skip", "sps_lfnst", "sps_mts",
+            "sps_explicit_mts_intra", "sps_explicit_mts_inter",
+            "sps_joint_cbcr", "sps_sbt", "sps_persistent_rice",
+            "sps_rrc_rice_ext", "sps_ibc", "sps_act", "sps_palette",
+            "pps_cu_qp_delta_enabled",
+            "pps_chroma_qp_offset_list_len_minus1")] +
+        [("pps_cb_qp_offset_list", _I * 6),
+         ("pps_cr_qp_offset_list", _I * 6),
+         ("pps_jcbcr_qp_offset_list", _I * 6),
+         ("pps_chroma_qp_offset", _I * 3),
+         ("sh_cu_chroma_qp_offset_enabled", _I),
+         ("sh_chroma_qp_offset", _I * 3)] +
+        [(n, _I) for n in (
+            "slice_type", "slice_qp_y", "dep_quant", "sdh", "reverse_last",
+            "ts_res_disabled", "cu_qp_delta_subdiv",
+            "cu_chroma_qp_offset_subdiv")] +
+        [("min_qt_size", _I * 2), ("max_mtt_depth", _I * 2),
+         ("max_bt_size", _I * 2), ("max_tt_size", _I * 2),
+         ("init_stat_coeff", _I)] +
+        [(n, _I) for n in (
+            "ctx_split_cu", "ctx_split_qt", "ctx_mtt_vertical",
+            "ctx_mtt_binary", "ctx_non_inter", "ctx_cu_skip",
+            "ctx_pred_mode", "ctx_bdpcm_luma", "ctx_bdpcm_luma_dir",
+            "ctx_mip", "ctx_mrl", "ctx_isp_mode", "ctx_isp_split",
+            "ctx_mpm", "ctx_not_planar", "ctx_bdpcm_chroma",
+            "ctx_bdpcm_chroma_dir", "ctx_cclm_mode_flag",
+            "ctx_cclm_mode_idx", "ctx_chroma_pred_mode", "ctx_cu_coded",
+            "ctx_sbt_flag", "ctx_sbt_quad", "ctx_sbt_horizontal",
+            "ctx_sbt_pos", "ctx_tu_cb", "ctx_tu_cr", "ctx_tu_y",
+            "ctx_jcbcr", "ctx_qp_delta_abs", "ctx_chroma_qp_offset_flag",
+            "ctx_chroma_qp_offset_idx", "ctx_ts_flag", "ctx_lfnst",
+            "ctx_mts", "ctx_sig", "ctx_last_x", "ctx_last_y",
+            "ctx_sb_coded", "ctx_gtx", "ctx_par")] +
+        [(n, _P) for n in (
+            "qp0", "qp1", "qp2", "qp3", "cpm0", "cpm1", "ipm", "imf",
+            "imtf", "imm", "skip", "cb_width0", "cb_width1", "cb_height0",
+            "cb_height1", "cb_pos_x0", "cb_pos_x1", "cb_pos_y0",
+            "cb_pos_y1", "cqt_depth0", "cqt_depth1", "tu_coded0",
+            "tu_coded1", "tu_coded2", "tu_joint_cbcr", "tb_pos_x0",
+            "tb_pos_x1", "tb_pos_y0", "tb_pos_y1", "tb_width0",
+            "tb_width1", "tb_height0", "tb_height1", "pcmf0", "pcmf1",
+            "msf", "mmi", "mvf_pf", "col_pf", "msm0", "msm1", "ispmf",
+            "slice_idx", "ctb_to_col_bd", "ctb_to_row_bd",
+            "chroma_qp_table")] +
+        [("qp_table_len", _I)])
+
+
+class _SliceState(ctypes.Structure):
+    _fields_ = [("qp_y", _I), ("is_first_qg", _I), ("stat_coeff", _I * 3),
+                ("is_cu_qp_delta_coded", _I),
+                ("is_cu_chroma_qp_offset_coded", _I),
+                ("cu_qg_top_left_x", _I), ("cu_qg_top_left_y", _I),
+                ("chroma_qp_offset", _I * 3), ("prev_tu_cbf_y", _I),
+                ("infer_tu_cbf_luma", _I)]
+
+
+class _ParseOut(ctypes.Structure):
+    _fields_ = [("cu", _P), ("tu", _P), ("tb", _P), ("coeff", _P),
+                ("cu_cap", _I), ("tu_cap", _I), ("tb_cap", _I),
+                ("coeff_cap", _I), ("n_cu", _I), ("n_tu", _I), ("n_tb", _I),
+                ("coeff_len", _I), ("err", _I)]
+
+
+def _build():
+    import subprocess
+    subprocess.run(["gcc", "-O2", "-shared", "-fPIC", "-o", _SO] + _SRCS,
+                   check=True)
+
+
+@functools.lru_cache()
+def load_lib():
+    try:
+        newest = max(os.path.getmtime(s) for s in _SRCS + [_HDR])
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
+            _build()
+        lib = ctypes.CDLL(_SO)
+    except Exception:
+        return None
+    lib.parse_ctu.argtypes = [_P, ctypes.POINTER(_SliceParams),
+                              ctypes.POINTER(_SliceState),
+                              ctypes.POINTER(_ParseOut),
+                              _I, _I, _I, _I]
+    lib.parse_ctu.restype = _I
+    return lib
+
+
+def _ptr(a):
+    return ctypes.c_void_p(a.ctypes.data)
+
+
+class NativeTreeParser:
+    """Per-slice native parse context; call per CTU from coding_tree_unit."""
+
+    def __init__(self, coder, lib):
+        from ..cabac.engine import CTX
+
+        self.lib = lib
+        self.coder = coder
+        sps, pps, sh = coder.sps, coder.pps, coder.sh
+        tabs = coder.tabs
+        sp = _SliceParams()
+        self._keep = keep = []
+
+        sp.width, sp.height = pps.width, pps.height
+        sp.ctb_log2 = sps.ctb_log2_size_y
+        sp.min_cb_log2 = sps.min_cb_log2_size_y
+        sp.w4, sp.h4 = tabs.w4, tabs.h4
+        sp.w32 = tabs.msm.shape[2]
+        sp.w64 = tabs.ispmf.shape[1]
+        sp.ctb_width, sp.ctb_height = pps.ctb_width, pps.ctb_height
+        sp.chroma_format_idc = sps.chroma_format_idc
+        sp.hshift1 = sps.hshift[1]
+        sp.vshift1 = sps.vshift[1]
+        sp.bit_depth = sps.bit_depth
+        sp.qp_bd_offset = sps.qp_bd_offset
+        sp.max_tb_size_y = sps.max_tb_size_y
+        sp.max_ts_size = sps.max_ts_size
+        sp.log2_transform_range = coder.log2_transform_range
+        r = sps.r
+        sp.sps_mip = r.sps_mip_enabled_flag
+        sp.sps_mrl = r.sps_mrl_enabled_flag
+        sp.sps_isp = r.sps_isp_enabled_flag
+        sp.sps_cclm = r.sps_cclm_enabled_flag
+        sp.sps_dual_tree = r.sps_qtbtt_dual_tree_intra_flag
+        sp.sps_bdpcm = r.sps_bdpcm_enabled_flag
+        sp.sps_transform_skip = r.sps_transform_skip_enabled_flag
+        sp.sps_lfnst = r.sps_lfnst_enabled_flag
+        sp.sps_mts = r.sps_mts_enabled_flag
+        sp.sps_explicit_mts_intra = r.sps_explicit_mts_intra_enabled_flag
+        sp.sps_explicit_mts_inter = r.sps_explicit_mts_inter_enabled_flag
+        sp.sps_joint_cbcr = r.sps_joint_cbcr_enabled_flag
+        sp.sps_sbt = r.sps_sbt_enabled_flag
+        sp.sps_persistent_rice = r.sps_persistent_rice_adaptation_enabled_flag
+        sp.sps_rrc_rice_ext = r.sps_rrc_rice_extension_flag
+        sp.sps_ibc = r.sps_ibc_enabled_flag
+        sp.sps_act = r.sps_act_enabled_flag
+        sp.sps_palette = r.sps_palette_enabled_flag
+        rp, rsh = pps.r, sh.r
+        sp.pps_cu_qp_delta_enabled = rp.pps_cu_qp_delta_enabled_flag
+        sp.pps_chroma_qp_offset_list_len_minus1 = \
+            rp.pps_chroma_qp_offset_list_len_minus1
+        for i in range(rp.pps_chroma_qp_offset_list_len_minus1 + 1
+                       if rp.pps_cu_chroma_qp_offset_list_enabled_flag else 0):
+            sp.pps_cb_qp_offset_list[i] = rp.pps_cb_qp_offset_list[i]
+            sp.pps_cr_qp_offset_list[i] = rp.pps_cr_qp_offset_list[i]
+            sp.pps_jcbcr_qp_offset_list[i] = \
+                rp.pps_joint_cbcr_qp_offset_list[i]
+        for i in range(3):
+            sp.pps_chroma_qp_offset[i] = pps.chroma_qp_offset[i]
+        sp.sh_cu_chroma_qp_offset_enabled = \
+            rsh.sh_cu_chroma_qp_offset_enabled_flag
+        sp.sh_chroma_qp_offset[0] = rsh.sh_cb_qp_offset
+        sp.sh_chroma_qp_offset[1] = rsh.sh_cr_qp_offset
+        sp.sh_chroma_qp_offset[2] = rsh.sh_joint_cbcr_qp_offset
+        sp.slice_type = sh.slice_type
+        sp.slice_qp_y = sh.slice_qp_y
+        sp.dep_quant = rsh.sh_dep_quant_used_flag
+        sp.sdh = rsh.sh_sign_data_hiding_used_flag
+        sp.reverse_last = rsh.sh_reverse_last_sig_coeff_flag
+        sp.ts_res_disabled = rsh.sh_ts_residual_coding_disabled_flag
+        sp.cu_qp_delta_subdiv = coder.cu_qp_delta_subdiv
+        sp.cu_chroma_qp_offset_subdiv = coder.cu_chroma_qp_offset_subdiv
+        for i in range(2):
+            sp.min_qt_size[i] = coder.min_qt_size[i]
+            sp.max_mtt_depth[i] = coder.max_mtt_depth[i]
+            sp.max_bt_size[i] = coder.max_bt_size[i]
+            sp.max_tt_size[i] = coder.max_tt_size[i]
+        sp.init_stat_coeff = coder.stat_coeff[0]
+
+        for cname, ctxname in (
+                ("ctx_split_cu", "SPLIT_CU_FLAG"),
+                ("ctx_split_qt", "SPLIT_QT_FLAG"),
+                ("ctx_mtt_vertical", "MTT_SPLIT_CU_VERTICAL_FLAG"),
+                ("ctx_mtt_binary", "MTT_SPLIT_CU_BINARY_FLAG"),
+                ("ctx_non_inter", "NON_INTER_FLAG"),
+                ("ctx_cu_skip", "CU_SKIP_FLAG"),
+                ("ctx_pred_mode", "PRED_MODE_FLAG"),
+                ("ctx_bdpcm_luma", "INTRA_BDPCM_LUMA_FLAG"),
+                ("ctx_bdpcm_luma_dir", "INTRA_BDPCM_LUMA_DIR_FLAG"),
+                ("ctx_mip", "INTRA_MIP_FLAG"),
+                ("ctx_mrl", "INTRA_LUMA_REF_IDX"),
+                ("ctx_isp_mode", "INTRA_SUBPARTITIONS_MODE_FLAG"),
+                ("ctx_isp_split", "INTRA_SUBPARTITIONS_SPLIT_FLAG"),
+                ("ctx_mpm", "INTRA_LUMA_MPM_FLAG"),
+                ("ctx_not_planar", "INTRA_LUMA_NOT_PLANAR_FLAG"),
+                ("ctx_bdpcm_chroma", "INTRA_BDPCM_CHROMA_FLAG"),
+                ("ctx_bdpcm_chroma_dir", "INTRA_BDPCM_CHROMA_DIR_FLAG"),
+                ("ctx_cclm_mode_flag", "CCLM_MODE_FLAG"),
+                ("ctx_cclm_mode_idx", "CCLM_MODE_IDX"),
+                ("ctx_chroma_pred_mode", "INTRA_CHROMA_PRED_MODE"),
+                ("ctx_cu_coded", "CU_CODED_FLAG"),
+                ("ctx_sbt_flag", "CU_SBT_FLAG"),
+                ("ctx_sbt_quad", "CU_SBT_QUAD_FLAG"),
+                ("ctx_sbt_horizontal", "CU_SBT_HORIZONTAL_FLAG"),
+                ("ctx_sbt_pos", "CU_SBT_POS_FLAG"),
+                ("ctx_tu_cb", "TU_CB_CODED_FLAG"),
+                ("ctx_tu_cr", "TU_CR_CODED_FLAG"),
+                ("ctx_tu_y", "TU_Y_CODED_FLAG"),
+                ("ctx_jcbcr", "TU_JOINT_CBCR_RESIDUAL_FLAG"),
+                ("ctx_qp_delta_abs", "CU_QP_DELTA_ABS"),
+                ("ctx_chroma_qp_offset_flag", "CU_CHROMA_QP_OFFSET_FLAG"),
+                ("ctx_chroma_qp_offset_idx", "CU_CHROMA_QP_OFFSET_IDX"),
+                ("ctx_ts_flag", "TRANSFORM_SKIP_FLAG"),
+                ("ctx_lfnst", "LFNST_IDX"),
+                ("ctx_mts", "MTS_IDX"),
+                ("ctx_sig", "SIG_COEFF_FLAG"),
+                ("ctx_last_x", "LAST_SIG_COEFF_X_PREFIX"),
+                ("ctx_last_y", "LAST_SIG_COEFF_Y_PREFIX"),
+                ("ctx_sb_coded", "SB_CODED_FLAG"),
+                ("ctx_gtx", "ABS_LEVEL_GTX_FLAG"),
+                ("ctx_par", "PAR_LEVEL_FLAG")):
+            setattr(sp, cname, getattr(CTX, ctxname))
+
+        def c32(a):
+            assert a.dtype == np.int32 and a.flags["C_CONTIGUOUS"]
+            keep.append(a)
+            return ctypes.c_void_p(a.ctypes.data)
+
+        sp.qp0, sp.qp1, sp.qp2, sp.qp3 = (c32(t) for t in tabs.qp)
+        sp.cpm0, sp.cpm1 = c32(tabs.cpm[0]), c32(tabs.cpm[1])
+        sp.ipm, sp.imf = c32(tabs.ipm), c32(tabs.imf)
+        sp.imtf, sp.imm = c32(tabs.imtf), c32(tabs.imm)
+        sp.skip = c32(tabs.skip)
+        sp.cb_width0, sp.cb_width1 = (c32(t) for t in tabs.cb_width)
+        sp.cb_height0, sp.cb_height1 = (c32(t) for t in tabs.cb_height)
+        sp.cb_pos_x0, sp.cb_pos_x1 = (c32(t) for t in tabs.cb_pos_x)
+        sp.cb_pos_y0, sp.cb_pos_y1 = (c32(t) for t in tabs.cb_pos_y)
+        sp.cqt_depth0, sp.cqt_depth1 = (c32(t) for t in tabs.cqt_depth)
+        sp.tu_coded0, sp.tu_coded1, sp.tu_coded2 = \
+            (c32(t) for t in tabs.tu_coded_flag)
+        sp.tu_joint_cbcr = c32(tabs.tu_joint_cbcr)
+        sp.tb_pos_x0, sp.tb_pos_x1 = (c32(t) for t in tabs.tb_pos_x)
+        sp.tb_pos_y0, sp.tb_pos_y1 = (c32(t) for t in tabs.tb_pos_y)
+        sp.tb_width0, sp.tb_width1 = (c32(t) for t in tabs.tb_width)
+        sp.tb_height0, sp.tb_height1 = (c32(t) for t in tabs.tb_height)
+        sp.pcmf0, sp.pcmf1 = (c32(t) for t in tabs.pcmf)
+        sp.msf, sp.mmi = c32(tabs.msf), c32(tabs.mmi)
+        assert tabs.mvf_pf.dtype == np.uint8 and tabs.col_pf.dtype == np.uint8
+        keep += [tabs.mvf_pf, tabs.col_pf]
+        sp.mvf_pf = ctypes.c_void_p(tabs.mvf_pf.ctypes.data)
+        sp.col_pf = ctypes.c_void_p(tabs.col_pf.ctypes.data)
+        sp.msm0, sp.msm1 = c32(tabs.msm[0]), c32(tabs.msm[1])
+        sp.ispmf = c32(tabs.ispmf)
+        sp.slice_idx = c32(tabs.slice_idx)
+        col_bd = np.ascontiguousarray(np.asarray(pps.ctb_to_col_bd, np.int32))
+        row_bd = np.ascontiguousarray(np.asarray(pps.ctb_to_row_bd, np.int32))
+        sp.ctb_to_col_bd = c32(col_bd)
+        sp.ctb_to_row_bd = c32(row_bd)
+        qpt = np.ascontiguousarray(sps.chroma_qp_table.astype(np.int32))
+        sp.chroma_qp_table = c32(qpt)
+        sp.qp_table_len = qpt.shape[1]
+        self.sp = sp
+
+        st = _SliceState()
+        st.qp_y = coder.qp_y
+        st.is_first_qg = 1
+        for i in range(3):
+            st.stat_coeff[i] = coder.stat_coeff[i]
+        st.infer_tu_cbf_luma = 1
+        self.st = st
+
+        ctb = sps.ctb_size_y
+        cu_cap = 2 * (ctb // 4) ** 2 + 64
+        tu_cap = 4 * cu_cap
+        tb_cap = 3 * tu_cap
+        coeff_cap = 4 * ctb * ctb
+        self._cu = np.zeros((cu_cap, CU_STRIDE), np.int32)
+        self._tu = np.zeros((tu_cap, TU_STRIDE), np.int32)
+        self._tb = np.zeros((tb_cap, TB_STRIDE), np.int32)
+        self._coeff = np.zeros(coeff_cap, np.int32)
+        out = _ParseOut()
+        out.cu, out.tu = _ptr(self._cu), _ptr(self._tu)
+        out.tb, out.coeff = _ptr(self._tb), _ptr(self._coeff)
+        out.cu_cap, out.tu_cap = cu_cap, tu_cap
+        out.tb_cap, out.coeff_cap = tb_cap, coeff_cap
+        self.out = out
+
+    def __call__(self, coder, ctu_idx, rs, rx, ry):
+        """Parse one CTU's coding tree; appends CUs to coder.cur_cus."""
+        st, out = self.st, self.out
+        st.qp_y = coder.qp_y
+        st.is_first_qg = int(coder.is_first_qg)
+        for i in range(3):
+            st.stat_coeff[i] = coder.stat_coeff[i]
+        rc = self.lib.parse_ctu(
+            ctypes.byref(coder.e.c), ctypes.byref(self.sp),
+            ctypes.byref(st), ctypes.byref(out), ctu_idx, rs, rx, ry)
+        if rc:
+            raise ValueError(f"native parse_ctu failed (err={rc})")
+        coder.qp_y = st.qp_y
+        coder.is_first_qg = bool(st.is_first_qg)
+        coder.stat_coeff = [st.stat_coeff[i] for i in range(3)]
+        self._convert(coder, out)
+
+    def _convert(self, coder, out):
+        from ..ctu import CodingUnit, TransformUnit
+        from ..residual import TransformBlock
+
+        cus = self._cu[:out.n_cu].tolist()
+        tus = self._tu[:out.n_tu].tolist()
+        tbs = self._tb[:out.n_tb].tolist()
+        coeff = self._coeff
+        append = coder.cur_cus.append
+        for c in cus:
+            cu = CodingUnit(c[0], c[1], c[2], c[3], c[4], c[5])
+            cu.pred_mode = c[6]
+            cu.skip_flag = c[7]
+            cu.coded_flag = c[8]
+            cu.intra_pred_mode_y = c[9]
+            cu.intra_pred_mode_c = c[10]
+            cu.intra_luma_ref_idx = c[11]
+            cu.intra_mip_flag = c[12]
+            cu.mip_transposed = c[13]
+            cu.mip_mode = c[14]
+            cu.isp_split_type = c[15]
+            cu.num_intra_subpartitions = c[16]
+            cu.bdpcm_flag = [c[17], c[18], c[19]]
+            cu.mip_chroma_direct_flag = c[20]
+            cu.lfnst_idx = c[21]
+            cu.mts_idx = c[22]
+            cu.qp = [c[23], c[24], c[25], c[26]]
+            cu.apply_lfnst_flag = [c[29], c[30], c[31]]
+            for t in tus[c[27]:c[27] + c[28]]:
+                tu = TransformUnit(t[0], t[1], t[2], t[3])
+                tu.coded_flag = [t[4], t[5], t[6]]
+                tu.joint_cbcr_residual_flag = t[7]
+                cu.tus.append(tu)
+                for b in tbs[t[8]:t[8] + t[9]]:
+                    tb = TransformBlock(b[0], b[1], b[2], b[3], b[4])
+                    tb.ts = b[5]
+                    tb.has_coeffs = b[6]
+                    tb.max_scan_x = b[7]
+                    tb.max_scan_y = b[8]
+                    if b[9] >= 0:
+                        tb.coeffs = coeff[b[9]:b[9] + b[2] * b[3]] \
+                            .reshape(b[3], b[2]).copy()
+                    tu.tbs.append(tb)
+            append(cu)
+
+
+def make_native_tree(coder, config=None):
+    """Return a NativeTreeParser for this slice, or None if ineligible."""
+    from ..cabac.native import NativeCabacDecoder
+    from ..bitstream.h266 import SLICE_I
+
+    if not isinstance(coder.e, NativeCabacDecoder):
+        return None
+    if coder.sh.slice_type != SLICE_I:
+        return None
+    r = coder.sps.r
+    if r.sps_transform_skip_enabled_flag or r.sps_bdpcm_enabled_flag or \
+            r.sps_ibc_enabled_flag or r.sps_act_enabled_flag or \
+            r.sps_palette_enabled_flag:
+        return None
+    lib = load_lib()
+    if lib is None:
+        return None
+    return NativeTreeParser(coder, lib)

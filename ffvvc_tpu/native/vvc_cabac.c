@@ -13,16 +13,9 @@
 #include <stdint.h>
 #include <string.h>
 
-#define MAX_TB 64
+#include "vvc_cabac.h"
 
-typedef struct {
-    const uint8_t *data;
-    long nbits;
-    long pos;
-    uint32_t range;
-    uint32_t offset;
-    int32_t *s0, *s1, *sh0, *sh1;   /* context state arrays (numpy int32) */
-} Cabac;
+#define MAX_TB 64
 
 static inline int read_bit(Cabac *c)
 {
@@ -140,27 +133,6 @@ void cabac_set_pos(Cabac *c, long pos) { c->pos = pos; }
 /* ---------------------------------------------------------------- */
 /* residual coding                                                  */
 /* ---------------------------------------------------------------- */
-
-typedef struct {
-    /* geometry */
-    int w, h, log2_w, log2_h, c_idx;
-    int log2_zo_w, log2_zo_h;
-    int ts;                  /* transform-skip path */
-    int bdpcm;
-    /* flags */
-    int dep_quant, sdh, reverse_last;
-    int persistent_rice, rrc_rice_ext, bd_gt12, is_i_slice;
-    int log2_transform_range;
-    int max_ts_cu_size_bins;  /* ts path: remaining ctx bins budget (in/out) */
-    /* ctx bases */
-    int ctx_sig, ctx_last_x, ctx_last_y, ctx_sb_coded, ctx_gtx, ctx_par;
-    int ctx_ts_sig, ctx_ts_sign, ctx_ts_gtx, ctx_ts_par, ctx_ts_lrg1;
-    /* state in/out */
-    int stat_coeff;          /* stat_coeff[c_idx] */
-    /* outputs */
-    int max_scan_x, max_scan_y, min_scan_x, min_scan_y;
-    int lfnst_dc_only, lfnst_zero_out, mts_dc_only, mts_zero_out;
-} ResParams;
 
 static const int qstate_tab[4][2] = {{0,2},{2,0},{1,3},{3,1}};
 static const int rice_params_tab[32] = {0,0,0,0,0,0,0,1,1,1,1,1,1,1,2,2,
