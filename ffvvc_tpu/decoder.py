@@ -373,9 +373,17 @@ class VVCDecoder:
             while len(frame.slice_rpls) <= sh.slice_idx:
                 frame.slice_rpls.append(rpl)
             frame.slice_rpls[sh.slice_idx] = rpl
+            # native C recon eligibility: no explicit scaling lists and no
+            # LMCS chroma residual scaling on this slice (recon.py gates)
+            native_recon_ok = (
+                (scaling_list is None or
+                 not sh.r.sh_explicit_scaling_list_used_flag) and
+                not (lmcs is not None and sh.r.sh_lmcs_used_flag and
+                     ph.ph_chroma_residual_scale_flag))
             jobs = self._parse_slice(nal, sh, sh_end_bits, tabs, fb,
                                      slice_idx_in_frame,
-                                     rpl=rpl, poc=poc, collocated=collocated)
+                                     rpl=rpl, poc=poc, collocated=collocated,
+                                     native_recon_ok=native_recon_ok)
             if scaling_list is not None:
                 for rec, _ in jobs:
                     rec.scaling_list = scaling_list
@@ -473,7 +481,8 @@ class VVCDecoder:
         return ranges
 
     def _parse_slice(self, nal, sh, sh_end_bits, tabs, fb, slice_idx,
-                     rpl=None, poc=0, collocated=None):
+                     rpl=None, poc=0, collocated=None,
+                     native_recon_ok=False):
         """CABAC-parse one slice; returns recon jobs [(Reconstructor,
         [(rs, rx, ry), ...])] to run after the (optional) device itx pass."""
         sps, pps = self.sps, self.pps
@@ -498,6 +507,10 @@ class VVCDecoder:
             if self.config.native_parse:
                 from .native.parse import make_native_tree
                 coder.native_tree = make_native_tree(coder)
+                if coder.native_tree is not None and native_recon_ok:
+                    from .native.recon import load_lib as recon_lib
+                    coder.native_tree.keep_records = \
+                        recon_lib() is not None
             engine.set_states(None)
             rec = Reconstructor(sps, pps, tabs, fb, coder)
             rec.ph_r = sh.ph
@@ -530,6 +543,10 @@ class VVCDecoder:
                 if wpp and rx == pps.ctb_to_col_bd[rx]:
                     wpp_states = tuple(list(x) for x in engine.states)
                 job_ctus.append((rs, rx, ry))
+            if coder.native_tree is not None and \
+                    coder.native_tree.keep_records:
+                from .native.recon import make_native_recon
+                rec.native_recon = make_native_recon(coder, fb, sh.ph)
             jobs.append((rec, job_ctus))
         return jobs
 

@@ -311,6 +311,10 @@ class NativeTreeParser:
         out.cu_cap, out.tu_cap = cu_cap, tu_cap
         out.tb_cap, out.coeff_cap = tb_cap, coeff_cap
         self.out = out
+        # when the native recon core consumes the records directly, keep a
+        # per-CTU copy and skip building Python CU objects entirely
+        self.keep_records = False
+        self.records = {}   # rs -> (cu, tu, tb, coeff) np copies
 
     def __call__(self, coder, ctu_idx, rs, rx, ry):
         """Parse one CTU's coding tree; appends CUs to coder.cur_cus."""
@@ -327,7 +331,13 @@ class NativeTreeParser:
         coder.qp_y = st.qp_y
         coder.is_first_qg = bool(st.is_first_qg)
         coder.stat_coeff = [st.stat_coeff[i] for i in range(3)]
-        self._convert(coder, out)
+        if self.keep_records:
+            self.records[rs] = (self._cu[:out.n_cu].copy(),
+                                self._tu[:out.n_tu].copy(),
+                                self._tb[:out.n_tb].copy(),
+                                self._coeff[:out.coeff_len].copy())
+        else:
+            self._convert(coder, out)
 
     def _convert(self, coder, out):
         from ..ctu import CodingUnit, TransformUnit

@@ -355,3 +355,15 @@ void vvc_dequant_flat(int32_t *c, int n, long long scale_x_m,
         c[i] = v < lo ? lo : (v > hi ? hi : (int32_t)v);
     }
 }
+
+/* exported wrapper so vvc_recon.c can prepare edge buffers (e.g. for MIP) */
+void vvc_fill_edges(const int32_t *plane, long stride, int x, int y,
+                    int ref_line, int left_avail, int top_avail,
+                    int cand_up_left, int unf_left, int unf_top,
+                    int left_size, int top_size, int do_smoothing,
+                    int bit_depth, int64_t *left, int64_t *top)
+{
+    fill_edges(plane, stride, x, y, ref_line, left_avail, top_avail,
+               cand_up_left, unf_left, unf_top, left_size, top_size,
+               do_smoothing, bit_depth, left, top);
+}

@@ -136,7 +136,12 @@ class Reconstructor:
 
     # --- CTU walk ----------------------------------------------------------
 
+    native_recon = None  # NativeRecon (native/recon.py), set by the decoder
+
     def reconstruct_ctu(self, rs, rx, ry):
+        if self.native_recon is not None:
+            self.native_recon.reconstruct_ctu(rs, rx, ry)
+            return
         self.nbr.decode_neighbour(rx << self.sps.ctb_log2_size_y,
                                   ry << self.sps.ctb_log2_size_y, rx, ry, rs)
         self._lmcs_vpdu = None  # (x, y, scale) cache (vvc_intra.c:509)
