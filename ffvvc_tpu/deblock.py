@@ -170,12 +170,48 @@ class Deblocker:
     def deblock_frame(self):
         pps = self.pps
         self._bs_ctx = self._build_bs_ctx() if self.lib is not None else None
+        if self._bs_ctx is not None and self._frame_driver():
+            return
         for vertical in (True, False):
             for ry in range(pps.ctb_height):
                 for rx in range(pps.ctb_width):
                     rs = ry * pps.ctb_width + rx
                     if not self.tabs.deblock_disabled[rs]:
                         self.deblock_ctb(rx, ry, vertical)
+
+    def _frame_driver(self):
+        """Whole-frame C deblock (deblock_frame_c); False when a plane is
+        not int32-contiguous (golden/odd layouts) so the per-CTB path runs."""
+        sps, pps, tabs = self.sps, self.pps, self.tabs
+        ptr = self._ptr
+        if any(p is None for p in
+               ptr["planes"][:3 if sps.chroma_format_idc else 1]):
+            return False
+        from .native import deblock as _nd
+        f = _nd.DeblockFrame()
+        f.plane0 = ptr["planes"][0]
+        if sps.chroma_format_idc:
+            f.plane1, f.plane2 = ptr["planes"][1], ptr["planes"][2]
+        f.qp0, f.qp1, f.qp2 = ptr["qp"]
+        keep = [np.ascontiguousarray(tabs.deblock_disabled),
+                np.ascontiguousarray(tabs.deblock_beta),
+                np.ascontiguousarray(tabs.deblock_tc),
+                np.ascontiguousarray(np.asarray(pps.ctb_to_col_bd, np.int32)),
+                np.ascontiguousarray(np.asarray(pps.ctb_to_row_bd, np.int32))]
+        self._frame_keep = keep
+        p = _native.as_i32p
+        f.dis, f.beta, f.tc = p(keep[0]), p(keep[1]), p(keep[2])
+        f.col_bd, f.row_bd = p(keep[3]), p(keep[4])
+        f.ctb_w, f.ctb_h = pps.ctb_width, pps.ctb_height
+        f.qp_bd_offset = sps.qp_bd_offset
+        f.bd = sps.bit_depth
+        f.pixel_max = self.pixel_max
+        f.n_ladf = sps.num_ladf_intervals
+        f.ladf_lowest = int(getattr(
+            sps.r, "sps_ladf_lowest_interval_qp_offset", 0) or 0)
+        f.ladf_off, f.ladf_bnd = ptr["ladf_off"], ptr["ladf_bnd"]
+        self.lib.deblock_frame_c(ctypes.byref(self._bs_ctx), ctypes.byref(f))
+        return True
 
     def _boundary_flags(self, rx, ry):
         pps = self.pps

@@ -41,6 +41,18 @@ class BsCtx(ctypes.Structure):
           "chroma")])
 
 
+class DeblockFrame(ctypes.Structure):
+    """Mirror of DeblockFrame in vvc_deblock.c (field order must match)."""
+    _fields_ = (
+        [(n, _I32P) for n in
+         ("plane0", "plane1", "plane2", "qp0", "qp1", "qp2",
+          "dis", "beta", "tc", "col_bd", "row_bd")] +
+        [(n, ctypes.c_int32) for n in
+         ("ctb_w", "ctb_h", "qp_bd_offset", "bd", "pixel_max",
+          "n_ladf", "ladf_lowest")] +
+        [("ladf_off", _I32P), ("ladf_bnd", _I32P)])
+
+
 def _build():
     import subprocess
     subprocess.run(["gcc", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
@@ -80,6 +92,9 @@ def load_lib():
         ctypes.POINTER(BsCtx), ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.deblock_compute_bs.restype = None
+    lib.deblock_frame_c.argtypes = [ctypes.POINTER(BsCtx),
+                                    ctypes.POINTER(DeblockFrame)]
+    lib.deblock_frame_c.restype = None
     return lib
 
 

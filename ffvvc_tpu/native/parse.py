@@ -332,10 +332,18 @@ class NativeTreeParser:
         coder.is_first_qg = bool(st.is_first_qg)
         coder.stat_coeff = [st.stat_coeff[i] for i in range(3)]
         if self.keep_records:
-            self.records[rs] = (self._cu[:out.n_cu].copy(),
-                                self._tu[:out.n_tu].copy(),
-                                self._tb[:out.n_tb].copy(),
-                                self._coeff[:out.coeff_len].copy())
+            cu = self._cu[:out.n_cu].copy()
+            tu = self._tu[:out.n_tu].copy()
+            tb = self._tb[:out.n_tb].copy()
+            coeff = self._coeff[:out.coeff_len].copy()
+            # pointers cached once; consumed by native/recon.py per CTU
+            self.records[rs] = (
+                len(cu), ctypes.c_void_p(cu.ctypes.data),
+                ctypes.c_void_p(tu.ctypes.data),
+                ctypes.c_void_p(tb.ctypes.data),
+                ctypes.c_void_p(coeff.ctypes.data if len(coeff) else
+                                tu.ctypes.data),
+                (cu, tu, tb, coeff))
         else:
             self._convert(coder, out)
 

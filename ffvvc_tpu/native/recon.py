@@ -156,18 +156,15 @@ class NativeRecon:
         rp.mip_16x16 = _ptr(t["mip_16x16"])
         rp.level_scale = _ptr(t["level_scale"])
         self.rp = rp
+        self._rp_ref = ctypes.byref(rp)
 
     def reconstruct_ctu(self, rs, rx, ry):
         rec = self.records.get(rs)
-        if rec is None:
+        if rec is None or not rec[0]:
             return
-        cu, tu, tb, coeff = rec
-        if not len(cu):
-            return
-        err = self.lib.recon_ctu(
-            ctypes.byref(self.rp), rx, ry, rs,
-            _ptr(cu), len(cu), _ptr(tu), _ptr(tb),
-            _ptr(coeff) if len(coeff) else _ptr(tu))
+        n_cu, cu_p, tu_p, tb_p, coeff_p, _keep = rec
+        err = self.lib.recon_ctu(self._rp_ref, rx, ry, rs,
+                                 cu_p, n_cu, tu_p, tb_p, coeff_p)
         if err:
             raise ValueError(f"native recon_ctu failed (err={err})")
 

@@ -784,3 +784,86 @@ void deblock_compute_bs(const BsCtx *c, int x0, int y0, int vertical,
         }
     }
 }
+
+/* ---- whole-frame driver (deblock.py deblock_frame/deblock_ctb) ---------- */
+
+typedef struct {
+    int32_t *plane0, *plane1, *plane2;
+    const int32_t *qp0, *qp1, *qp2;
+    const int32_t *dis;        /* deblock_disabled per CTB [nctb] */
+    const int32_t *beta;       /* [nctb][3] */
+    const int32_t *tc;         /* [nctb][3] */
+    const int32_t *col_bd;     /* [ctb_w + 1] */
+    const int32_t *row_bd;     /* [ctb_h + 1] */
+    int32_t ctb_w, ctb_h;
+    int32_t qp_bd_offset, bd, pixel_max;
+    int32_t n_ladf, ladf_lowest;
+    const int32_t *ladf_off, *ladf_bnd;
+} DeblockFrame;
+
+#define DEBLOCK_STEP 8
+#define LUMA_GRID    4
+#define CHROMA_GRID  8
+
+void deblock_frame_c(const BsCtx *c, const DeblockFrame *f)
+{
+    int32_t *planes[3] = {f->plane0, f->plane1, f->plane2};
+    const int32_t *qps[3] = {f->qp0, f->qp1, f->qp2};
+    int c_end = c->chroma ? 3 : 1;
+    for (int vertical = 1; vertical >= 0; vertical--) {
+        for (int ry = 0; ry < f->ctb_h; ry++) {
+            for (int rx = 0; rx < f->ctb_w; rx++) {
+                int rs = ry * f->ctb_w + rx;
+                if (f->dis[rs])
+                    continue;
+                int x0 = rx * c->ctb_size, y0 = ry * c->ctb_size;
+                int lt = rx > 0 && f->col_bd[rx] != f->col_bd[rx - 1];
+                int ls = rx > 0 &&
+                    c->slice_idx[rs] != c->slice_idx[rs - 1];
+                int ut = ry > 0 && f->row_bd[ry] != f->row_bd[ry - 1];
+                int us = ry > 0 &&
+                    c->slice_idx[rs] != c->slice_idx[rs - f->ctb_w];
+                deblock_compute_bs(c, x0, y0, vertical, lt, ls, ut, us);
+                int x_end = x0 + c->ctb_size;
+                int y_end = y0 + c->ctb_size;
+                if (x_end > c->pic_w) x_end = c->pic_w;
+                if (y_end > c->pic_h) y_end = c->pic_h;
+                for (int ci = 0; ci < c_end; ci++) {
+                    int hs = ci ? c->hs1 : 0, vs = ci ? c->vs1 : 0;
+                    int beta_off = f->beta[rs * 3 + ci];
+                    int tc_off = f->tc[rs * 3 + ci];
+                    int grid, step, n;
+                    const int32_t *bs_tab, *mlp, *mlq, *tbsz;
+                    if (vertical) {
+                        grid = ci ? (CHROMA_GRID << hs) : LUMA_GRID;
+                        step = DEBLOCK_STEP << vs;
+                        n = ci ? (DEBLOCK_STEP >> (2 - vs))
+                               : (DEBLOCK_STEP >> 2);
+                        bs_tab = ci == 0 ? c->vbs0
+                               : ci == 1 ? c->vbs1 : c->vbs2;
+                        mlp = c->vp; mlq = c->vq;
+                        tbsz = c->tb_w1;
+                    } else {
+                        grid = ci ? (CHROMA_GRID << vs) : LUMA_GRID;
+                        step = DEBLOCK_STEP << hs;
+                        n = ci ? (DEBLOCK_STEP >> (2 - hs))
+                               : (DEBLOCK_STEP >> 2);
+                        bs_tab = ci == 0 ? c->hbs0
+                               : ci == 1 ? c->hbs1 : c->hbs2;
+                        mlp = c->hp; mlq = c->hq;
+                        tbsz = c->tb_h1;
+                    }
+                    deblock_ctb_edges(planes[ci],
+                                      ci ? (c->pic_w >> c->hs1) : c->pic_w,
+                                      ci, vertical, x0, y0, x_end, y_end,
+                                      grid, step, n, hs, vs, c->ctb_size,
+                                      bs_tab, mlp, mlq, tbsz, qps[ci],
+                                      c->w4, beta_off, tc_off,
+                                      f->qp_bd_offset, f->bd, f->pixel_max,
+                                      f->n_ladf, f->ladf_lowest,
+                                      f->ladf_off, f->ladf_bnd);
+                }
+            }
+        }
+    }
+}

@@ -1137,9 +1137,11 @@ int recon_ctu(const ReconParams *rp, int rx, int ry, int rs,
               const int32_t *cu_recs, int n_cu, const int32_t *tu_recs,
               const int32_t *tb_recs, int32_t *coeff_pool)
 {
-    Recon r;
-    memset(&r, 0, sizeof(r));
+    static _Thread_local Recon r;   /* 128KB of RA slots; don't memset */
     r.rp = rp;
+    r.n_ras[0] = r.n_ras[1] = 0;
+    r.err = 0;
+    r.na_cand_up_left = 0;
     recon_neighbour(&r, rx, ry, rs);
     for (int i = 0; i < n_cu; i++) {
         recon_cu(&r, cu_recs + i * CU_STRIDE, tu_recs, tb_recs, coeff_pool);
