@@ -72,6 +72,7 @@ class NalUnit:
     rbsp: bytes           # payload with the 2-byte NAL header stripped and EPBs removed
     skipped: list         # positions (in rbsp coords) where an EPB was removed
     raw_size: int         # size of the NAL payload incl. header, pre-EPB-removal
+    raw: bytes = b""      # original NAL bytes incl. header (no start code)
 
     @property
     def temporal_id(self) -> int:
@@ -169,6 +170,7 @@ def parse_nal(payload: bytes):
         rbsp=rbsp,
         skipped=skipped,
         raw_size=len(payload),
+        raw=payload,
     )
 
 

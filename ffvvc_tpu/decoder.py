@@ -87,7 +87,11 @@ class VVCDecoder:
         self.gdr_recovery_point_poc = 0
         self.gdr_recovered = True
 
-    def decode(self, data: bytes):
+    def decode(self, data: bytes, flush: bool = True):
+        """Decode an Annex-B chunk.  With flush=True (whole-stream call)
+        all frames are drained in output order; with flush=False (streaming:
+        one access unit per call, see bitstream/au.py) frames are released
+        per DPB bumping rules and the tail is drained by flush()."""
         nals = split_annexb(data)
         # group into access units by PH/first-slice boundaries
         frame_nals = []
@@ -159,8 +163,12 @@ class VVCDecoder:
             else:
                 handle(nal)
         flush_frame()
-        out.extend(self._output_frames(flush=True))
+        out.extend(self._output_frames(flush=flush))
         return out
+
+    def flush(self):
+        """Drain remaining reordered frames (end of stream)."""
+        return self._output_frames(flush=True)
 
     # --- DPB / output order (vvc_refs.c:196-292) ---------------------------
 

@@ -314,23 +314,34 @@ class NativeTreeParser:
         # when the native recon core consumes the records directly, keep a
         # per-CTU copy and skip building Python CU objects entirely
         self.keep_records = False
-        self.records = {}   # rs -> (cu, tu, tb, coeff) np copies
+        self.records = {}   # rs -> (n_cu, ptrs..., arrays) per CTU
+        self._sp_ref = ctypes.byref(self.sp)
+        self._st_ref = ctypes.byref(self.st)
+        self._out_ref = ctypes.byref(self.out)
+        self._synced_stat = None
+        self._synced_engine = None
+        self._cabac_ref = None
 
     def __call__(self, coder, ctu_idx, rs, rx, ry):
-        """Parse one CTU's coding tree; appends CUs to coder.cur_cus."""
+        """Parse one CTU's coding tree; appends CUs to coder.cur_cus.
+
+        qp_y / is_first_qg live in the C SliceState for the whole slice (no
+        Python consumer between CTUs); stat_coeff is re-pushed only when
+        init_stat_coeff rebinds it (tile/WPP entry reinit)."""
         st, out = self.st, self.out
-        st.qp_y = coder.qp_y
-        st.is_first_qg = int(coder.is_first_qg)
-        for i in range(3):
-            st.stat_coeff[i] = coder.stat_coeff[i]
-        rc = self.lib.parse_ctu(
-            ctypes.byref(coder.e.c), ctypes.byref(self.sp),
-            ctypes.byref(st), ctypes.byref(out), ctu_idx, rs, rx, ry)
+        sc = coder.stat_coeff
+        if sc is not self._synced_stat:
+            for i in range(3):
+                st.stat_coeff[i] = sc[i]
+            self._synced_stat = sc
+        e = coder.e
+        if e is not self._synced_engine:
+            self._cabac_ref = ctypes.byref(e.c)
+            self._synced_engine = e
+        rc = self.lib.parse_ctu(self._cabac_ref, self._sp_ref, self._st_ref,
+                                self._out_ref, ctu_idx, rs, rx, ry)
         if rc:
             raise ValueError(f"native parse_ctu failed (err={rc})")
-        coder.qp_y = st.qp_y
-        coder.is_first_qg = bool(st.is_first_qg)
-        coder.stat_coeff = [st.stat_coeff[i] for i in range(3)]
         if self.keep_records:
             cu = self._cu[:out.n_cu].copy()
             tu = self._tu[:out.n_tu].copy()
