@@ -12,9 +12,12 @@ gather, the same semantics as ff_emulated_edge_mc.
 """
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 from .ops import data as D
+from .native import mc as _mc_native
 from .mvs import PF_INTRA, PF_L0, PF_L1, PF_BI, MvField, clip_mv
 
 LUMA, CB, CR = 0, 1, 2
@@ -68,6 +71,7 @@ class InterPredictor:
         self.c = coder      # CtuCoder (na flags for CIIP weight)
         self.bd = sps.bit_depth
         self.lmcs_fwd = None  # forward-mapping LUT when sh_lmcs_used_flag
+        self._mc_lib = _mc_native.load_lib()
 
     # --- core interpolation (h2656_inter_template.c) -----------------------
 
@@ -75,6 +79,21 @@ class InterPredictor:
                 is_luma, hf_idx=0, vf_idx=0, box=None):
         """put[LUMA/CHROMA][..][!!my][!!mx] -> int intermediate [h, w]
         (14-bit domain)."""
+        lib = self._mc_lib
+        if lib is not None and ref_plane.dtype == np.int32 and \
+                ref_plane.flags.c_contiguous:
+            _, _, lptr, cptr = _mc_native.filter_rows()
+            hf = (lptr[hf_idx][frac_x] if is_luma else cptr[hf_idx][frac_x])
+            vf = (lptr[vf_idx][frac_y] if is_luma else cptr[vf_idx][frac_y])
+            dst = np.empty((h, w), dtype=np.int32)
+            H, W = ref_plane.shape
+            bx = box if box is not None else (0, 0, 0, 0)
+            lib.mc_put(ctypes.c_void_p(dst.ctypes.data),
+                       ctypes.c_void_p(ref_plane.ctypes.data), W, W, H,
+                       x_int, y_int, frac_x, frac_y, w, h, int(is_luma),
+                       hf, vf, self.bd, int(box is not None),
+                       bx[0], bx[1], bx[2], bx[3])
+            return dst
         lf, cf, _ = _filters()
         bd = self.bd
         if is_luma:
