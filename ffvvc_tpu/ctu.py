@@ -2312,8 +2312,10 @@ class CtuCoder:
         self.cur_cus = self.tabs.cus[rs]
         self.parse.chroma_qp_offset = [0, 0, 0]
         self.decode_neighbour(x_ctb, y_ctb, rx, ry, rs)
-        self.sao_params(rx, ry, rs)
-        self.alf_params(rx, ry, rs)
+        if self.native_tree is None:
+            # native path: sao/alf params are parsed inside parse_ctu (C)
+            self.sao_params(rx, ry, rs)
+            self.alf_params(rx, ry, rs)
         self.tabs.deblock_disabled[rs] = int(self.sh.lf_disabled)
         self.tabs.deblock_beta[rs] = self.sh.beta_offset
         self.tabs.deblock_tc[rs] = self.sh.tc_offset

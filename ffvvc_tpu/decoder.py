@@ -86,6 +86,8 @@ class VVCDecoder:
         self.no_output_before_recovery = 0
         self.gdr_recovery_point_poc = 0
         self.gdr_recovered = True
+        # per-stage wall time (seconds) accumulated when config.profile
+        self.stage_times = {}
 
     def decode(self, data: bytes, flush: bool = True):
         """Decode an Annex-B chunk.  With flush=True (whole-stream call)
@@ -301,6 +303,21 @@ class VVCDecoder:
         return rpl_pair, collocated
 
     def _decode_frame(self, ph, slices):
+        # per-stage timing (config.profile; reference VVC_THREAD_DEBUG
+        # task-trace analogue, vvc_thread.c:568-603)
+        if self.config.profile:
+            import time as _time
+            _t = [_time.monotonic()]
+
+            def _stage(name):
+                now = _time.monotonic()
+                self.stage_times[name] = self.stage_times.get(name, 0.0) + \
+                    (now - _t[0])
+                _t[0] = now
+        else:
+            def _stage(name):
+                pass
+        self._stage = _stage
         nal0, sh0, _ = slices[0]
         pps_r = self.ps.pps[ph.ph_pic_parameter_set_id]
         sps_r = self.ps.sps[pps_r.pps_seq_parameter_set_id]
@@ -419,11 +436,14 @@ class VVCDecoder:
                 if f is not frame:
                     self._unref_check(f)
 
+        _stage("parse")
+
         if self.config.backend == "tpu":
             # batched inverse transforms on device (one launch per TB bucket);
             # host recon below then only adds the precomputed residuals
             from .ops.itx import frame_device_residuals
             frame_device_residuals(recon_jobs, tabs, sps.bit_depth)
+        _stage("itx")
         # inter MC pass (reference INTER task stage precedes RECON,
         # vvc_thread.c:41-51)
         for ip, ctus in inter_jobs:
@@ -431,9 +451,11 @@ class VVCDecoder:
                 ip.c.decode_neighbour(rx << sps.ctb_log2_size_y,
                                       ry << sps.ctb_log2_size_y, rx, ry, rs)
                 ip.predict_inter_ctu(rs)
+        _stage("inter")
         for rec, ctus in recon_jobs:
             for rs, rx, ry in ctus:
                 rec.reconstruct_ctu(rs, rx, ry)
+        _stage("recon")
         # LMCS inverse mapping (stage before deblock, vvc_thread.c:44,
         # ff_vvc_lmcs_filter vvc_filter.c:1322)
         if lmcs is not None:
@@ -447,11 +469,13 @@ class VVCDecoder:
                     y1 = min(y0 + ctb, pps.height)
                     blk = fb.planes[0][y0:y1, x0:x1]
                     blk[:] = lmcs.inv_lut[blk]
+        _stage("lmcs")
         # in-loop filters (whole-frame passes per spec 8.8)
         from .deblock import Deblocker
         db = Deblocker(sps, pps, tabs, fb)
         db.slice_rpls = frame.slice_rpls
         db.deblock_frame()
+        _stage("deblock")
         if self.config.backend == "tpu" and self.config.device_sao:
             from .ops.sao_device import sao_frame_device
             sao_frame_device(sps, pps, tabs, fb)
@@ -464,6 +488,7 @@ class VVCDecoder:
             sh_list = [sh_by_slice.get(i) for i in
                        range(max(sh_by_slice) + 1)]
             AlfFilter(sps, pps, tabs, fb, sh_list, alf_list).alf_frame()
+        _stage("sao_alf")
         return outputs
 
     def _entry_point_offsets(self, nal, sh_r, sh_end_bits):

@@ -79,7 +79,24 @@ class _SliceParams(ctypes.Structure):
             "msf", "mmi", "mvf_pf", "col_pf", "msm0", "msm1", "ispmf",
             "slice_idx", "ctb_to_col_bd", "ctb_to_row_bd",
             "chroma_qp_table")] +
-        [("qp_table_len", _I)])
+        [("qp_table_len", _I)] +
+        [(n, _I) for n in (
+            "sps_alf", "sps_ccalf", "sao_luma_used", "sao_chroma_used",
+            "alf_enabled", "alf_cb_enabled", "alf_cr_enabled",
+            "alf_cc_cb_enabled", "alf_cc_cr_enabled",
+            "num_alf_aps_ids_luma")] +
+        [("alf_aps_id_luma", _I * 8),
+         ("alf_aps_id_chroma", _I),
+         ("num_chroma_alt_filters", _I),
+         ("num_cc_filters", _I * 2)] +
+        [(n, _I) for n in (
+            "ctx_sao_merge", "ctx_sao_type", "ctx_alf_ctb_flag",
+            "ctx_alf_use_aps", "ctx_alf_alt_idx", "ctx_alf_cc_cb",
+            "ctx_alf_cc_cr")] +
+        [(n, _P) for n in (
+            "sao_type_tab", "sao_band_pos", "sao_eo_class", "sao_offset",
+            "alf_ctb_flag", "alf_aps_id", "alf_fixed", "alf_filt_idx",
+            "alf_alt_idx", "alf_cc_idc")])
 
 
 class _SliceState(ctypes.Structure):
@@ -286,6 +303,41 @@ class NativeTreeParser:
         qpt = np.ascontiguousarray(sps.chroma_qp_table.astype(np.int32))
         sp.chroma_qp_table = c32(qpt)
         sp.qp_table_len = qpt.shape[1]
+        # per-CTU SAO / ALF param parse (ctu.py sao_params/alf_params)
+        sp.sps_alf = r.sps_alf_enabled_flag
+        sp.sps_ccalf = r.sps_ccalf_enabled_flag
+        sp.sao_luma_used = rsh.sh_sao_luma_used_flag
+        sp.sao_chroma_used = rsh.sh_sao_chroma_used_flag
+        sp.alf_enabled = rsh.sh_alf_enabled_flag
+        sp.alf_cb_enabled = rsh.sh_alf_cb_enabled_flag
+        sp.alf_cr_enabled = rsh.sh_alf_cr_enabled_flag
+        sp.alf_cc_cb_enabled = rsh.sh_alf_cc_cb_enabled_flag
+        sp.alf_cc_cr_enabled = rsh.sh_alf_cc_cr_enabled_flag
+        sp.num_alf_aps_ids_luma = rsh.sh_num_alf_aps_ids_luma
+        ids = rsh.sh_alf_aps_id_luma or []
+        for i, v in enumerate(list(ids)[:8]):
+            sp.alf_aps_id_luma[i] = v
+        sp.alf_aps_id_chroma = rsh.sh_alf_aps_id_chroma
+        sp.num_chroma_alt_filters = coder.num_chroma_alt_filters
+        sp.num_cc_filters[0] = coder.num_cc_filters[0]
+        sp.num_cc_filters[1] = coder.num_cc_filters[1]
+        sp.ctx_sao_merge = CTX.SAO_MERGE_FLAG
+        sp.ctx_sao_type = CTX.SAO_TYPE_IDX
+        sp.ctx_alf_ctb_flag = CTX.ALF_CTB_FLAG
+        sp.ctx_alf_use_aps = CTX.ALF_USE_APS_FLAG
+        sp.ctx_alf_alt_idx = CTX.ALF_CTB_FILTER_ALT_IDX
+        sp.ctx_alf_cc_cb = CTX.ALF_CTB_CC_CB_IDC
+        sp.ctx_alf_cc_cr = CTX.ALF_CTB_CC_CR_IDC
+        sp.sao_type_tab = c32(tabs.sao_type)
+        sp.sao_band_pos = c32(tabs.sao_band_pos)
+        sp.sao_eo_class = c32(tabs.sao_eo_class)
+        sp.sao_offset = c32(tabs.sao_offset)
+        sp.alf_ctb_flag = c32(tabs.alf_ctb_flag)
+        sp.alf_aps_id = c32(tabs.alf_aps_id)
+        sp.alf_fixed = c32(tabs.alf_fixed)
+        sp.alf_filt_idx = c32(tabs.alf_filt_idx)
+        sp.alf_alt_idx = c32(tabs.alf_alt_idx)
+        sp.alf_cc_idc = c32(tabs.alf_cc_idc)
         self.sp = sp
 
         st = _SliceState()

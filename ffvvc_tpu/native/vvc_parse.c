@@ -124,6 +124,28 @@ typedef struct {
     int32_t *ctb_to_row_bd;            /* len ctb_height + 1 */
     int32_t *chroma_qp_table;          /* [3, qp_table_len] flattened */
     int qp_table_len;
+    /* --- per-CTU SAO / ALF parameter parse (hls_sao / alf_params) ------- */
+    int sps_alf, sps_ccalf;
+    int sao_luma_used, sao_chroma_used;
+    int alf_enabled, alf_cb_enabled, alf_cr_enabled;
+    int alf_cc_cb_enabled, alf_cc_cr_enabled;
+    int num_alf_aps_ids_luma;
+    int alf_aps_id_luma[8];
+    int alf_aps_id_chroma;
+    int num_chroma_alt_filters;
+    int num_cc_filters[2];
+    int ctx_sao_merge, ctx_sao_type, ctx_alf_ctb_flag, ctx_alf_use_aps;
+    int ctx_alf_alt_idx, ctx_alf_cc_cb, ctx_alf_cc_cr;
+    int32_t *sao_type_tab;      /* [nctb][3] */
+    int32_t *sao_band_pos;      /* [nctb][3] */
+    int32_t *sao_eo_class;      /* [nctb][3] */
+    int32_t *sao_offset;        /* [nctb][3][5] */
+    int32_t *alf_ctb_flag;      /* [nctb][3] */
+    int32_t *alf_aps_id;        /* [nctb][3] */
+    int32_t *alf_fixed;         /* [nctb] */
+    int32_t *alf_filt_idx;      /* [nctb] */
+    int32_t *alf_alt_idx;       /* [nctb][2] */
+    int32_t *alf_cc_idc;        /* [nctb][2] */
 } SliceParams;
 
 /* per-entry-point persistent state (mirrors CtuCoder entry-point state) */
@@ -1673,6 +1695,163 @@ static int dual_tree_implicit_qt(Parser *p, int x0, int y0, int cb_size,
     return 0;
 }
 
+/* ---- per-CTU SAO / ALF params (ctu.py:2124-2297) ----------------------- */
+
+enum { SAO_NOT_APPLIED = 0, SAO_BAND = 1, SAO_EDGE = 2 };
+
+static void sao_params_c(Parser *p, int rx, int ry, int rs)
+{
+    const SliceParams *sp = p->sp;
+    Cabac *c = p->c;
+    int merge_left = 0, merge_up = 0;
+    if (sp->sao_luma_used || sp->sao_chroma_used) {
+        if (rx > 0 && p->ctb_left_flag)
+            merge_left = cabac_decode_bin(c, sp->ctx_sao_merge);
+        if (ry > 0 && !merge_left && p->ctb_up_flag)
+            merge_up = cabac_decode_bin(c, sp->ctx_sao_merge);
+    }
+    int merged_src = merge_left ? rs - 1
+                   : (merge_up ? rs - sp->ctb_width : -1);
+    int nc = sp->chroma_format_idc ? 3 : 1;
+    int bd10 = sp->bit_depth < 10 ? sp->bit_depth : 10;
+    int scale = 1 << (sp->bit_depth - bd10);
+    for (int ci = 0; ci < nc; ci++) {
+        int used = ci == 0 ? sp->sao_luma_used : sp->sao_chroma_used;
+        if (!used) {
+            sp->sao_type_tab[rs * 3 + ci] = SAO_NOT_APPLIED;
+            continue;
+        }
+        if (merged_src >= 0) {
+            sp->sao_type_tab[rs * 3 + ci] =
+                sp->sao_type_tab[merged_src * 3 + ci];
+            sp->sao_band_pos[rs * 3 + ci] =
+                sp->sao_band_pos[merged_src * 3 + ci];
+            sp->sao_eo_class[rs * 3 + ci] =
+                sp->sao_eo_class[merged_src * 3 + ci];
+            for (int i = 0; i < 5; i++)
+                sp->sao_offset[(rs * 3 + ci) * 5 + i] =
+                    sp->sao_offset[(merged_src * 3 + ci) * 5 + i];
+            continue;
+        }
+        if (ci == 2) {
+            sp->sao_type_tab[rs * 3 + 2] = sp->sao_type_tab[rs * 3 + 1];
+            sp->sao_eo_class[rs * 3 + 2] = sp->sao_eo_class[rs * 3 + 1];
+        } else {
+            int t;
+            if (!cabac_decode_bin(c, sp->ctx_sao_type))
+                t = SAO_NOT_APPLIED;
+            else
+                t = cabac_decode_bypass(c) ? SAO_EDGE : SAO_BAND;
+            sp->sao_type_tab[rs * 3 + ci] = t;
+        }
+        int typ = sp->sao_type_tab[rs * 3 + ci];
+        if (typ == SAO_NOT_APPLIED)
+            continue;
+        int length = (1 << (bd10 - 5)) - 1;
+        int offset_abs[4], offset_sign[4] = {0, 0, 0, 0};
+        for (int i = 0; i < 4; i++) {
+            int v = 0;
+            while (v < length && cabac_decode_bypass(c))
+                v++;
+            offset_abs[i] = v;
+        }
+        if (typ == SAO_BAND) {
+            for (int i = 0; i < 4; i++)
+                if (offset_abs[i])
+                    offset_sign[i] = cabac_decode_bypass(c);
+            sp->sao_band_pos[rs * 3 + ci] = cabac_decode_bypass_bits(c, 5);
+        } else if (ci != 2) {
+            int eo = (cabac_decode_bypass(c) << 1) | cabac_decode_bypass(c);
+            sp->sao_eo_class[rs * 3 + ci] = eo;
+        }
+        sp->sao_offset[(rs * 3 + ci) * 5 + 0] = 0;
+        for (int i = 0; i < 4; i++) {
+            int v = offset_abs[i];
+            if (typ == SAO_EDGE) {
+                if (i > 1)
+                    v = -v;
+            } else if (offset_sign[i]) {
+                v = -v;
+            }
+            sp->sao_offset[(rs * 3 + ci) * 5 + i + 1] = v * scale;
+        }
+    }
+}
+
+static void alf_params_c(Parser *p, int rx, int ry, int rs)
+{
+    const SliceParams *sp = p->sp;
+    Cabac *c = p->c;
+    (void)rx; (void)ry;
+    if (!sp->sps_alf)
+        return;
+    if (sp->alf_enabled) {
+        int nc = sp->chroma_format_idc ? 3 : 1;
+        const int en[3] = {sp->alf_enabled, sp->alf_cb_enabled,
+                           sp->alf_cr_enabled};
+        for (int ci = 0; ci < nc; ci++) {
+            if (!en[ci]) {
+                sp->alf_ctb_flag[rs * 3 + ci] = 0;
+                continue;
+            }
+            int inc = ci * 3;
+            if (p->ctb_left_flag)
+                inc += sp->alf_ctb_flag[(rs - 1) * 3 + ci] != 0;
+            if (p->ctb_up_flag)
+                inc += sp->alf_ctb_flag[(rs - sp->ctb_width) * 3 + ci] != 0;
+            int flag = cabac_decode_bin(c, sp->ctx_alf_ctb_flag + inc);
+            sp->alf_ctb_flag[rs * 3 + ci] = flag;
+            if (ci == 0 && flag) {
+                int use_aps = 0;
+                if (sp->num_alf_aps_ids_luma > 0)
+                    use_aps = cabac_decode_bin(c, sp->ctx_alf_use_aps);
+                sp->alf_fixed[rs] = !use_aps;
+                if (use_aps) {
+                    int idx = 0;
+                    if (sp->num_alf_aps_ids_luma > 1)
+                        idx = cabac_truncated_binary(
+                            c, sp->num_alf_aps_ids_luma - 1);
+                    sp->alf_filt_idx[rs] = idx;
+                    sp->alf_aps_id[rs * 3 + 0] = sp->alf_aps_id_luma[idx];
+                } else {
+                    sp->alf_filt_idx[rs] = cabac_truncated_binary(c, 15);
+                }
+            } else if (ci && flag) {
+                sp->alf_aps_id[rs * 3 + ci] = sp->alf_aps_id_chroma;
+                int num_alts = sp->num_chroma_alt_filters;
+                int alt = 0;
+                while (alt < num_alts - 1 &&
+                       cabac_decode_bin(c, sp->ctx_alf_alt_idx + ci - 1))
+                    alt++;
+                sp->alf_alt_idx[rs * 2 + ci - 1] = alt;
+            }
+        }
+    }
+    if (sp->sps_ccalf) {
+        const int cc_en[2] = {sp->alf_cc_cb_enabled, sp->alf_cc_cr_enabled};
+        for (int i = 0; i < 2; i++) {
+            sp->alf_cc_idc[rs * 2 + i] = 0;
+            if (!cc_en[i])
+                continue;
+            int base = i == 0 ? sp->ctx_alf_cc_cb : sp->ctx_alf_cc_cr;
+            int inc = 0;
+            if (p->ctb_left_flag)
+                inc += sp->alf_cc_idc[(rs - 1) * 2 + i] != 0;
+            if (p->ctb_up_flag)
+                inc += sp->alf_cc_idc[(rs - sp->ctb_width) * 2 + i] != 0;
+            int v = cabac_decode_bin(c, base + inc);
+            if (v) {
+                int idc = 1;
+                int nf = sp->num_cc_filters[i];
+                while (idc < nf && cabac_decode_bypass(c))
+                    idc++;
+                v = idc;
+            }
+            sp->alf_cc_idc[rs * 2 + i] = v;
+        }
+    }
+}
+
 /* ---- exported entry ----------------------------------------------------
  * Parses the coding-tree portion of one CTU (after the Python side has
  * parsed SAO/ALF params).  Mirrors coding_tree_unit (ctu.py:2299) minus the
@@ -1698,6 +1877,8 @@ int parse_ctu(Cabac *c, const SliceParams *sp, SliceState *st, ParseOut *out,
     st->chroma_qp_offset[1] = 0;
     st->chroma_qp_offset[2] = 0;
     decode_neighbour(&p, x_ctb, y_ctb, rx, ry, rs);
+    sao_params_c(&p, rx, ry, rs);
+    alf_params_c(&p, rx, ry, rs);
     int ctb_size = 1 << sp->ctb_log2;
     int r;
     if (sp->slice_type == SLICE_I && sp->sps_dual_tree)
