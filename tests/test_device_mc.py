@@ -1,0 +1,64 @@
+"""Device (XLA) batched MC must match the host golden _mc_put bit-exactly —
+the checkasm vvc_mc analogue: randomized sizes x frac classes x bit depths
+(reference tests/checkasm/vvc_mc.c:68-114 pattern).
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def _golden_put(plane, x, y, fx, fy, w, h, is_luma, bd):
+    from ffvvc_tpu.inter import InterPredictor
+    ip = InterPredictor.__new__(InterPredictor)
+    ip.bd = bd
+    ip._mc_lib = None  # force the NumPy golden path
+    return np.asarray(
+        InterPredictor._mc_put(ip, plane, x, y, fx, fy, w, h, is_luma))
+
+
+@pytest.mark.parametrize("bd", [8, 10])
+@pytest.mark.parametrize("is_luma", [True, False])
+@pytest.mark.parametrize("size", [(4, 4), (8, 16), (32, 8), (64, 64)])
+def test_mc_put_device_matches_golden(bd, is_luma, size):
+    from ffvvc_tpu.ops.mc_device import mc_put_batch
+    rng = np.random.default_rng(hash((bd, is_luma, size)) & 0xFFFF)
+    H, W = 96, 128
+    plane = rng.integers(0, 1 << bd, (H, W)).astype(np.int32)
+    w, h = size
+    B = 9
+    xs = rng.integers(-8, W + 4, B)
+    ys = rng.integers(-8, H + 4, B)
+    nfrac = 16
+    for fclass in range(4):
+        fx = rng.integers(1, nfrac, B) * bool(fclass & 1)
+        fy = rng.integers(1, nfrac, B) * bool(fclass & 2)
+        got = mc_put_batch(plane, xs, ys, fx, fy, w, h, is_luma, bd)
+        for b in range(B):
+            ref = _golden_put(plane, int(xs[b]), int(ys[b]), int(fx[b]),
+                              int(fy[b]), w, h, is_luma, bd)
+            assert np.array_equal(got[b], ref), (fclass, b)
+
+
+def test_mc_avg_uni_device():
+    from ffvvc_tpu.ops.mc_device import mc_avg_batch, mc_uni_batch
+    from ffvvc_tpu.inter import InterPredictor
+    rng = np.random.default_rng(7)
+    for bd in (8, 10):
+        ip = InterPredictor.__new__(InterPredictor)
+        ip.bd = bd
+        s0 = rng.integers(-(1 << 13), 1 << 13, (5, 8, 8)).astype(np.int32)
+        s1 = rng.integers(-(1 << 13), 1 << 13, (5, 8, 8)).astype(np.int32)
+        got = mc_avg_batch(s0, s1, bd)
+        for b in range(5):
+            ref = InterPredictor._avg(ip, s0[b].astype(np.int64),
+                                      s1[b].astype(np.int64))
+            assert np.array_equal(got[b], ref)
+        gotu = mc_uni_batch(s0, bd)
+        for b in range(5):
+            ref = InterPredictor._uni_out(ip, s0[b].astype(np.int64), False)
+            assert np.array_equal(gotu[b], ref)
