@@ -11,6 +11,7 @@ the same FrameTabs.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -549,6 +550,59 @@ class VVCDecoder:
             rec.ph_r = sh.ph
             rec.dep_quant = sh.r.sh_dep_quant_used_flag
             job_ctus = []
+            if coder.native_tree is not None and \
+                    coder.native_tree.keep_records and \
+                    os.environ.get("FFVVC_BATCH_PARSE", "1") != "0":
+                # batched whole-entry-point parse: all per-CTU work
+                # (SAO/ALF params, tree, terminate bits, reinits) in one C
+                # call (native/vvc_parse.c parse_ctus)
+                from .native.parse import parse_entrypoint
+                from .cabac.engine import CTX
+                if getattr(self, "_np_wpp_buf", None) is None:
+                    self._np_wpp_buf = np.zeros((4, CTX.NUM), np.int32)
+                wpp_buf = self._np_wpp_buf
+                qp = max(0, min(63, sh.slice_qp_y))
+                tmpl = np.ascontiguousarray(np.asarray(
+                    make_states(qp, sh.cabac_init_type), dtype=np.int32))
+                items = []
+                for i, rs in enumerate(ctus):
+                    rx = rs % pps.ctb_width
+                    ry = rs // pps.ctb_width
+                    ctu_idx = ctu_index[rs]
+                    first_in_tile = rx == pps.ctb_to_col_bd[rx] and \
+                        ry == pps.ctb_to_row_bd[ry]
+                    reinit = realign = 0
+                    if ctu_idx == 0 or first_in_tile:
+                        if i == 0:
+                            engine.set_states(make_states(
+                                qp, sh.cabac_init_type))
+                            coder.init_stat_coeff()
+                        else:
+                            realign = int(len(eps) == 1)
+                            reinit = 1
+                    elif wpp and i == 0:
+                        engine.set_states([wpp_buf[k].copy()
+                                           for k in range(4)])
+                        coder.init_stat_coeff()
+                    wpp_save = int(wpp and rx == pps.ctb_to_col_bd[rx])
+                    term = 0
+                    if rx == pps.ctb_to_col_bd[rx + 1] - 1:
+                        if ctu_idx == len(ctu_addrs) - 1 or \
+                                ry == pps.ctb_to_row_bd[ry + 1] - 1 or wpp:
+                            term = 1
+                    items.append((ctu_idx, rs, rx, ry, reinit, realign,
+                                  wpp_save, term, slice_idx))
+                    job_ctus.append((rs, rx, ry))
+                # per-CTU deblock params are slice-constant: prefill
+                tabs.deblock_disabled[ctus] = int(sh.lf_disabled)
+                tabs.deblock_beta[ctus] = sh.beta_offset
+                tabs.deblock_tc[ctus] = sh.tc_offset
+                parse_entrypoint(coder.native_tree, coder, items, tmpl,
+                                 wpp_buf)
+                from .native.recon import make_native_recon
+                rec.native_recon = make_native_recon(coder, fb, sh.ph)
+                jobs.append((rec, job_ctus))
+                continue
             for i, rs in enumerate(ctus):
                 rx = rs % pps.ctb_width
                 ry = rs // pps.ctb_width

@@ -135,6 +135,11 @@ def load_lib():
                               ctypes.POINTER(_ParseOut),
                               _I, _I, _I, _I]
     lib.parse_ctu.restype = _I
+    lib.parse_ctus.argtypes = [_P, ctypes.POINTER(_SliceParams),
+                               ctypes.POINTER(_SliceState),
+                               ctypes.POINTER(_ParseOut),
+                               _P, _I, _P, _P, _P, _I]
+    lib.parse_ctus.restype = _I
     return lib
 
 
@@ -474,3 +479,87 @@ def make_native_tree(coder, config=None):
     if lib is None:
         return None
     return NativeTreeParser(coder, lib)
+
+
+class _CtuDesc(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in
+                ("ctu_idx", "rs", "rx", "ry", "reinit", "realign",
+                 "wpp_inherit", "wpp_save", "term", "slice_idx")]
+
+
+class _Arena:
+    """Record arena shared by many CTUs (consumed zero-copy by the native
+    recon); chained when a dense slice exhausts it."""
+
+    def __init__(self, ctb_log2, n_ctus):
+        ctb4 = (1 << ctb_log2) >> 2
+        cu_need = 2 * ctb4 * ctb4 + 64
+        # np.empty is safe: every record/coeff block is fully written by
+        # the C side before Python or the C recon reads it
+        self.cu = np.empty((cu_need + 128 * n_ctus, CU_STRIDE), np.int32)
+        self.tu = np.empty((4 * cu_need + 512 * n_ctus, TU_STRIDE), np.int32)
+        self.tb = np.empty((12 * cu_need + 1536 * n_ctus, TB_STRIDE),
+                           np.int32)
+        self.coeff = np.empty((4 << (2 * ctb_log2)) + 2048 * n_ctus,
+                              np.int32)
+        out = _ParseOut()
+        out.cu, out.tu = _ptr(self.cu), _ptr(self.tu)
+        out.tb, out.coeff = _ptr(self.tb), _ptr(self.coeff)
+        out.cu_cap, out.tu_cap = len(self.cu), len(self.tu)
+        out.tb_cap, out.coeff_cap = len(self.tb), len(self.coeff)
+        self.out = out
+        self.cu_base = self.cu.ctypes.data
+        self.tu_ptr = ctypes.c_void_p(self.tu.ctypes.data)
+        self.tb_ptr = ctypes.c_void_p(self.tb.ctypes.data)
+        self.coeff_ptr = ctypes.c_void_p(self.coeff.ctypes.data)
+
+
+def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf):
+    """Batched whole-entry-point parse (native/vvc_parse.c parse_ctus).
+
+    items: [(ctu_idx, rs, rx, ry, reinit, realign, wpp_save, term,
+    slice_idx)].  Fills tree.records with zero-copy views into per-call
+    arenas.  Returns nothing; raises on parse error."""
+    from ..cabac.engine import CTX
+    lib = tree.lib
+    st = tree.st
+    sc = coder.stat_coeff
+    for i in range(3):
+        st.stat_coeff[i] = sc[i]
+    n = len(items)
+    descs = (_CtuDesc * n)()
+    for i, (ctu_idx, rs, rx, ry, reinit, realign, wpp_save, term,
+            sidx) in enumerate(items):
+        d = descs[i]
+        d.ctu_idx, d.rs, d.rx, d.ry = ctu_idx, rs, rx, ry
+        d.reinit, d.realign = reinit, realign
+        d.wpp_inherit = 0
+        d.wpp_save, d.term, d.slice_idx = wpp_save, term, sidx
+    num_ctx = CTX.NUM
+    tmpl_ptr = ctypes.c_void_p(state_tmpl.ctypes.data) \
+        if state_tmpl is not None else None
+    wpp_ptr = ctypes.c_void_p(wpp_buf.ctypes.data)
+    done = 0
+    while done < n:
+        arena = _Arena(coder.sps.ctb_log2_size_y, n - done)
+        idx = np.empty((n - done, 8), np.int32)
+        k = lib.parse_ctus(
+            ctypes.byref(coder.e.c), tree._sp_ref, ctypes.byref(st),
+            ctypes.byref(arena.out),
+            ctypes.byref(descs, done * ctypes.sizeof(_CtuDesc)),
+            n - done, ctypes.c_void_p(idx.ctypes.data), tmpl_ptr, wpp_ptr,
+            num_ctx)
+        if k < 0:
+            raise ValueError(
+                f"native parse_ctus failed (err={arena.out.err})")
+        if k == 0:
+            raise ValueError("native parse_ctus: arena too small for a CTU")
+        for row in idx[:k]:
+            rs, cu_start, n_cu = int(row[0]), int(row[1]), int(row[2])
+            tree.records[rs] = (
+                n_cu,
+                ctypes.c_void_p(arena.cu_base +
+                                cu_start * CU_STRIDE * 4),
+                arena.tu_ptr, arena.tb_ptr, arena.coeff_ptr, arena)
+        done += k
+    coder.stat_coeff = [st.stat_coeff[i] for i in range(3)]

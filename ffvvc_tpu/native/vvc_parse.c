@@ -120,6 +120,7 @@ typedef struct {
     int32_t *msm0, *msm1;              /* [h32, w32] */
     int32_t *ispmf;                    /* [h64, w64] */
     int32_t *slice_idx;                /* [ctb_height, ctb_width] */
+    /* note: written per CTU by parse_ctus */
     int32_t *ctb_to_col_bd;            /* len ctb_width + 1 */
     int32_t *ctb_to_row_bd;            /* len ctb_height + 1 */
     int32_t *chroma_qp_table;          /* [3, qp_table_len] flattened */
@@ -1857,6 +1858,31 @@ static void alf_params_c(Parser *p, int rx, int ry, int rs)
  * parsed SAO/ALF params).  Mirrors coding_tree_unit (ctu.py:2299) minus the
  * per-CTU bookkeeping that stays in Python (slice_idx write, sao/alf,
  * deblock tabs, terminate bits).  Returns 0 ok, else out->err. */
+static int parse_ctu_one(Parser *p, int ctu_idx, int rs, int rx, int ry)
+{
+    const SliceParams *sp = p->sp;
+    SliceState *st = p->st;
+    int x_ctb = rx << sp->ctb_log2;
+    int y_ctb = ry << sp->ctb_log2;
+    if (rx == sp->ctb_to_col_bd[rx])
+        st->is_first_qg = (ry == sp->ctb_to_row_bd[ry]) || !ctu_idx;
+    st->chroma_qp_offset[0] = 0;
+    st->chroma_qp_offset[1] = 0;
+    st->chroma_qp_offset[2] = 0;
+    decode_neighbour(p, x_ctb, y_ctb, rx, ry, rs);
+    sao_params_c(p, rx, ry, rs);
+    alf_params_c(p, rx, ry, rs);
+    int ctb_size = 1 << sp->ctb_log2;
+    int r;
+    if (sp->slice_type == SLICE_I && sp->sps_dual_tree)
+        r = dual_tree_implicit_qt(p, x_ctb, y_ctb, ctb_size, 0);
+    else
+        r = coding_tree(p, x_ctb, y_ctb, ctb_size, ctb_size, 1, 1, 0, 0, 0,
+                        0, 0, SPLIT_NONE, SINGLE_TREE, MODE_TYPE_ALL);
+    (void)r;
+    return p->out->err;
+}
+
 int parse_ctu(Cabac *c, const SliceParams *sp, SliceState *st, ParseOut *out,
               int ctu_idx, int rs, int rx, int ry)
 {
@@ -1868,24 +1894,102 @@ int parse_ctu(Cabac *c, const SliceParams *sp, SliceState *st, ParseOut *out,
     p.out = out;
     out->n_cu = out->n_tu = out->n_tb = out->coeff_len = 0;
     out->err = 0;
+    return parse_ctu_one(&p, ctu_idx, rs, rx, ry);
+}
 
-    int x_ctb = rx << sp->ctb_log2;
-    int y_ctb = ry << sp->ctb_log2;
-    if (rx == sp->ctb_to_col_bd[rx])
-        st->is_first_qg = (ry == sp->ctb_to_row_bd[ry]) || !ctu_idx;
-    st->chroma_qp_offset[0] = 0;
-    st->chroma_qp_offset[1] = 0;
-    st->chroma_qp_offset[2] = 0;
-    decode_neighbour(&p, x_ctb, y_ctb, rx, ry, rs);
-    sao_params_c(&p, rx, ry, rs);
-    alf_params_c(&p, rx, ry, rs);
-    int ctb_size = 1 << sp->ctb_log2;
-    int r;
-    if (sp->slice_type == SLICE_I && sp->sps_dual_tree)
-        r = dual_tree_implicit_qt(&p, x_ctb, y_ctb, ctb_size, 0);
-    else
-        r = coding_tree(&p, x_ctb, y_ctb, ctb_size, ctb_size, 1, 1, 0, 0, 0,
-                        0, 0, SPLIT_NONE, SINGLE_TREE, MODE_TYPE_ALL);
-    (void)r;
-    return out->err;
+/* ---- whole-entry-point batch parse --------------------------------------
+ * One call parses many CTUs into a shared record arena; Python only
+ * re-enters on arena exhaustion (safe at CTU boundaries) or entry-point
+ * boundaries.  Replaces the per-CTU Python loop of decoder._parse_slice
+ * for native-recon slices. */
+
+typedef struct {
+    int32_t ctu_idx, rs, rx, ry;
+    int32_t reinit;       /* CABAC context reinit (tile start) */
+    int32_t realign;      /* byte-realign the engine first (same-ep tile) */
+    int32_t wpp_inherit;  /* load contexts saved from the row above */
+    int32_t wpp_save;     /* save contexts after this CTU (first of row) */
+    int32_t term;         /* expect a terminate one-bit after this CTU */
+    int32_t slice_idx;
+} CtuDesc;
+
+/* idx_table[i]: rs, cu_start, n_cu, tu_start, n_tu, tb_start, n_tb,
+ * coeff_start */
+int parse_ctus(Cabac *c, const SliceParams *sp, SliceState *st,
+               ParseOut *out, const CtuDesc *descs, int n,
+               int32_t *idx_table, const int32_t *state_tmpl,
+               int32_t *wpp_buf, int num_ctx)
+{
+    Parser p;
+    memset(&p, 0, sizeof(p));
+    p.c = c;
+    p.sp = sp;
+    p.st = st;
+    p.out = out;
+    /* worst-case record budget for one CTU (must hold before parsing) */
+    int ctb4 = (1 << sp->ctb_log2) >> 2;
+    int cu_need = 2 * ctb4 * ctb4 + 64;
+    int tu_need = 4 * cu_need;
+    int tb_need = 3 * tu_need;
+    int coeff_need = 4 << (2 * sp->ctb_log2);
+    for (int i = 0; i < n; i++) {
+        const CtuDesc *d = &descs[i];
+        if (out->n_cu + cu_need > out->cu_cap ||
+            out->n_tu + tu_need > out->tu_cap ||
+            out->n_tb + tb_need > out->tb_cap ||
+            out->coeff_len + coeff_need > out->coeff_cap)
+            return i;   /* arena (nearly) full: caller re-enters */
+        if (d->realign) {
+            long pos = ((c->pos + 7) >> 3) << 3;
+            cabac_init(c, c->data, c->nbits, pos, c->s0, c->s1, c->sh0,
+                       c->sh1);
+        }
+        if (d->reinit) {
+            for (int a = 0; a < 4; a++) {
+                int32_t *dst = a == 0 ? c->s0 : a == 1 ? c->s1
+                             : a == 2 ? c->sh0 : c->sh1;
+                memcpy(dst, state_tmpl + a * num_ctx,
+                       num_ctx * sizeof(int32_t));
+            }
+            st->stat_coeff[0] = st->stat_coeff[1] = st->stat_coeff[2] =
+                sp->init_stat_coeff;
+        }
+        if (d->wpp_inherit) {
+            for (int a = 0; a < 4; a++) {
+                int32_t *dst = a == 0 ? c->s0 : a == 1 ? c->s1
+                             : a == 2 ? c->sh0 : c->sh1;
+                memcpy(dst, wpp_buf + a * num_ctx,
+                       num_ctx * sizeof(int32_t));
+            }
+            st->stat_coeff[0] = st->stat_coeff[1] = st->stat_coeff[2] =
+                sp->init_stat_coeff;
+        }
+        sp->slice_idx[d->ry * sp->ctb_width + d->rx] = d->slice_idx;
+        int32_t *row = idx_table + i * 8;
+        row[0] = d->rs;
+        row[1] = out->n_cu;
+        row[3] = out->n_tu;
+        row[5] = out->n_tb;
+        row[7] = out->coeff_len;
+        if (parse_ctu_one(&p, d->ctu_idx, d->rs, d->rx, d->ry))
+            return -1;
+        row[2] = out->n_cu - row[1];
+        row[4] = out->n_tu - row[3];
+        row[6] = out->n_tb - row[5];
+        if (d->wpp_save) {
+            for (int a = 0; a < 4; a++) {
+                const int32_t *src = a == 0 ? c->s0 : a == 1 ? c->s1
+                                   : a == 2 ? c->sh0 : c->sh1;
+                memcpy(wpp_buf + a * num_ctx, src,
+                       num_ctx * sizeof(int32_t));
+            }
+        }
+        if (d->term) {
+            if (cabac_decode_terminate(c) != 1) {
+                out->err = 5;
+                return -1;
+            }
+        }
+    }
+    return n;
 }
