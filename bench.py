@@ -35,13 +35,16 @@ def main():
     stream = forge_stream(level=1, seed=0, width=w, height=h, qp=qp,
                           nframes=n_frames)
 
-    # warm run builds native libs / jit caches / forked-worker state, then a
-    # timed GOP-parallel decode (host pipeline P1; device itx auto-dispatch)
+    # warm run builds native libs / jit caches / forked-worker state, then
+    # best-of-3 timed GOP-parallel decodes (noise-robust on shared hosts)
     decode_parallel(stream, workers=workers)
-    t0 = time.monotonic()
-    yuvs = decode_parallel(stream, workers=workers)
-    t1 = time.monotonic()
-    ours_fps = len(yuvs) / (t1 - t0)
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        yuvs = decode_parallel(stream, workers=workers)
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    ours_fps = len(yuvs) / best
     ours_yuv = b"".join(yuvs)
 
     # reference decode timing (if the oracle is built)
@@ -50,12 +53,15 @@ def main():
         bit, yuv = "/tmp/bench.bit", "/tmp/bench_ref.yuv"
         with open(bit, "wb") as f:
             f.write(stream)
-        t0 = time.monotonic()
-        subprocess.run([ORACLE, "-hide_banner", "-loglevel", "error",
-                        "-f", "vvc", "-i", bit, "-f", "rawvideo", "-y", yuv],
-                       check=True)
-        t1 = time.monotonic()
-        ref_fps = len(yuvs) / (t1 - t0)
+        ref_best = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            subprocess.run([ORACLE, "-hide_banner", "-loglevel", "error",
+                            "-f", "vvc", "-i", bit, "-f", "rawvideo", "-y",
+                            yuv], check=True)
+            dt = time.monotonic() - t0
+            ref_best = dt if ref_best is None or dt < ref_best else ref_best
+        ref_fps = len(yuvs) / ref_best
         with open(yuv, "rb") as f:
             assert f.read() == ours_yuv, "bench decode NOT bit-exact vs oracle"
         vs_baseline = ours_fps / ref_fps

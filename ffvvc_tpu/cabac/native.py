@@ -28,6 +28,8 @@ class _Cabac(ctypes.Structure):
         ("s1", ctypes.c_void_p),
         ("sh0", ctypes.c_void_p),
         ("sh1", ctypes.c_void_p),
+        ("cache", ctypes.c_uint64),
+        ("cache_n", ctypes.c_int32),
     ]
 
 

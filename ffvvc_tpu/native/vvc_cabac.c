@@ -17,13 +17,27 @@
 
 #define MAX_TB 64
 
-static inline int read_bit(Cabac *c)
+static inline void refill_cache(Cabac *c)
 {
     long p = c->pos;
-    int b = 0;
-    if (p < c->nbits)
-        b = (c->data[p >> 3] >> (7 - (p & 7))) & 1;
-    c->pos = p + 1;
+    long byte = p >> 3;
+    long nbytes = (c->nbits + 7) >> 3;
+    uint64_t v = 0;
+    for (int i = 0; i < 8; i++)
+        v = (v << 8) | (byte + i < nbytes ? c->data[byte + i] : 0);
+    int skip = (int)(p & 7);
+    c->cache = v << skip;       /* bits past nbits read as 0 */
+    c->cache_n = 64 - skip;
+}
+
+static inline int read_bit(Cabac *c)
+{
+    if (c->cache_n == 0)
+        refill_cache(c);
+    int b = (int)(c->cache >> 63);
+    c->cache <<= 1;
+    c->cache_n--;
+    c->pos++;
     return b;
 }
 
@@ -34,6 +48,8 @@ void cabac_init(Cabac *c, const uint8_t *data, long nbits, long bit_pos,
     c->nbits = nbits;
     c->pos = bit_pos;
     c->s0 = s0; c->s1 = s1; c->sh0 = sh0; c->sh1 = sh1;
+    c->cache = 0;
+    c->cache_n = 0;
     c->range = 510;
     uint32_t v = 0;
     for (int i = 0; i < 9; i++)
@@ -128,7 +144,7 @@ int cabac_limited_egk(Cabac *c, int k, int max_pre_ext_len,
 }
 
 long cabac_pos(Cabac *c) { return c->pos; }
-void cabac_set_pos(Cabac *c, long pos) { c->pos = pos; }
+void cabac_set_pos(Cabac *c, long pos) { c->pos = pos; c->cache_n = 0; }
 
 /* ---------------------------------------------------------------- */
 /* residual coding                                                  */

@@ -13,6 +13,10 @@ typedef struct {
     uint32_t range;
     uint32_t offset;
     int32_t *s0, *s1, *sh0, *sh1;   /* context state arrays (numpy int32) */
+    /* buffered read-ahead: cache holds bits [pos, pos + cache_n) left-
+     * aligned; reset by cabac_init / cabac_set_pos */
+    uint64_t cache;
+    int32_t cache_n;
 } Cabac;
 
 void cabac_init(Cabac *c, const uint8_t *data, long nbits, long bit_pos,
