@@ -318,7 +318,8 @@ class NativeTreeParser:
         sp.alf_cr_enabled = rsh.sh_alf_cr_enabled_flag
         sp.alf_cc_cb_enabled = rsh.sh_alf_cc_cb_enabled_flag
         sp.alf_cc_cr_enabled = rsh.sh_alf_cc_cr_enabled_flag
-        sp.num_alf_aps_ids_luma = rsh.sh_num_alf_aps_ids_luma
+        # clamp to the fixed array (corrupt headers could claim more)
+        sp.num_alf_aps_ids_luma = min(rsh.sh_num_alf_aps_ids_luma, 8)
         ids = rsh.sh_alf_aps_id_luma or []
         for i, v in enumerate(list(ids)[:8]):
             sp.alf_aps_id_luma[i] = v
