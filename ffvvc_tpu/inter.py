@@ -235,7 +235,18 @@ class InterPredictor:
                 intg[1:1 + h, 1:1 + w] = tmp[i]
                 fetched.append(intg)
         if sb_bdof_flag:
-            dst_view[:] = self._apply_bdof(fetched[0], fetched[1], w, h)
+            lib = self._mc_lib
+            if lib is not None:
+                s0p = np.ascontiguousarray(fetched[0].astype(np.int32))
+                s1p = np.ascontiguousarray(fetched[1].astype(np.int32))
+                out = np.empty((h, w), np.int32)
+                lib.apply_bdof(ctypes.c_void_p(out.ctypes.data),
+                               ctypes.c_void_p(s0p.ctypes.data),
+                               ctypes.c_void_p(s1p.ctypes.data), w, h,
+                               self.bd)
+                dst_view[:] = out
+            else:
+                dst_view[:] = self._apply_bdof(fetched[0], fetched[1], w, h)
             return
         wgt = self._derive_weight(mvf, LUMA, dmvr_flag, ciip_flag)
         if wgt is None:
@@ -357,6 +368,17 @@ class InterPredictor:
 
     def _dmvr_bilinear(self, ref_plane, mv, x0, y0, pred_w, pred_h):
         """dmvr[!!my][!!mx]: 2-tap bilinear to the 10-bit domain."""
+        lib = self._mc_lib
+        if lib is not None and ref_plane.dtype == np.int32 and \
+                ref_plane.flags.c_contiguous:
+            _, fptr = _mc_native.dmvr_filter()
+            dst = np.empty((pred_h, pred_w), dtype=np.int32)
+            H, W = ref_plane.shape
+            lib.dmvr_bilinear(ctypes.c_void_p(dst.ctypes.data),
+                              ctypes.c_void_p(ref_plane.ctypes.data), W,
+                              W, H, int(mv[0]), int(mv[1]), x0, y0,
+                              pred_w, pred_h, self.bd, fptr)
+            return dst
         _, _, df = _filters()
         bd = self.bd
         mx, my = mv[0] & 0xF, mv[1] & 0xF
@@ -422,6 +444,18 @@ class InterPredictor:
         pw, ph = bw + 2 * sr, bh + 2 * sr
         tmp = [self._dmvr_bilinear(refs[i].planes[0], mv.mv[i], x0, y0,
                                    pw, ph) for i in range(2)]
+        lib = self._mc_lib
+        if lib is not None and tmp[0].dtype == np.int32:
+            dmv = np.empty(2, np.int32)
+            skip = lib.dmvr_search(ctypes.c_void_p(tmp[0].ctypes.data),
+                                   ctypes.c_void_p(tmp[1].ctypes.data),
+                                   bw, bh, ctypes.c_void_p(dmv.ctypes.data))
+            if dmv[0] or dmv[1]:
+                for i in range(2):
+                    mv.mv[i][0] += (1 - 2 * i) * int(dmv[0])
+                    mv.mv[i][1] += (1 - 2 * i) * int(dmv[1])
+                    clip_mv(mv.mv[i])
+            return bool(skip)
         min_dx = min_dy = 2
         min_sad = self._sad(tmp[0], tmp[1], 2, 2, bw, bh)
         min_sad -= min_sad >> 2

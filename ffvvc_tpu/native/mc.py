@@ -39,7 +39,20 @@ def load_lib():
     lib.mc_avg.restype = None
     lib.mc_w_avg.argtypes = [_P, _L] + [_I] * 2 + [_P, _P] + [_I] * 8
     lib.mc_w_avg.restype = None
+    lib.dmvr_bilinear.argtypes = [_P, _P, _L] + [_I] * 9 + [_P]
+    lib.dmvr_bilinear.restype = None
+    lib.dmvr_search.argtypes = [_P, _P, _I, _I, _P]
+    lib.dmvr_search.restype = _I
+    lib.apply_bdof.argtypes = [_P, _P, _P, _I, _I, _I]
+    lib.apply_bdof.restype = None
     return lib
+
+
+@functools.lru_cache()
+def dmvr_filter():
+    from ..ops import data as D
+    f = np.ascontiguousarray(D.tables()["luma_dmvr_filters"].astype(np.int8))
+    return f, ctypes.c_void_p(f.ctypes.data)
 
 
 @functools.lru_cache()
