@@ -29,6 +29,60 @@ static inline int32_t fetch(const int32_t *ref, long stride, int W, int H,
     return ref[(long)y * stride + x];
 }
 
+/* interior (no clamp, no box) variant: the common case */
+static void mc_put_interior(int32_t *dst, const int32_t *ref, long stride,
+                            int x_int, int y_int, int frac_x, int frac_y,
+                            int w, int h, int taps, int eb,
+                            const int32_t *hf, const int32_t *vf, int bd)
+{
+    if (!frac_x && !frac_y) {
+        const int32_t *src = ref + (long)y_int * stride + x_int;
+        for (int yy = 0; yy < h; yy++, src += stride)
+            for (int xx = 0; xx < w; xx++)
+                dst[yy * w + xx] = src[xx] << (14 - bd);
+        return;
+    }
+    if (!frac_y) {
+        const int32_t *src = ref + (long)y_int * stride + x_int - eb;
+        for (int yy = 0; yy < h; yy++, src += stride)
+            for (int xx = 0; xx < w; xx++) {
+                int32_t acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += hf[k] * src[xx + k];
+                dst[yy * w + xx] = acc >> (bd - 8);
+            }
+        return;
+    }
+    if (!frac_x) {
+        const int32_t *src = ref + (long)(y_int - eb) * stride + x_int;
+        for (int yy = 0; yy < h; yy++, src += stride)
+            for (int xx = 0; xx < w; xx++) {
+                int32_t acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += vf[k] * src[(long)k * stride + xx];
+                dst[yy * w + xx] = acc >> (bd - 8);
+            }
+        return;
+    }
+    int32_t tmp[(128 + 7) * 128];
+    int th = h + taps - 1;
+    const int32_t *src = ref + (long)(y_int - eb) * stride + x_int - eb;
+    for (int yy = 0; yy < th; yy++, src += stride)
+        for (int xx = 0; xx < w; xx++) {
+            int32_t acc = 0;
+            for (int k = 0; k < taps; k++)
+                acc += hf[k] * src[xx + k];
+            tmp[yy * w + xx] = acc >> (bd - 8);
+        }
+    for (int yy = 0; yy < h; yy++)
+        for (int xx = 0; xx < w; xx++) {
+            int32_t acc = 0;
+            for (int k = 0; k < taps; k++)
+                acc += vf[k] * tmp[(yy + k) * w + xx];
+            dst[yy * w + xx] = acc >> 6;
+        }
+}
+
 /* put[is_luma][!!frac_y][!!frac_x]: dst [h][w] int32, 14-bit domain */
 void mc_put(int32_t *dst, const int32_t *ref, long stride, int W, int H,
             int x_int, int y_int, int frac_x, int frac_y, int w, int h,
@@ -37,6 +91,12 @@ void mc_put(int32_t *dst, const int32_t *ref, long stride, int W, int H,
 {
     int taps = is_luma ? 8 : 4;
     int eb = is_luma ? 3 : 1;
+    if (!has_box && x_int - eb >= 0 && y_int - eb >= 0 &&
+        x_int + w + taps - 1 - eb <= W && y_int + h + taps - 1 - eb <= H) {
+        mc_put_interior(dst, ref, stride, x_int, y_int, frac_x, frac_y,
+                        w, h, taps, eb, hf, vf, bd);
+        return;
+    }
     if (!frac_x && !frac_y) {
         for (int yy = 0; yy < h; yy++)
             for (int xx = 0; xx < w; xx++)
