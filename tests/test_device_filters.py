@@ -68,3 +68,24 @@ def test_sao_device_10bit(seed):
     sao_frame_device(sps, pps, tabs, fb)
     for c in range(3):
         assert np.array_equal(fb.planes[c], ref_fb.planes[c])
+
+
+def test_device_sao_full_decode(oracle_path, tmp_path):
+    """End-to-end decode with device SAO enabled must match the oracle."""
+    import subprocess
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from forge import forge_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+
+    stream = forge_stream(level=1, seed=3, width=128, height=96, qp=30,
+                          nframes=2)
+    bit = tmp_path / "s.bit"
+    yuv = tmp_path / "s.yuv"
+    bit.write_bytes(stream)
+    subprocess.run([oracle_path, "-hide_banner", "-loglevel", "error",
+                    "-threads", "1", "-f", "vvc", "-i", str(bit),
+                    "-f", "rawvideo", "-y", str(yuv)], check=True)
+    frames = VVCDecoder(DecoderConfig(device_sao=True)).decode(stream)
+    ours = b"".join(f.to_yuv_bytes() for f in frames)
+    assert ours == yuv.read_bytes()
