@@ -45,7 +45,8 @@ class _ResParams(ctypes.Structure):
         "ctx_ts_lrg1",
         "stat_coeff",
         "max_scan_x", "max_scan_y", "min_scan_x", "min_scan_y",
-        "lfnst_dc_only", "lfnst_zero_out", "mts_dc_only", "mts_zero_out")]
+        "lfnst_dc_only", "lfnst_zero_out", "mts_dc_only", "mts_zero_out",
+        "ts_rice")]
 
 
 def _build():

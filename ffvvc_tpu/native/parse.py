@@ -96,7 +96,8 @@ class _SliceParams(ctypes.Structure):
         [(n, _P) for n in (
             "sao_type_tab", "sao_band_pos", "sao_eo_class", "sao_offset",
             "alf_ctb_flag", "alf_aps_id", "alf_fixed", "alf_filt_idx",
-            "alf_alt_idx", "alf_cc_idc")])
+            "alf_alt_idx", "alf_cc_idc")] +
+        [("ts_rice", _I), ("ctx_coeff_sign", _I)])
 
 
 class _SliceState(ctypes.Structure):
@@ -344,6 +345,8 @@ class NativeTreeParser:
         sp.alf_filt_idx = c32(tabs.alf_filt_idx)
         sp.alf_alt_idx = c32(tabs.alf_alt_idx)
         sp.alf_cc_idc = c32(tabs.alf_cc_idc)
+        sp.ts_rice = rsh.sh_ts_residual_coding_rice_idx_minus1 + 1
+        sp.ctx_coeff_sign = CTX.COEFF_SIGN_FLAG
         self.sp = sp
 
         st = _SliceState()
@@ -472,8 +475,7 @@ def make_native_tree(coder, config=None):
     if coder.sh.slice_type != SLICE_I:
         return None
     r = coder.sps.r
-    if r.sps_transform_skip_enabled_flag or r.sps_bdpcm_enabled_flag or \
-            r.sps_ibc_enabled_flag or r.sps_act_enabled_flag or \
+    if r.sps_ibc_enabled_flag or r.sps_act_enabled_flag or \
             r.sps_palette_enabled_flag:
         return None
     lib = load_lib()

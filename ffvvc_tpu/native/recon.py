@@ -32,7 +32,8 @@ class _ReconParams(ctypes.Structure):
             "width", "height", "ctb_log2", "w4", "chroma_format_idc",
             "hshift1", "vshift1", "bit_depth", "qp_bd_offset", "log2_range",
             "dep_quant", "sps_mts", "sps_explicit_mts_intra", "wpp",
-            "chroma_vert_coll", "jcbcr_sign", "slice_type_i")] +
+            "chroma_vert_coll", "jcbcr_sign", "slice_type_i",
+            "min_qp_prime_ts")] +
         [(n, _P) for n in (
             "plane0", "plane1", "plane2", "imf", "cpm0", "ipm",
             "slice_idx", "ctb_to_col_bd", "ctb_to_row_bd")] +
@@ -126,6 +127,7 @@ class NativeRecon:
         rp.jcbcr_sign = 1 - 2 * int(getattr(
             ph_r, "ph_joint_cbcr_sign_flag", 0))
         rp.slice_type_i = int(coder.sh.slice_type == 2)
+        rp.min_qp_prime_ts = sps.r.sps_min_qp_prime_ts
 
         def cp(a, dtype=np.int32):
             assert a.dtype == dtype and a.flags["C_CONTIGUOUS"], (

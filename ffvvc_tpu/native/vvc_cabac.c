@@ -529,3 +529,199 @@ int decode_residual_regular(Cabac *c, ResParams *pp, int32_t *coeffs,
         regular_subblock(c, pp, &rc, i, coeffs);
     return 0;
 }
+
+/* ---------------------------------------------------------------- */
+/* transform-skip residual coding (residual.py _code_residual_ts)   */
+/* ---------------------------------------------------------------- */
+
+typedef struct {
+    int32_t sig[MAX_TB * MAX_TB];       /* sig_coeff_flag */
+    int32_t p1[MAX_TB * MAX_TB];        /* abs_level_pass1 */
+    int32_t lvl[MAX_TB * MAX_TB];       /* abs_level */
+    int32_t sgn[MAX_TB * MAX_TB];       /* coeff_sign_level */
+    int32_t sb_coded[16 * 16];
+    int log2_sb_w, log2_sb_h, num_sb_coeff, last_sub_block;
+    int width_in_sbs, height_in_sbs;
+    int rem_bins_pass1, infer_sb_cbf;
+    const uint8_t *sb_sx, *sb_sy, *sx, *sy;
+} TsRC;
+
+static void ts_subblock(Cabac *c, ResParams *pp, TsRC *rc, int i,
+                        int32_t *coeffs)
+{
+    const int w = pp->w;
+    int xs = rc->sb_sx[i];
+    int ys = rc->sb_sy[i];
+    int infer_sb_sig = 1;
+    int last_pass1 = -1, last_pass2 = -1;
+    int gtx[64], pass2[64];
+    int bdpcm = pp->bdpcm;
+
+    if (i != rc->last_sub_block || !rc->infer_sb_cbf) {
+        /* _sb_coded_ctx transform-skip branch */
+        int left = xs > 0 ? rc->sb_coded[ys * rc->width_in_sbs + xs - 1] : 0;
+        int above = ys > 0 ? rc->sb_coded[(ys - 1) * rc->width_in_sbs + xs]
+                           : 0;
+        rc->sb_coded[ys * rc->width_in_sbs + xs] =
+            cabac_decode_bin(c, pp->ctx_sb_coded + left + above + 4);
+    } else {
+        rc->sb_coded[ys * rc->width_in_sbs + xs] = 1;
+    }
+    int sb_coded = rc->sb_coded[ys * rc->width_in_sbs + xs];
+    if (sb_coded && i < rc->last_sub_block)
+        rc->infer_sb_cbf = 0;
+
+    /* pass 1: sig + sign + gt1 + parity */
+    int n = 0;
+    while (n < rc->num_sb_coeff && rc->rem_bins_pass1 >= 4) {
+        int xc = (xs << rc->log2_sb_w) + rc->sx[n];
+        int yc = (ys << rc->log2_sb_h) + rc->sy[n];
+        int par = 0;
+        gtx[n] = 0;
+        last_pass1 = n;
+        int sig;
+        if (sb_coded && (n != rc->num_sb_coeff - 1 || !infer_sb_sig)) {
+            /* _sig_ctx transform-skip branch */
+            int nb = (xc > 0 ? rc->sig[yc * w + xc - 1] : 0) +
+                     (yc > 0 ? rc->sig[(yc - 1) * w + xc] : 0);
+            sig = cabac_decode_bin(c, pp->ctx_sig + 60 + nb);
+            rc->sig[yc * w + xc] = sig;
+            rc->rem_bins_pass1--;
+            if (sig)
+                infer_sb_sig = 0;
+        } else {
+            sig = (n == rc->num_sb_coeff - 1) && infer_sb_sig && sb_coded;
+            rc->sig[yc * w + xc] = sig;
+        }
+        int csl = 0;
+        if (rc->sig[yc * w + xc]) {
+            int left_s = xc ? rc->sgn[yc * w + xc - 1] : 0;
+            int above_s = yc ? rc->sgn[(yc - 1) * w + xc] : 0;
+            int inc;
+            if (left_s == -above_s)
+                inc = bdpcm ? 3 : 0;
+            else if (left_s >= 0 && above_s >= 0)
+                inc = bdpcm ? 4 : 1;
+            else
+                inc = bdpcm ? 5 : 2;
+            int s = cabac_decode_bin(c, pp->ctx_ts_sign + inc);
+            csl = 1 - 2 * s;
+            int inc1;
+            if (bdpcm) {
+                inc1 = 67;
+            } else {
+                int l = xc > 0 ? rc->sig[yc * w + xc - 1] : 0;
+                int a = yc > 0 ? rc->sig[(yc - 1) * w + xc] : 0;
+                inc1 = 64 + a + l;
+            }
+            gtx[n] = cabac_decode_bin(c, pp->ctx_gtx + inc1);
+            rc->rem_bins_pass1 -= 2;
+            if (gtx[n]) {
+                par = cabac_decode_bin(c, pp->ctx_par + 32);
+                rc->rem_bins_pass1--;
+            }
+        }
+        rc->sgn[yc * w + xc] = csl;
+        rc->p1[yc * w + xc] = rc->sig[yc * w + xc] + par + gtx[n];
+        n++;
+    }
+
+    /* pass 2: gt3..gt9 */
+    int n2 = 0;
+    while (n2 < rc->num_sb_coeff && rc->rem_bins_pass1 >= 4 && n2 < n) {
+        int xc = (xs << rc->log2_sb_w) + rc->sx[n2];
+        int yc = (ys << rc->log2_sb_h) + rc->sy[n2];
+        pass2[n2] = rc->p1[yc * w + xc];
+        int j = 1, g = gtx[n2];
+        while (j < 5 && g) {
+            g = cabac_decode_bin(c, pp->ctx_gtx + 67 + j);
+            pass2[n2] += g << 1;
+            rc->rem_bins_pass1--;
+            j++;
+        }
+        gtx[n2] = 0;
+        last_pass2 = n2;
+        n2++;
+    }
+
+    /* remainder pass */
+    for (int m = 0; m < rc->num_sb_coeff; m++) {
+        int xc = (xs << rc->log2_sb_w) + rc->sx[m];
+        int yc = (ys << rc->log2_sb_h) + rc->sy[m];
+        int pass1v = rc->p1[yc * w + xc];
+        int abs_rem = 0;
+        int c_rice = pp->ts_rice;
+        int need_rem = (m <= last_pass2 && pass2[m] >= 10) ||
+                       (m > last_pass2 && m <= last_pass1 && pass1v >= 2) ||
+                       (m > last_pass1 && sb_coded);
+        if (need_rem)
+            abs_rem = abs_coding(c, pp, c_rice);
+        int lvl;
+        if (m <= last_pass2) {
+            lvl = pass2[m] + 2 * abs_rem;
+        } else if (m <= last_pass1) {
+            lvl = pass1v + 2 * abs_rem;
+        } else {
+            lvl = abs_rem;
+            if (abs_rem)
+                rc->sgn[yc * w + xc] = 1 - 2 * cabac_decode_bypass(c);
+        }
+        rc->lvl[yc * w + xc] = lvl;
+        if (!pp->bdpcm && m <= last_pass1) {
+            int left = xc > 0 ? rc->lvl[yc * w + xc - 1] : 0;
+            int above = yc > 0 ? rc->lvl[(yc - 1) * w + xc] : 0;
+            int pred = left > above ? left : above;
+            if (lvl == 1 && pred > 0)
+                lvl = pred;
+            else if (lvl > 0 && lvl <= pred)
+                lvl -= 1;
+            rc->lvl[yc * w + xc] = lvl;
+        }
+        if (lvl) {
+            coeffs[yc * w + xc] = rc->sgn[yc * w + xc] * lvl;
+            if (xc > pp->max_scan_x) pp->max_scan_x = xc;
+            if (yc > pp->max_scan_y) pp->max_scan_y = yc;
+        } else {
+            coeffs[yc * w + xc] = 0;
+        }
+    }
+}
+
+int decode_residual_ts(Cabac *c, ResParams *pp, int32_t *coeffs,
+                       const uint8_t *sb_sx, const uint8_t *sb_sy,
+                       const uint8_t *sx, const uint8_t *sy)
+{
+    static _Thread_local TsRC rc;
+    memset(rc.sig, 0, sizeof(int32_t) * pp->w * pp->h);
+    memset(rc.p1, 0, sizeof(int32_t) * pp->w * pp->h);
+    memset(rc.lvl, 0, sizeof(int32_t) * pp->w * pp->h);
+    memset(rc.sgn, 0, sizeof(int32_t) * pp->w * pp->h);
+    memset(coeffs, 0, sizeof(int32_t) * pp->w * pp->h);
+    int log2_zo_w = pp->log2_w, log2_zo_h = pp->log2_h;
+    int log2_sb_w = (log2_zo_w < 2 || log2_zo_h < 2) ? 1 : 2;
+    int log2_sb_h = log2_sb_w;
+    if (log2_zo_w + log2_zo_h > 3) {
+        if (log2_zo_w < 2) {
+            log2_sb_w = log2_zo_w;
+            log2_sb_h = 4 - log2_sb_w;
+        } else if (log2_zo_h < 2) {
+            log2_sb_h = log2_zo_h;
+            log2_sb_w = 4 - log2_sb_h;
+        }
+    }
+    rc.log2_sb_w = log2_sb_w;
+    rc.log2_sb_h = log2_sb_h;
+    rc.num_sb_coeff = 1 << (log2_sb_w + log2_sb_h);
+    rc.last_sub_block =
+        (1 << (log2_zo_w + log2_zo_h - (log2_sb_w + log2_sb_h))) - 1;
+    rc.width_in_sbs = 1 << (log2_zo_w - log2_sb_w);
+    rc.height_in_sbs = 1 << (log2_zo_h - log2_sb_h);
+    memset(rc.sb_coded, 0,
+           sizeof(int32_t) * rc.width_in_sbs * rc.height_in_sbs);
+    rc.rem_bins_pass1 = ((1 << (log2_zo_w + log2_zo_h)) * 7) >> 2;
+    rc.infer_sb_cbf = 1;
+    rc.sb_sx = sb_sx; rc.sb_sy = sb_sy; rc.sx = sx; rc.sy = sy;
+    for (int i = 0; i <= rc.last_sub_block; i++)
+        ts_subblock(c, pp, &rc, i, coeffs);
+    return 0;
+}

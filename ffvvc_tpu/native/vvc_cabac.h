@@ -50,7 +50,13 @@ typedef struct {
     /* outputs */
     int max_scan_x, max_scan_y, min_scan_x, min_scan_y;
     int lfnst_dc_only, lfnst_zero_out, mts_dc_only, mts_zero_out;
+    /* transform-skip path */
+    int ts_rice;             /* sh_ts_residual_coding_rice_idx_minus1 + 1 */
 } ResParams;
+
+int decode_residual_ts(Cabac *c, ResParams *pp, int32_t *coeffs,
+                       const uint8_t *sb_sx, const uint8_t *sb_sy,
+                       const uint8_t *sx, const uint8_t *sy);
 
 int decode_residual_regular(Cabac *c, ResParams *pp, int32_t *coeffs,
                             const uint8_t *sb_sx, const uint8_t *sb_sy,

@@ -147,6 +147,9 @@ typedef struct {
     int32_t *alf_filt_idx;      /* [nctb] */
     int32_t *alf_alt_idx;       /* [nctb][2] */
     int32_t *alf_cc_idc;        /* [nctb][2] */
+    /* transform-skip residual */
+    int ts_rice;                /* sh_ts_residual_coding_rice_idx_minus1+1 */
+    int ctx_coeff_sign;         /* CTX.COEFF_SIGN_FLAG */
 } SliceParams;
 
 /* per-entry-point persistent state (mirrors CtuCoder entry-point state) */
@@ -678,7 +681,8 @@ static int32_t *push_tb(Parser *p, int x0, int y0, int w, int h, int c_idx)
 /* decode one TB's residual via the shared C residual decoder
  * (mirrors cabac/native.py decode_residual_regular_native + residual.py
  * _code_residual_regular's zero-out derivation) */
-static int decode_tb_residual(Parser *p, int32_t *tb, int sbt_flag)
+static int decode_tb_residual(Parser *p, int32_t *tb, int sbt_flag,
+                              int bdpcm_of)
 {
     const SliceParams *sp = p->sp;
     SliceState *st = p->st;
@@ -706,6 +710,7 @@ static int decode_tb_residual(Parser *p, int32_t *tb, int sbt_flag)
     pp.c_idx = c_idx;
     pp.log2_zo_w = log2_zo_w; pp.log2_zo_h = log2_zo_h;
     pp.ts = tb[TB_TS];
+    pp.bdpcm = bdpcm_of;
     pp.dep_quant = sp->dep_quant;
     pp.sdh = sp->sdh;
     pp.reverse_last = sp->reverse_last;
@@ -743,7 +748,13 @@ static int decode_tb_residual(Parser *p, int32_t *tb, int sbt_flag)
     get_scan(log2_zo_w - log2_sb_w, log2_zo_h - log2_sb_h, &sb_sx, &sb_sy);
     get_scan(log2_sb_w, log2_sb_h, &sx, &sy);
 
-    decode_residual_regular(p->c, &pp, coeffs, sb_sx, sb_sy, sx, sy);
+    if (pp.ts && !sp->ts_res_disabled) {
+        pp.ts_rice = sp->ts_rice;
+        pp.ctx_ts_sign = sp->ctx_coeff_sign;
+        decode_residual_ts(p->c, &pp, coeffs, sb_sx, sb_sy, sx, sy);
+    } else {
+        decode_residual_regular(p->c, &pp, coeffs, sb_sx, sb_sy, sx, sy);
+    }
 
     tb[TB_MAX_SCAN_X] = pp.max_scan_x;
     tb[TB_MAX_SCAN_Y] = pp.max_scan_y;
@@ -906,12 +917,7 @@ static int transform_unit(Parser *p, int32_t *cu, int x0, int y0, int tu_w,
                 tb[TB_W] <= sp->max_ts_size && tb[TB_H] <= sp->max_ts_size &&
                 (is_chroma || !is_isp))
                 tb[TB_TS] = cabac_decode_bin(c, sp->ctx_ts_flag + is_chroma);
-            if (tb[TB_TS] && !sp->ts_res_disabled) {
-                /* transform-skip residual not in C yet; binding gates this */
-                o->err = 2;
-                return -1;
-            }
-            if (decode_tb_residual(p, tb, 0))
+            if (decode_tb_residual(p, tb, 0, bdpcm))
                 return -1;
             int32_t *ct = cidx == 0 ? sp->tu_coded0
                         : cidx == 1 ? sp->tu_coded1 : sp->tu_coded2;

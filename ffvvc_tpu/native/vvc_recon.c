@@ -65,6 +65,7 @@ typedef struct {
     int chroma_vert_coll;     /* sps_chroma_vertical_collocated_flag */
     int jcbcr_sign;           /* 1 - 2 * ph_joint_cbcr_sign_flag */
     int slice_type_i;
+    int min_qp_prime_ts;      /* sps_min_qp_prime_ts */
     /* frame planes (int32) */
     int32_t *plane0, *plane1, *plane2;
     /* tab planes for LFNST pred-mode derivation */
@@ -698,13 +699,22 @@ static void dequant(Recon *r, const int32_t *cu, const int32_t *tu,
         qp = cu[CU_QP0 + idx];
     }
     int log2_w = ilog2u(tb[TB_W]), log2_h = ilog2u(tb[TB_H]);
-    int log_sum = log2_w + log2_h;
-    int rect_non_ts = log_sum & 1;
-    qp = imax(0, imin(63 + rp->qp_bd_offset, qp));
-    int bd_shift = rp->bit_depth + rect_non_ts + log_sum / 2 + 10 -
+    int rect_non_ts, bd_shift;
+    if (tb[TB_TS]) {
+        int qp_prime_ts_min = 4 + 6 * rp->min_qp_prime_ts;
+        qp = imax(qp_prime_ts_min, imin(63 + rp->qp_bd_offset, qp));
+        rect_non_ts = 0;
+        bd_shift = 10;
+    } else {
+        int log_sum = log2_w + log2_h;
+        rect_non_ts = log_sum & 1;
+        qp = imax(0, imin(63 + rp->qp_bd_offset, qp));
+        bd_shift = rp->bit_depth + rect_non_ts + log_sum / 2 + 10 -
                    log2_range + rp->dep_quant;
+    }
     long long bd_offset = (1LL << bd_shift) >> 1;
-    int q = qp + rp->dep_quant;   /* addin: dep_quant && !ts (ts gated) */
+    int addin = rp->dep_quant && !tb[TB_TS];
+    int q = qp + addin;
     long long scale = (long long)rp->level_scale[rect_non_ts * 6 + q % 6]
                       << (q / 6);
     long long lo = -(1LL << log2_range), hi = (1LL << log2_range) - 1;
@@ -1046,17 +1056,51 @@ static void itransform_tu(Recon *r, const int32_t *cu, const int32_t *tu,
         int ch_type = c_idx > 0;
         if (ch_type != target_ch_type || !tb[TB_HAS_COEFFS])
             continue;
-        if (tb[TB_TS]) { r->err = 2; return; }   /* gated off */
         int32_t *coeffs = coeff_pool + tb[TB_COEFF_OFF];
-        dequant(r, cu, tu, tb, coeffs);
-        const int64_t *in64 = 0;
-        if ((&cu[CU_ALF0])[c_idx]) {             /* apply_lfnst_flag */
-            ilfnst(r, cu, tb, coeffs, lf);
-            in64 = lf;
+        /* BDPCM: directional cumsum of the raw levels BEFORE dequant
+         * (recon.py compute_residual / _transform_bdpcm) */
+        if ((&cu[CU_BDPCM0])[c_idx]) {
+            int mode = c_idx ? cu[CU_IPM_C] : cu[CU_IPM_Y];
+            int vert = mode == 50;   /* INTRA_VERT */
+            long long lo = -(1LL << rp->log2_range);
+            long long hi = (1LL << rp->log2_range) - 1;
+            int tw = tb[TB_W], th = tb[TB_H];
+            if (vert) {
+                for (int xx = 0; xx < tw; xx++) {
+                    long long acc = 0;
+                    for (int yy = 0; yy < th; yy++) {
+                        acc = ll_clip(acc + coeffs[yy * tw + xx], lo, hi);
+                        coeffs[yy * tw + xx] = (int32_t)acc;
+                    }
+                }
+                tb[TB_MAX_SCAN_Y] = th - 1;
+            } else {
+                for (int yy = 0; yy < th; yy++) {
+                    long long acc = 0;
+                    for (int xx = 0; xx < tw; xx++) {
+                        acc = ll_clip(acc + coeffs[yy * tw + xx], lo, hi);
+                        coeffs[yy * tw + xx] = (int32_t)acc;
+                    }
+                }
+                tb[TB_MAX_SCAN_X] = tw - 1;
+            }
         }
-        int trh, trv;
-        transform_type(rp, cu, tb, &trh, &trv);
-        itx_2d(r, tb, coeffs, in64, trh, trv, res);
+        dequant(r, cu, tu, tb, coeffs);
+        if (tb[TB_TS]) {
+            /* transform skip: the dequantized levels ARE the residual */
+            int n = tb[TB_W] * tb[TB_H];
+            for (int k = 0; k < n; k++)
+                res[k] = coeffs[k];
+        } else {
+            const int64_t *in64 = 0;
+            if ((&cu[CU_ALF0])[c_idx]) {         /* apply_lfnst_flag */
+                ilfnst(r, cu, tb, coeffs, lf);
+                in64 = lf;
+            }
+            int trh, trv;
+            transform_type(rp, cu, tb, &trh, &trv);
+            itx_2d(r, tb, coeffs, in64, trh, trv, res);
+        }
         int hs = c_idx ? rp->hshift1 : 0;
         int vs = c_idx ? rp->vshift1 : 0;
         int x = tb[TB_X0] >> hs, y = tb[TB_Y0] >> vs;

@@ -199,3 +199,13 @@ def test_l10_gdr(tmp_path):
     from forge import forge_gdr_stream
     _check_stream(forge_gdr_stream(seed=0, nframes=4, recovery=2),
                   tmp_path, 2)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(seed=0), dict(seed=1, bit_depth=10), dict(seed=2, bdpcm=True),
+    dict(seed=3, ts_res_disabled=True), dict(seed=4, bdpcm=True,
+                                             ts_res_disabled=True)])
+def test_transform_skip(kw, tmp_path):
+    """Transform-skip / BDPCM tool rows (reference TSSC/BDPCM streams)."""
+    from forge import forge_ts_stream
+    _check_stream(forge_ts_stream(nframes=2, **kw), tmp_path, 2)

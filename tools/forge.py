@@ -139,6 +139,10 @@ class FuzzPolicy:
         if tag in ("split_qt_flag", "mtt_vertical", "mtt_binary", "isp_split",
                    "bdpcm_luma_dir", "bdpcm_chroma_dir", "mip_transposed"):
             return r.randrange(2)
+        if tag == "transform_skip":
+            return int(r.random() < 0.5)
+        if tag in ("bdpcm_luma_flag", "bdpcm_chroma_flag"):
+            return int(r.random() < 0.3)
         if tag == "intra_luma_mode":
             return r.randrange(0, 67)
         if tag == "intra_chroma_mode":
@@ -456,7 +460,8 @@ def _epb_chunk_lens(chunks):
 def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                 slice_type=SLICE_I, n_refs=(1, 0), collocated=None,
                 ref_deltas=None, alf_aps=None, ccalf=False, lmcs_aps=None,
-                scaling_aps=None, slices=None, gdr_recovery=None):
+                scaling_aps=None, slices=None, gdr_recovery=None,
+                sh_kw=None):
     """Encode one frame; returns (NAL bytes, ColFrameShim).
 
     slices: None for a single slice covering the picture (PH in SH);
@@ -545,6 +550,8 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     for slice_no, sdef in enumerate(slice_defs):
         sh_r = SyntaxObj()
         sh_r.nal_unit_type = int(nal_type)
+        for k, v in (sh_kw or {}).items():
+            setattr(sh_r, k, v)
         if sps_raw.sps_sao_enabled_flag:
             sh_r.sh_sao_luma_used_flag = 1
             sh_r.sh_sao_chroma_used_flag = \
@@ -725,6 +732,29 @@ def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
     for i in range(nframes):
         # all-intra: every frame IDR until the forge writes ref pic lists
         nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=True)
+        stream += nal
+    return stream
+
+
+def forge_ts_stream(seed=0, width=96, height=64, qp=30, bit_depth=8,
+                    nframes=2, bdpcm=False, ts_res_disabled=False):
+    """All-intra stream exercising transform skip (and optionally BDPCM /
+    the ts-residual-coding-disabled regular path) — the TS tool matrix rows
+    of the conformance suite."""
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2,
+                      sps_transform_skip_enabled_flag=1,
+                      sps_log2_transform_skip_max_size_minus2=2,
+                      sps_bdpcm_enabled_flag=int(bdpcm))
+    pps_r = build_pps(sps_r)
+    policy = FuzzPolicy(seed)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    for i in range(nframes):
+        nal, _ = forge_frame(
+            sps_r, pps_r, policy, qp=qp, poc=i, idr=True,
+            sh_kw={"sh_ts_residual_coding_disabled_flag":
+                   int(ts_res_disabled)} if ts_res_disabled else None)
         stream += nal
     return stream
 
