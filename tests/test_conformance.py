@@ -203,8 +203,9 @@ def test_l10_gdr(tmp_path):
 
 @pytest.mark.parametrize("kw", [
     dict(seed=0), dict(seed=1, bit_depth=10), dict(seed=2, bdpcm=True),
-    dict(seed=3, ts_res_disabled=True), dict(seed=4, bdpcm=True,
-                                             ts_res_disabled=True)])
+    dict(seed=3, ts_res_disabled=True),
+    dict(seed=4, bdpcm=True, ts_res_disabled=True),
+    dict(seed=5, bit_depth=12), dict(seed=6, bit_depth=10, bdpcm=True)])
 def test_transform_skip(kw, tmp_path):
     """Transform-skip / BDPCM tool rows (reference TSSC/BDPCM streams)."""
     from forge import forge_ts_stream
