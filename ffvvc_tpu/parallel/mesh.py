@@ -104,3 +104,37 @@ def build_sharded_residual_step(mesh: Mesh, frame_h: int, frame_w: int,
         in_specs=(P("gop"), P("gop"), P("gop"), P("gop", "tile")),
         out_specs=(P("gop", "tile"), P("gop", "tile"), P("gop", "tile")))
     return jax.jit(fn)
+
+
+def build_sharded_sao(mesh: Mesh, frame_h: int, frame_w: int, shift: int,
+                      pix_max: int):
+    """Whole-frame SAO sharded into CTU-row slabs over the "tile" axis.
+
+    The per-pixel parameter maps (see ops/sao_device.py) shard with the
+    frame; the 1-pixel neighbour ring crosses slab boundaries via a single
+    ppermute halo exchange (reference analogue: the sao_pixel_buffer_h/v
+    line buffers of vvc_filter.c:123-152, re-expressed as ICI collectives).
+    Returns a jitted fn(src, typ, m1, offs, keep) -> filtered [H, W].
+    """
+    from ..ops.sao_device import _sao_math
+
+    t = mesh.shape["tile"]
+    assert frame_h % t == 0, (frame_h, t)
+
+    def local(src, typ, m1, offs, keep):
+        # src [h, W] slab; halo rows from vertical neighbours (frame edges
+        # replicate the slab's own border row, matching np.pad edge mode)
+        above, below = exchange_row_halo(src, 1, t)
+        idx = jax.lax.axis_index("tile")
+        top = jnp.where(idx == 0, src[:1], above)
+        bot = jnp.where(idx == t - 1, src[-1:], below)
+        tall = jnp.concatenate([top, src, bot], axis=0)      # [h+2, W]
+        pad = jnp.concatenate([tall[:, :1], tall, tall[:, -1:]], axis=1)
+        return _sao_math(pad, typ, m1, offs, keep, shift, pix_max)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("tile", None), P("tile", None), P("tile", None),
+                  P(None, "tile", None), P("tile", None)),
+        out_specs=P("tile", None))
+    return jax.jit(fn)

@@ -1,8 +1,21 @@
 import os
 import sys
 
-# Tests run on a virtual CPU mesh (the real-chip path is exercised by
-# bench.py / the driver); must be set before jax is first imported.
+# Tests run on a virtual 8-device CPU mesh (the real-chip path is exercised
+# by bench.py / the driver).  The axon sitecustomize imports jax at
+# interpreter start and pins the platform before conftest can set env vars,
+# so re-exec pytest once with a clean environment (axon site dropped,
+# platform forced to CPU).
+if "jax" in sys.modules and os.environ.get("FFVVC_TEST_REEXEC") != "1":
+    os.environ["FFVVC_TEST_REEXEC"] = "1"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=8"
+                               ).strip()
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
+    os.execv(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:])
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 

@@ -89,3 +89,29 @@ def test_device_sao_full_decode(oracle_path, tmp_path):
     frames = VVCDecoder(DecoderConfig(device_sao=True)).decode(stream)
     ours = b"".join(f.to_yuv_bytes() for f in frames)
     assert ours == yuv.read_bytes()
+
+
+def test_sao_sharded_matches_single_device():
+    """Row-slab-sharded SAO with ppermute halo exchange == single-device
+    whole-frame SAO (the P2/P6 spatial-shard story on a real filter)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from ffvvc_tpu.parallel.mesh import build_sharded_sao
+    from ffvvc_tpu.ops.sao_device import _sao_xla, _rasterize_plane, SaoFilter
+
+    sps, pps, tabs, fb = _fake_ctx(2, W=96, H=64)
+    plane = fb.planes[0]
+    maps = _rasterize_plane(SaoFilter(sps, pps, tabs, fb), 0, plane)
+    assert maps is not None
+    typ, m1, offs, keep = maps
+    src_pad = np.pad(plane, 1, mode="edge").astype(np.int32)
+    shift, pix_max = sps.bit_depth - 5, (1 << sps.bit_depth) - 1
+    ref = np.asarray(_sao_xla(src_pad, typ, m1, offs, keep, shift, pix_max))
+
+    devs = np.array(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("gop", "tile"))
+    fn = build_sharded_sao(mesh, plane.shape[0], plane.shape[1], shift,
+                           pix_max)
+    got = np.asarray(fn(plane.astype(np.int32), typ, m1, offs, keep))
+    assert np.array_equal(got, ref)
