@@ -6,7 +6,18 @@ import sys
 # interpreter start and pins the platform before conftest can set env vars,
 # so re-exec pytest once with a clean environment (axon site dropped,
 # platform forced to CPU).
-if "jax" in sys.modules and os.environ.get("FFVVC_TEST_REEXEC") != "1":
+_NEED_REEXEC = ("jax" in sys.modules
+                and os.environ.get("FFVVC_TEST_REEXEC") != "1")
+
+
+def pytest_configure(config):
+    # The re-exec must happen from a hook, not at conftest import time:
+    # pytest's global fd capture is already active when conftests load, so
+    # an execv there hands the child pytest the *captured* fds and every
+    # byte of test output silently disappears into a deleted temp file.
+    # Suspend capture (restoring the real fds 1/2) before exec'ing.
+    if not _NEED_REEXEC:
+        return
     os.environ["FFVVC_TEST_REEXEC"] = "1"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -15,7 +26,16 @@ if "jax" in sys.modules and os.environ.get("FFVVC_TEST_REEXEC") != "1":
     os.environ["PYTHONPATH"] = os.pathsep.join(
         p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
         if p and "axon" not in p)
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
     os.execv(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:])
+
+
+if _NEED_REEXEC:
+    # Re-exec happens in pytest_configure below; skip the platform pins so
+    # the about-to-die parent doesn't touch jax state.
+    pass
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
