@@ -541,7 +541,11 @@ class VVCDecoder:
             if self.config.native_parse:
                 from .native.parse import make_native_tree
                 coder.native_tree = make_native_tree(coder)
-                if coder.native_tree is not None and native_recon_ok:
+                # keep_records (zero-copy native recon) covers intra slices;
+                # P/B records are converted to Python CUs for the Python
+                # inter/recon walk until the native inter stage lands
+                if coder.native_tree is not None and native_recon_ok and \
+                        sh.slice_type == SLICE_I:
                     from .native.recon import load_lib as recon_lib
                     coder.native_tree.keep_records = \
                         recon_lib() is not None

@@ -18,10 +18,12 @@ import numpy as np
 _DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_DIR, "native", "libvvc_parse.so")
 _SRCS = [os.path.join(_DIR, "native", "vvc_parse.c"),
+         os.path.join(_DIR, "native", "vvc_mvs.c"),
          os.path.join(_DIR, "native", "vvc_cabac.c")]
-_HDR = os.path.join(_DIR, "native", "vvc_cabac.h")
+_HDRS = [os.path.join(_DIR, "native", "vvc_cabac.h"),
+         os.path.join(_DIR, "native", "vvc_parse.h")]
 
-CU_STRIDE, TU_STRIDE, TB_STRIDE = 32, 12, 12
+CU_STRIDE, TU_STRIDE, TB_STRIDE = 52, 12, 12
 
 _I = ctypes.c_int
 _P = ctypes.c_void_p
@@ -97,7 +99,40 @@ class _SliceParams(ctypes.Structure):
             "sao_type_tab", "sao_band_pos", "sao_eo_class", "sao_offset",
             "alf_ctb_flag", "alf_aps_id", "alf_fixed", "alf_filt_idx",
             "alf_alt_idx", "alf_cc_idc")] +
-        [("ts_rice", _I), ("ctx_coeff_sign", _I)])
+        [("ts_rice", _I), ("ctx_coeff_sign", _I)] +
+        # --- inter (P/B) parse + MV derivation (vvc_parse.h) ------------
+        [(n, _I) for n in ("is_b", "is_p", "poc", "sps_width_max",
+                           "sps_height_max")] +
+        [("num_ref_idx_active", _I * 2), ("rpl_nrefs", _I * 2),
+         ("rpl_poc", _I * 32), ("rpl_is_lt", _I * 32)] +
+        [(n, _I) for n in ("max_num_merge_cand", "max_num_gpm_cand",
+                           "max_num_sb_merge_cand",
+                           "log2_parallel_merge_level")] +
+        [("ref_idx_sym", _I * 2), ("wp_flag", _I * 64)] +
+        [(n, _I) for n in (
+            "sps_mmvd", "sps_gpm", "sps_ciip", "sps_affine",
+            "sps_6param_affine", "sps_sbtmvp", "sps_amvr",
+            "sps_affine_amvr", "sps_smvd", "sps_bcw", "sps_wpp",
+            "ph_temporal_mvp", "ph_mmvd_fullpel", "ph_mvd_l1_zero",
+            "ph_bdof_disabled", "ph_dmvr_disabled", "ph_prof_disabled",
+            "sh_collocated_from_l0",
+            "col_poc", "col_ctb_log2", "col_ctb_width")] +
+        [("col_slice_idx", _P), ("col_nslices", _I),
+         ("col_rpl_nrefs", _P), ("col_rpl_poc", _P),
+         ("col_rpl_is_lt", _P)] +
+        [(n, _P) for n in (
+            "colf_pf", "colf_mv", "colf_ref",
+            "mvf_mv", "mvf_ref", "mvf_bcw", "mvf_hpel", "mvf_ciip",
+            "col_mv", "col_ref", "cp_mv", "iaf",
+            "gpm_angle_idx", "gpm_distance_idx", "gpm_distance_lut")] +
+        [(n, _I) for n in (
+            "ctx_general_merge", "ctx_merge_subblock",
+            "ctx_merge_subblock_idx", "ctx_regular_merge", "ctx_mmvd_merge",
+            "ctx_mmvd_cand", "ctx_mmvd_distance", "ctx_ciip",
+            "ctx_merge_idx", "ctx_inter_pred_idc", "ctx_ref_idx",
+            "ctx_mvd_gt0", "ctx_mvd_gt1", "ctx_mvp_lx", "ctx_sym_mvd",
+            "ctx_inter_affine", "ctx_affine_type", "ctx_amvr_flag",
+            "ctx_amvr_precision", "ctx_bcw")])
 
 
 class _SliceState(ctypes.Structure):
@@ -106,7 +141,8 @@ class _SliceState(ctypes.Structure):
                 ("is_cu_chroma_qp_offset_coded", _I),
                 ("cu_qg_top_left_x", _I), ("cu_qg_top_left_y", _I),
                 ("chroma_qp_offset", _I * 3), ("prev_tu_cbf_y", _I),
-                ("infer_tu_cbf_luma", _I)]
+                ("infer_tu_cbf_luma", _I),
+                ("hmvp_len", _I), ("hmvp", _I * 50)]
 
 
 class _ParseOut(ctypes.Structure):
@@ -125,7 +161,7 @@ def _build():
 @functools.lru_cache()
 def load_lib():
     try:
-        newest = max(os.path.getmtime(s) for s in _SRCS + [_HDR])
+        newest = max(os.path.getmtime(s) for s in _SRCS + _HDRS)
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
             _build()
         lib = ctypes.CDLL(_SO)
@@ -141,6 +177,11 @@ def load_lib():
                                ctypes.POINTER(_ParseOut),
                                _P, _I, _P, _P, _P, _I]
     lib.parse_ctus.restype = _I
+    # guard the ctypes struct mirrors against C layout drift
+    assert lib.vvcp_sizeof_params() == ctypes.sizeof(_SliceParams), \
+        (lib.vvcp_sizeof_params(), ctypes.sizeof(_SliceParams))
+    assert lib.vvcp_sizeof_state() == ctypes.sizeof(_SliceState), \
+        (lib.vvcp_sizeof_state(), ctypes.sizeof(_SliceState))
     return lib
 
 
@@ -347,6 +388,123 @@ class NativeTreeParser:
         sp.alf_cc_idc = c32(tabs.alf_cc_idc)
         sp.ts_rice = rsh.sh_ts_residual_coding_rice_idx_minus1 + 1
         sp.ctx_coeff_sign = CTX.COEFF_SIGN_FLAG
+
+        # --- inter (P/B) parse + MV derivation ---------------------------
+        from ..bitstream.h266 import SLICE_I
+        ph = sh.ph
+        sp.is_b = int(sh.is_b)
+        sp.is_p = int(sh.is_p)
+        sp.poc = coder.poc
+        sp.sps_width_max = r.sps_pic_width_max_in_luma_samples
+        sp.sps_height_max = r.sps_pic_height_max_in_luma_samples
+        for lx in range(2):
+            sp.num_ref_idx_active[lx] = rsh.num_ref_idx_active[lx] \
+                if sh.slice_type != SLICE_I else 0
+        rpl = coder.rpl or []
+        for lx in range(min(2, len(rpl))):
+            n = min(rpl[lx].nb_refs, 16)
+            sp.rpl_nrefs[lx] = n
+            for i in range(n):
+                sp.rpl_poc[lx * 16 + i] = rpl[lx].poc_list[i]
+                sp.rpl_is_lt[lx * 16 + i] = int(rpl[lx].is_lt[i])
+        sp.max_num_merge_cand = sps.max_num_merge_cand
+        sp.max_num_gpm_cand = sps.max_num_gpm_merge_cand
+        sp.max_num_sb_merge_cand = coder.max_num_subblock_merge_cand() \
+            if sh.slice_type != SLICE_I else 0
+        sp.log2_parallel_merge_level = sps.log2_parallel_merge_level
+        sp.ref_idx_sym[0] = sh.ref_idx_sym[0]
+        sp.ref_idx_sym[1] = sh.ref_idx_sym[1]
+        pwt = coder.pwt
+        if pwt is not None:
+            for lx in range(2):
+                for ch in range(2):
+                    for i in range(16):
+                        sp.wp_flag[(lx * 2 + ch) * 16 + i] = \
+                            pwt.weight_flag(lx, ch, i)
+        sp.sps_mmvd = r.sps_mmvd_enabled_flag
+        sp.sps_gpm = r.sps_gpm_enabled_flag
+        sp.sps_ciip = r.sps_ciip_enabled_flag
+        sp.sps_affine = r.sps_affine_enabled_flag
+        sp.sps_6param_affine = r.sps_6param_affine_enabled_flag
+        sp.sps_sbtmvp = r.sps_sbtmvp_enabled_flag
+        sp.sps_amvr = r.sps_amvr_enabled_flag
+        sp.sps_affine_amvr = r.sps_affine_amvr_enabled_flag
+        sp.sps_smvd = r.sps_smvd_enabled_flag
+        sp.sps_bcw = r.sps_bcw_enabled_flag
+        sp.sps_wpp = r.sps_entropy_coding_sync_enabled_flag
+        sp.ph_temporal_mvp = ph.ph_temporal_mvp_enabled_flag
+        sp.ph_mmvd_fullpel = ph.ph_mmvd_fullpel_only_flag
+        sp.ph_mvd_l1_zero = ph.ph_mvd_l1_zero_flag
+        sp.ph_bdof_disabled = getattr(ph, "ph_bdof_disabled_flag", 1)
+        sp.ph_dmvr_disabled = getattr(ph, "ph_dmvr_disabled_flag", 1)
+        sp.ph_prof_disabled = getattr(ph, "ph_prof_disabled_flag", 1)
+        sp.sh_collocated_from_l0 = rsh.sh_collocated_from_l0_flag
+        col = coder.collocated_ref
+        if col is not None:
+            ct = col.tabs
+            sp.col_poc = col.poc
+            sp.col_ctb_log2 = col._ctb_log2
+            sp.col_ctb_width = ct.slice_idx.shape[1]
+            sp.col_slice_idx = c32(np.ascontiguousarray(ct.slice_idx))
+            nsl = len(col.slice_rpls)
+            sp.col_nslices = nsl
+            cr_n = np.zeros((nsl, 2), np.int32)
+            cr_poc = np.zeros((nsl, 2, 16), np.int32)
+            cr_lt = np.zeros((nsl, 2, 16), np.int32)
+            for si, pair in enumerate(col.slice_rpls):
+                for lx in range(2):
+                    n = min(pair[lx].nb_refs, 16)
+                    cr_n[si, lx] = n
+                    for i in range(n):
+                        cr_poc[si, lx, i] = pair[lx].poc_list[i]
+                        cr_lt[si, lx, i] = int(pair[lx].is_lt[i])
+            sp.col_rpl_nrefs = c32(cr_n)
+            sp.col_rpl_poc = c32(cr_poc)
+            sp.col_rpl_is_lt = c32(cr_lt)
+            keep += [ct.col_pf, ct.col_mv, ct.col_ref]
+            sp.colf_pf = ctypes.c_void_p(ct.col_pf.ctypes.data)
+            sp.colf_mv = ctypes.c_void_p(ct.col_mv.ctypes.data)
+            sp.colf_ref = ctypes.c_void_p(ct.col_ref.ctypes.data)
+        keep += [tabs.mvf_mv, tabs.mvf_ref, tabs.mvf_bcw, tabs.mvf_hpel,
+                 tabs.mvf_ciip, tabs.col_mv, tabs.col_ref, tabs.cp_mv]
+        sp.mvf_mv = ctypes.c_void_p(tabs.mvf_mv.ctypes.data)
+        sp.mvf_ref = ctypes.c_void_p(tabs.mvf_ref.ctypes.data)
+        sp.mvf_bcw = ctypes.c_void_p(tabs.mvf_bcw.ctypes.data)
+        sp.mvf_hpel = ctypes.c_void_p(tabs.mvf_hpel.ctypes.data)
+        sp.mvf_ciip = ctypes.c_void_p(tabs.mvf_ciip.ctypes.data)
+        sp.col_mv = ctypes.c_void_p(tabs.col_mv.ctypes.data)
+        sp.col_ref = ctypes.c_void_p(tabs.col_ref.ctypes.data)
+        sp.cp_mv = ctypes.c_void_p(tabs.cp_mv.ctypes.data)
+        sp.iaf = c32(tabs.iaf)
+        from ..ops import data as D
+        t = D.tables()
+        gpm_ai = np.ascontiguousarray(t["gpm_angle_idx"])
+        gpm_di = np.ascontiguousarray(t["gpm_distance_idx"])
+        gpm_dl = np.ascontiguousarray(t["gpm_distance_lut"])
+        keep += [gpm_ai, gpm_di, gpm_dl]
+        sp.gpm_angle_idx = ctypes.c_void_p(gpm_ai.ctypes.data)
+        sp.gpm_distance_idx = ctypes.c_void_p(gpm_di.ctypes.data)
+        sp.gpm_distance_lut = ctypes.c_void_p(gpm_dl.ctypes.data)
+        sp.ctx_general_merge = CTX.GENERAL_MERGE_FLAG
+        sp.ctx_merge_subblock = CTX.MERGE_SUBBLOCK_FLAG
+        sp.ctx_merge_subblock_idx = CTX.MERGE_SUBBLOCK_IDX
+        sp.ctx_regular_merge = CTX.REGULAR_MERGE_FLAG
+        sp.ctx_mmvd_merge = CTX.MMVD_MERGE_FLAG
+        sp.ctx_mmvd_cand = CTX.MMVD_CAND_FLAG
+        sp.ctx_mmvd_distance = CTX.MMVD_DISTANCE_IDX
+        sp.ctx_ciip = CTX.CIIP_FLAG
+        sp.ctx_merge_idx = CTX.MERGE_IDX
+        sp.ctx_inter_pred_idc = CTX.INTER_PRED_IDC
+        sp.ctx_ref_idx = CTX.REF_IDX_LX
+        sp.ctx_mvd_gt0 = CTX.ABS_MVD_GREATER0_FLAG
+        sp.ctx_mvd_gt1 = CTX.ABS_MVD_GREATER1_FLAG
+        sp.ctx_mvp_lx = CTX.MVP_LX_FLAG
+        sp.ctx_sym_mvd = CTX.SYM_MVD_FLAG
+        sp.ctx_inter_affine = CTX.INTER_AFFINE_FLAG
+        sp.ctx_affine_type = CTX.CU_AFFINE_TYPE_FLAG
+        sp.ctx_amvr_flag = CTX.AMVR_FLAG
+        sp.ctx_amvr_precision = CTX.AMVR_PRECISION_IDX
+        sp.ctx_bcw = CTX.BCW_IDX
         self.sp = sp
 
         st = _SliceState()
@@ -420,7 +578,8 @@ class NativeTreeParser:
             self._convert(coder, out)
 
     def _convert(self, coder, out):
-        from ..ctu import CodingUnit, TransformUnit
+        from ..ctu import (CodingUnit, TransformUnit, PredictionUnit,
+                           MODE_INTRA, MODE_PLT, DUAL_TREE_CHROMA)
         from ..residual import TransformBlock
 
         cus = self._cu[:out.n_cu].tolist()
@@ -447,6 +606,9 @@ class NativeTreeParser:
             cu.mts_idx = c[22]
             cu.qp = [c[23], c[24], c[25], c[26]]
             cu.apply_lfnst_flag = [c[29], c[30], c[31]]
+            if cu.pred_mode not in (MODE_INTRA, MODE_PLT) and \
+                    c[5] != DUAL_TREE_CHROMA:
+                self._convert_pu(coder, cu, c)
             for t in tus[c[27]:c[27] + c[28]]:
                 tu = TransformUnit(t[0], t[1], t[2], t[3])
                 tu.coded_flag = [t[4], t[5], t[6]]
@@ -464,6 +626,59 @@ class NativeTreeParser:
                     tu.tbs.append(tb)
             append(cu)
 
+    def _convert_pu(self, coder, cu, c):
+        """Rebuild the PredictionUnit of an inter CU from record fields
+        (+ the cp_mv plane for affine PROF diff-MVs)."""
+        from ..ctu import PredictionUnit
+        from ..mvs import MvField, MotionContext, PF_L0
+
+        pu = PredictionUnit()
+        cu.pu = pu
+        flags = c[40]
+        pu.merge_gpm_flag = flags & 1
+        pu.inter_affine_flag = (flags >> 1) & 1
+        cu.ciip_flag = (flags >> 2) & 1
+        pu.dmvr_flag = (flags >> 3) & 1
+        pu.bdof_flag = (flags >> 4) & 1
+        pu.general_merge_flag = (flags >> 7) & 1
+        pu.merge_subblock_flag = (flags >> 8) & 1
+        mi = pu.mi
+        mi.pred_flag = c[32]
+        mi.ref_idx = [c[33], c[34]]
+        mi.bcw_idx = c[35]
+        mi.hpel_if_idx = c[36]
+        mi.motion_model_idc = c[37]
+        mi.num_sb_x, mi.num_sb_y = c[38], c[39]
+        sbt = c[50]
+        cu.sbt_flag = sbt & 1
+        cu.sbt_horizontal_flag = (sbt >> 1) & 1
+        cu.sbt_pos_flag = (sbt >> 2) & 1
+        if pu.merge_gpm_flag:
+            pu.gpm_partition_idx = c[41]
+            pu.gpm_mv = []
+            for i in range(2):
+                f = MvField()
+                lx = c[42 + i * 4]
+                f.pred_flag = PF_L0 + lx
+                f.ref_idx[lx] = c[43 + i * 4]
+                f.mv[lx] = [c[44 + i * 4], c[45 + i * 4]]
+                pu.gpm_mv.append(f)
+        if pu.inter_affine_flag and (flags & (32 | 64)):
+            # PROF diff-MVs: recompute from the stored CP MVs (cp_mv plane)
+            t = coder.tabs
+            xi, yi = cu.x0 >> 2, cu.y0 >> 2
+            for lx in range(2):
+                if mi.pred_flag & (lx + 1):
+                    for j in range(mi.motion_model_idc + 1):
+                        mi.mv[lx][j] = [int(t.cp_mv[lx, yi, xi, j, 0]),
+                                        int(t.cp_mv[lx, yi, xi, j, 1])]
+            mc = MotionContext(coder)
+            for lx in range(2):
+                if mi.pred_flag & (lx + 1):
+                    sp = mc._init_subblock_params(mi, cu.cb_width,
+                                                  cu.cb_height, lx)
+                    mc._derive_subblock_diff_mvs(pu, sp, lx)
+
 
 def make_native_tree(coder, config=None):
     """Return a NativeTreeParser for this slice, or None if ineligible."""
@@ -472,12 +687,20 @@ def make_native_tree(coder, config=None):
 
     if not isinstance(coder.e, NativeCabacDecoder):
         return None
-    if coder.sh.slice_type != SLICE_I:
-        return None
     r = coder.sps.r
     if r.sps_ibc_enabled_flag or r.sps_act_enabled_flag or \
             r.sps_palette_enabled_flag:
         return None
+    if coder.sh.slice_type != SLICE_I:
+        # C rpl arrays are fixed at 16 entries per list
+        rpl = coder.rpl
+        if rpl is None or any(l.nb_refs > 16 for l in rpl):
+            return None
+        # collocated ref must expose the dense col grids (decode-side
+        # DecodedFrame; the forge's encode-side shim does not)
+        col = coder.collocated_ref
+        if col is not None and not hasattr(col, "tabs"):
+            return None
     lib = load_lib()
     if lib is None:
         return None

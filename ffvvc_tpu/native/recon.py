@@ -20,6 +20,7 @@ _SO = os.path.join(_DIR, "native", "libvvc_recon.so")
 _SRCS = [os.path.join(_DIR, "native", "vvc_recon.c"),
          os.path.join(_DIR, "native", "vvc_intra.c")]
 _HDRS = [os.path.join(_DIR, "native", "vvc_cabac.h"),
+         os.path.join(_DIR, "native", "vvc_parse.h"),
          os.path.join(_DIR, "native", "vvc_intra.h")]
 
 _I = ctypes.c_int

@@ -19,176 +19,7 @@
 #include <stdint.h>
 #include <string.h>
 
-#include "vvc_cabac.h"
-
-/* enums mirroring ffvvc_tpu/ctu.py:23-35 */
-enum { SINGLE_TREE = 0, DUAL_TREE_LUMA = 1, DUAL_TREE_CHROMA = 2 };
-enum { MODE_TYPE_ALL = 0, MODE_TYPE_INTER = 1, MODE_TYPE_INTRA = 2 };
-enum { SPLIT_NONE = 0, SPLIT_TT_HOR = 1, SPLIT_BT_HOR = 2,
-       SPLIT_TT_VER = 3, SPLIT_BT_VER = 4, SPLIT_QT = 5 };
-enum { MODE_INTER = 0, MODE_INTRA = 1, MODE_SKIP = 2, MODE_PLT = 3,
-       MODE_IBC = 4 };
-enum { ISP_NO_SPLIT = 0, ISP_HOR_SPLIT = 1, ISP_VER_SPLIT = 2 };
-enum { LUMA = 0, CB = 1, CR = 2, JCBCR = 3 };
-enum { SLICE_B = 0, SLICE_P = 1, SLICE_I = 2 };
-
-#define INTRA_PLANAR 0
-#define INTRA_DC     1
-#define INTRA_HORZ   18
-#define INTRA_VERT   50
-#define INTRA_VDIAG  66
-#define INTRA_LT_CCLM 81
-#define INTRA_INVALID (-1)
-
-/* record strides (must match ffvvc_tpu/native/parse.py) */
-#define CU_STRIDE 32
-#define TU_STRIDE 12
-#define TB_STRIDE 12
-
-/* CU record fields */
-enum {
-    CU_X0 = 0, CU_Y0, CU_W, CU_H, CU_CQT_DEPTH, CU_TREE_TYPE, CU_PRED_MODE,
-    CU_SKIP, CU_CODED, CU_IPM_Y, CU_IPM_C, CU_MRL, CU_MIP_FLAG, CU_MIP_T,
-    CU_MIP_MODE, CU_ISP, CU_NSP, CU_BDPCM0, CU_BDPCM1, CU_BDPCM2,
-    CU_MIP_CHROMA_DIRECT, CU_LFNST, CU_MTS, CU_QP0, CU_QP1, CU_QP2, CU_QP3,
-    CU_TU_START, CU_TU_COUNT, CU_ALF0, CU_ALF1, CU_ALF2
-};
-/* TU record fields */
-enum {
-    TU_X0 = 0, TU_Y0, TU_W, TU_H, TU_CODED0, TU_CODED1, TU_CODED2,
-    TU_JCBCR, TU_TB_START, TU_TB_COUNT
-};
-/* TB record fields */
-enum {
-    TB_X0 = 0, TB_Y0, TB_W, TB_H, TB_C_IDX, TB_TS, TB_HAS_COEFFS,
-    TB_MAX_SCAN_X, TB_MAX_SCAN_Y, TB_COEFF_OFF
-};
-
-typedef struct {
-    /* geometry */
-    int width, height, ctb_log2, min_cb_log2;
-    int w4, h4;            /* strides of the 4x4-grid planes */
-    int w32, w64;          /* strides of msm / ispmf */
-    int ctb_width, ctb_height;
-    int chroma_format_idc, hshift1, vshift1;
-    int bit_depth, qp_bd_offset, max_tb_size_y, max_ts_size;
-    int log2_transform_range;
-    /* sps flags */
-    int sps_mip, sps_mrl, sps_isp, sps_cclm, sps_dual_tree;
-    int sps_bdpcm, sps_transform_skip, sps_lfnst, sps_mts;
-    int sps_explicit_mts_intra, sps_explicit_mts_inter;
-    int sps_joint_cbcr, sps_sbt, sps_persistent_rice, sps_rrc_rice_ext;
-    int sps_ibc, sps_act, sps_palette;
-    /* pps / sh */
-    int pps_cu_qp_delta_enabled, pps_chroma_qp_offset_list_len_minus1;
-    int pps_cb_qp_offset_list[6], pps_cr_qp_offset_list[6],
-        pps_jcbcr_qp_offset_list[6];
-    int pps_chroma_qp_offset[3];
-    int sh_cu_chroma_qp_offset_enabled;
-    int sh_chroma_qp_offset[3];  /* sh_cb/cr/joint_cbcr qp offsets */
-    int slice_type, slice_qp_y;
-    int dep_quant, sdh, reverse_last, ts_res_disabled;
-    int cu_qp_delta_subdiv, cu_chroma_qp_offset_subdiv;
-    int min_qt_size[2], max_mtt_depth[2], max_bt_size[2], max_tt_size[2];
-    int init_stat_coeff;
-    /* ctx bases (from cabac/engine.py CTX) */
-    int ctx_split_cu, ctx_split_qt, ctx_mtt_vertical, ctx_mtt_binary;
-    int ctx_non_inter, ctx_cu_skip, ctx_pred_mode;
-    int ctx_bdpcm_luma, ctx_bdpcm_luma_dir, ctx_mip, ctx_mrl;
-    int ctx_isp_mode, ctx_isp_split, ctx_mpm, ctx_not_planar;
-    int ctx_bdpcm_chroma, ctx_bdpcm_chroma_dir;
-    int ctx_cclm_mode_flag, ctx_cclm_mode_idx, ctx_chroma_pred_mode;
-    int ctx_cu_coded, ctx_sbt_flag, ctx_sbt_quad, ctx_sbt_horizontal,
-        ctx_sbt_pos;
-    int ctx_tu_cb, ctx_tu_cr, ctx_tu_y, ctx_jcbcr;
-    int ctx_qp_delta_abs, ctx_chroma_qp_offset_flag,
-        ctx_chroma_qp_offset_idx;
-    int ctx_ts_flag, ctx_lfnst, ctx_mts;
-    int ctx_sig, ctx_last_x, ctx_last_y, ctx_sb_coded, ctx_gtx, ctx_par;
-    /* tab plane pointers (int32 [h4, w4] unless noted) */
-    int32_t *qp0, *qp1, *qp2, *qp3;
-    int32_t *cpm0, *cpm1, *ipm, *imf, *imtf, *imm, *skip;
-    int32_t *cb_width0, *cb_width1, *cb_height0, *cb_height1;
-    int32_t *cb_pos_x0, *cb_pos_x1, *cb_pos_y0, *cb_pos_y1;
-    int32_t *cqt_depth0, *cqt_depth1;
-    int32_t *tu_coded0, *tu_coded1, *tu_coded2, *tu_joint_cbcr;
-    int32_t *tb_pos_x0, *tb_pos_x1, *tb_pos_y0, *tb_pos_y1;
-    int32_t *tb_width0, *tb_width1, *tb_height0, *tb_height1;
-    int32_t *pcmf0, *pcmf1;
-    int32_t *msf, *mmi;
-    uint8_t *mvf_pf, *col_pf;          /* uint8 [h4, w4] */
-    int32_t *msm0, *msm1;              /* [h32, w32] */
-    int32_t *ispmf;                    /* [h64, w64] */
-    int32_t *slice_idx;                /* [ctb_height, ctb_width] */
-    /* note: written per CTU by parse_ctus */
-    int32_t *ctb_to_col_bd;            /* len ctb_width + 1 */
-    int32_t *ctb_to_row_bd;            /* len ctb_height + 1 */
-    int32_t *chroma_qp_table;          /* [3, qp_table_len] flattened */
-    int qp_table_len;
-    /* --- per-CTU SAO / ALF parameter parse (hls_sao / alf_params) ------- */
-    int sps_alf, sps_ccalf;
-    int sao_luma_used, sao_chroma_used;
-    int alf_enabled, alf_cb_enabled, alf_cr_enabled;
-    int alf_cc_cb_enabled, alf_cc_cr_enabled;
-    int num_alf_aps_ids_luma;
-    int alf_aps_id_luma[8];
-    int alf_aps_id_chroma;
-    int num_chroma_alt_filters;
-    int num_cc_filters[2];
-    int ctx_sao_merge, ctx_sao_type, ctx_alf_ctb_flag, ctx_alf_use_aps;
-    int ctx_alf_alt_idx, ctx_alf_cc_cb, ctx_alf_cc_cr;
-    int32_t *sao_type_tab;      /* [nctb][3] */
-    int32_t *sao_band_pos;      /* [nctb][3] */
-    int32_t *sao_eo_class;      /* [nctb][3] */
-    int32_t *sao_offset;        /* [nctb][3][5] */
-    int32_t *alf_ctb_flag;      /* [nctb][3] */
-    int32_t *alf_aps_id;        /* [nctb][3] */
-    int32_t *alf_fixed;         /* [nctb] */
-    int32_t *alf_filt_idx;      /* [nctb] */
-    int32_t *alf_alt_idx;       /* [nctb][2] */
-    int32_t *alf_cc_idc;        /* [nctb][2] */
-    /* transform-skip residual */
-    int ts_rice;                /* sh_ts_residual_coding_rice_idx_minus1+1 */
-    int ctx_coeff_sign;         /* CTX.COEFF_SIGN_FLAG */
-} SliceParams;
-
-/* per-entry-point persistent state (mirrors CtuCoder entry-point state) */
-typedef struct {
-    int qp_y, is_first_qg;
-    int stat_coeff[3];
-    int is_cu_qp_delta_coded, is_cu_chroma_qp_offset_coded;
-    int cu_qg_top_left_x, cu_qg_top_left_y;
-    int chroma_qp_offset[3];
-    int prev_tu_cbf_y, infer_tu_cbf_luma;
-} SliceState;
-
-typedef struct {
-    int32_t *cu, *tu, *tb, *coeff;
-    int cu_cap, tu_cap, tb_cap, coeff_cap;
-    int n_cu, n_tu, n_tb, coeff_len;
-    int err;
-} ParseOut;
-
-typedef struct {
-    Cabac *c;
-    const SliceParams *sp;
-    SliceState *st;
-    ParseOut *out;
-    /* per-CTU neighbour state (decode_neighbour, ctu.py:348) */
-    int ctb_left_flag, ctb_up_flag, ctb_up_right_flag, ctb_up_left_flag;
-    int end_of_tiles_x, end_of_tiles_y;
-    /* per-CU availability (set_neighbour_available, ctu.py:369) */
-    int na_cand_up, na_cand_left, na_cand_up_left, na_cand_up_right,
-        na_cand_up_right_sap;
-    /* per-CU parse flags (coder.parse lfnst/mts state) */
-    int lfnst_dc_only, lfnst_zero_out, mts_dc_only, mts_zero_out;
-    int sbt_num_fourths_tb0;
-    /* current CU record pointer */
-    int32_t *cu;
-    int cu_idx;
-} Parser;
-
-typedef struct { int qt, btv, bth, ttv, tth; } AllowedSplit;
+#include "vvc_parse.h"
 
 /* ---- diagonal scan tables (ops/data.py diag_scan) ------------------- */
 
@@ -849,7 +680,9 @@ static int transform_unit(Parser *p, int32_t *cu, int x0, int y0, int tu_w,
     int is_128 = cu[CU_W] > 64 || cu[CU_H] > 64;
     int is_isp = cu[CU_ISP] != ISP_NO_SPLIT;
     int is_isp_last = is_isp && sub_tu_index == cu[CU_NSP] - 1;
-    int is_sbt_not_coded = 0;  /* SBT is inter-only; stage-1 is intra */
+    int sbt_flag = cu[CU_SBT] & 1, sbt_pos = (cu[CU_SBT] >> 2) & 1;
+    int is_sbt_not_coded = sbt_flag &&
+        ((sub_tu_index == 0 && sbt_pos) || (sub_tu_index == 1 && !sbt_pos));
     int chroma_available = tree_type != DUAL_TREE_LUMA &&
         sp->chroma_format_idc && (!is_isp || is_isp_last);
     int xc, yc, wc, hc;
@@ -915,9 +748,9 @@ static int transform_unit(Parser *p, int32_t *cu, int x0, int y0, int tu_w,
             tb[TB_TS] = bdpcm;
             if (sp->sps_transform_skip && !bdpcm &&
                 tb[TB_W] <= sp->max_ts_size && tb[TB_H] <= sp->max_ts_size &&
-                (is_chroma || !is_isp))
+                !sbt_flag && (is_chroma || !is_isp))
                 tb[TB_TS] = cabac_decode_bin(c, sp->ctx_ts_flag + is_chroma);
-            if (decode_tb_residual(p, tb, 0, bdpcm))
+            if (decode_tb_residual(p, tb, sbt_flag, bdpcm))
                 return -1;
             int32_t *ct = cidx == 0 ? sp->tu_coded0
                         : cidx == 1 ? sp->tu_coded1 : sp->tu_coded2;
@@ -938,6 +771,21 @@ static int transform_tree(Parser *p, int32_t *cu, int x0, int y0, int tu_w,
 {
     const SliceParams *sp = p->sp;
     p->st->infer_tu_cbf_luma = 1;
+    if (cu[CU_SBT] & 1) {
+        /* SBT split (vvc_ctu.c:437-461) */
+        if (!((cu[CU_SBT] >> 1) & 1)) {
+            int tw = tu_w * p->sbt_num_fourths_tb0 / 4;
+            if (transform_unit(p, cu, x0, y0, tw, tu_h, 0, ch_type))
+                return -1;
+            return transform_unit(p, cu, x0 + tw, y0, tu_w - tw, tu_h, 1,
+                                  ch_type);
+        }
+        int th = tu_h * p->sbt_num_fourths_tb0 / 4;
+        if (transform_unit(p, cu, x0, y0, tu_w, th, 0, ch_type))
+            return -1;
+        return transform_unit(p, cu, x0, y0 + th, tu_w, tu_h - th, 1,
+                              ch_type);
+    }
     if (cu[CU_ISP] == ISP_NO_SPLIT) {
         if (tu_w > sp->max_tb_size_y || tu_h > sp->max_tb_size_y) {
             int ver_first = tu_w > sp->max_tb_size_y && tu_w > tu_h;
@@ -1336,7 +1184,7 @@ static int mts_idx_decode(Parser *p, const int32_t *cu)
     }
     if (cu[CU_TREE_TYPE] != DUAL_TREE_CHROMA && !cu[CU_LFNST] && !ts &&
         imax(cu[CU_W], cu[CU_H]) <= 32 && cu[CU_ISP] == ISP_NO_SPLIT &&
-        p->mts_zero_out && !p->mts_dc_only) {
+        !(cu[CU_SBT] & 1) && p->mts_zero_out && !p->mts_dc_only) {
         if ((cu[CU_PRED_MODE] == MODE_INTER && sp->sps_explicit_mts_inter) ||
             (cu[CU_PRED_MODE] == MODE_INTRA && sp->sps_explicit_mts_intra)) {
             int i = 0;
@@ -1361,8 +1209,10 @@ static void set_cu_tabs(Parser *p, const int32_t *cu)
     set_grid(sp, ch ? sp->cb_height1 : sp->cb_height0, x0, y0, w, h, h);
     set_grid(sp, ch ? sp->cqt_depth1 : sp->cqt_depth0, x0, y0, w, h,
              cu[CU_CQT_DEPTH]);
-    set_grid(sp, sp->mmi, x0, y0, w, h, 0);   /* intra: no PU */
-    set_grid(sp, sp->msf, x0, y0, w, h, 0);
+    set_grid(sp, sp->mmi, x0, y0, w, h,
+             cu[CU_PRED_MODE] == MODE_INTER ? p->pu.mi_mmi : 0);
+    set_grid(sp, sp->msf, x0, y0, w, h,
+             cu[CU_PRED_MODE] == MODE_INTER ? p->pu.merge_subblock : 0);
     if (cu[CU_TREE_TYPE] != DUAL_TREE_CHROMA)
         set_grid(sp, sp->skip, x0, y0, w, h, cu[CU_SKIP]);
     for (int t = 0; t < cu[CU_TU_COUNT]; t++) {
@@ -1381,6 +1231,538 @@ static void set_cu_tabs(Parser *p, const int32_t *cu)
                 set_tb_grid(p, cidx ? sp->pcmf1 : sp->pcmf0, tb[TB_X0],
                             tb[TB_Y0], tb[TB_W], tb[TB_H], cidx, 1);
         }
+    }
+}
+
+/* ---- inter CU syntax + MV derivation glue (ctu.py:1102-1638) ----------- */
+
+/* exported for vvc_mvs.c */
+void vvcp_set_neighbour_available(Parser *p, int x0, int y0, int w, int h)
+{
+    set_neighbour_available(p, x0, y0, w, h);
+}
+
+/* merge_idx_decode (ctu.py:1210) */
+static int merge_idx_decode(Parser *p, int c_max)
+{
+    if (!cabac_decode_bin(p->c, p->sp->ctx_merge_idx))
+        return 0;
+    int i = 1;
+    while (i < c_max && cabac_decode_bypass(p->c))
+        i++;
+    return i;
+}
+
+/* ff_vvc_mmvd_offset_coding (ctu.py:1254) */
+static void mmvd_offset_coding(Parser *p, int fullpel_only, int off[2])
+{
+    Cabac *c = p->c;
+    int dist_idx = 0;
+    if (cabac_decode_bin(c, p->sp->ctx_mmvd_distance)) {
+        int i = 1;
+        while (i < 7 && cabac_decode_bypass(c))
+            i++;
+        dist_idx = i;
+    }
+    int shift = fullpel_only ? 4 : 2;
+    int distance = 1 << (dist_idx + shift);
+    int dir_idx = (cabac_decode_bypass(c) << 1) | cabac_decode_bypass(c);
+    static const int signs[4][2] = { {1, 0}, {-1, 0}, {0, 1}, {0, -1} };
+    off[0] = distance * signs[dir_idx][0];
+    off[1] = distance * signs[dir_idx][1];
+}
+
+static void mvf_to_mi(const MvF *mvf, InterPU *pu)
+{
+    pu->mi_pf = mvf->pf;
+    pu->mi_bcw = mvf->bcw;
+    pu->mi_hpel = mvf->hpel;
+    for (int i = 0; i < 2; i++) {
+        if (mvf->pf & (i + 1)) {
+            pu->mi_mv[i][0][0] = mvf->mv[i][0];
+            pu->mi_mv[i][0][1] = mvf->mv[i][1];
+            pu->mi_ref[i] = mvf->ref[i];
+        }
+    }
+}
+
+/* merge_data_regular (ctu.py:1218) */
+static void merge_data_regular(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    InterPU *pu = &p->pu;
+    int merge_idx = 0;
+    int mmvd_offset[2] = { 0, 0 };
+    if (sp->sps_mmvd)
+        pu->mmvd = cabac_decode_bin(p->c, sp->ctx_mmvd_merge);
+    if (pu->mmvd) {
+        int mmvd_cand_flag = 0;
+        if (sp->max_num_merge_cand > 1)
+            mmvd_cand_flag = cabac_decode_bin(p->c, sp->ctx_mmvd_cand);
+        mmvd_offset_coding(p, sp->ph_mmvd_fullpel, mmvd_offset);
+        merge_idx = mmvd_cand_flag;
+    } else if (sp->max_num_merge_cand > 1) {
+        merge_idx = merge_idx_decode(p, sp->max_num_merge_cand - 1);
+    }
+    MvF mvf;
+    mvs_luma_mv_merge_mode(p, cu, merge_idx, 0, &mvf);
+    if (pu->mmvd)
+        mvs_derive_mmvd(p, &mvf, mmvd_offset);
+    mvs_mv_merge_refine_pred_flag(&mvf, cu[CU_W], cu[CU_H]);
+    mvs_set_mvf(sp, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H], &mvf);
+    mvf_to_mi(&mvf, pu);
+}
+
+/* merge_data_ciip (ctu.py:1309) */
+static void merge_data_ciip(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    int merge_idx = 0;
+    if (sp->max_num_merge_cand > 1)
+        merge_idx = merge_idx_decode(p, sp->max_num_merge_cand - 1);
+    MvF mvf;
+    mvs_luma_mv_merge_mode(p, cu, merge_idx, 1, &mvf);
+    mvs_mv_merge_refine_pred_flag(&mvf, cu[CU_W], cu[CU_H]);
+    mvs_set_mvf(sp, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H], &mvf);
+    mvf_to_mi(&mvf, &p->pu);
+    cu[CU_IPM_Y] = INTRA_PLANAR;
+    cu[CU_IPM_C] = INTRA_PLANAR;
+    cu[CU_MRL] = 0;
+    cu[CU_MIP_FLAG] = 0;
+}
+
+/* merge_data_gpm (ctu.py:1324) */
+static void merge_data_gpm(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    InterPU *pu = &p->pu;
+    pu->merge_gpm = 1;
+    int idx0 = 0;
+    for (int k = 0; k < 6; k++)
+        idx0 = (idx0 << 1) | cabac_decode_bypass(p->c);
+    pu->gpm_part = idx0;
+    int merge_gpm_idx[2] = { 0, 0 };
+    merge_gpm_idx[0] = merge_idx_decode(p, sp->max_num_gpm_cand - 1);
+    if (sp->max_num_gpm_cand > 2)
+        merge_gpm_idx[1] = merge_idx_decode(p, sp->max_num_gpm_cand - 2);
+    mvs_luma_mv_merge_gpm(p, cu, merge_gpm_idx, pu->gpm_mv);
+    mvs_store_gpm_mvf(p, cu, pu);
+}
+
+/* merge_data_subblock (ctu.py:1167) */
+static void merge_data_subblock(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    InterPU *pu = &p->pu;
+    int merge_subblock_idx = 0;
+    int max_cand = sp->max_num_sb_merge_cand;
+    if (max_cand > 1) {
+        if (cabac_decode_bin(p->c, sp->ctx_merge_subblock_idx)) {
+            int i = 1;
+            while (i < max_cand - 1 && cabac_decode_bypass(p->c))
+                i++;
+            merge_subblock_idx = i;
+        }
+    }
+    if (!mvs_sb_mv_merge_mode(p, cu, merge_subblock_idx, pu))
+        mvs_store_sb_mvs(p, cu, pu);
+}
+
+/* merge_data_block (ctu.py:1180) */
+static void merge_data_block(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    InterPU *pu = &p->pu;
+    int w = cu[CU_W], h = cu[CU_H];
+    int is_128 = w == 128 || h == 128;
+    int ciip_avail = sp->sps_ciip && !cu[CU_SKIP] && w * h >= 64;
+    int gpm_avail = sp->sps_gpm && sp->slice_type == SLICE_B &&
+                    w >= 8 && h >= 8 && w < 8 * h && h < 8 * w;
+    int regular_merge_flag = 1;
+    if (!is_128 && (ciip_avail || gpm_avail)) {
+        int inc = !cu[CU_SKIP];
+        regular_merge_flag = cabac_decode_bin(p->c,
+                                              sp->ctx_regular_merge + inc);
+    }
+    if (regular_merge_flag) {
+        merge_data_regular(p, cu);
+    } else {
+        if (ciip_avail && gpm_avail)
+            pu->ciip = cabac_decode_bin(p->c, sp->ctx_ciip);
+        else
+            pu->ciip = sp->sps_ciip && !cu[CU_SKIP] && !is_128 &&
+                       w * h >= 64;
+        if (pu->ciip)
+            merge_data_ciip(p, cu);
+        else
+            merge_data_gpm(p, cu);
+    }
+}
+
+/* hls_merge_data (ctu.py:1139) */
+static void hls_merge_data(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    InterPU *pu = &p->pu;
+    pu->merge_gpm = 0;
+    pu->nsbx = pu->nsby = 1;
+    if (sp->max_num_sb_merge_cand > 0 && cu[CU_W] >= 8 && cu[CU_H] >= 8) {
+        int left, top, la, ta;
+        left_top_pair(p, sp->msf, sp->msf, cu[CU_X0], cu[CU_Y0], 0, 0,
+                      &left, &top);
+        left_top_pair(p, sp->iaf, sp->iaf, cu[CU_X0], cu[CU_Y0], 0, 0,
+                      &la, &ta);
+        int inc = ((left || la) ? 1 : 0) + ((top || ta) ? 1 : 0);
+        pu->merge_subblock = cabac_decode_bin(p->c,
+                                              sp->ctx_merge_subblock + inc);
+    }
+    if (pu->merge_subblock)
+        merge_data_subblock(p, cu);
+    else
+        merge_data_block(p, cu);
+}
+
+/* hls_mvd_coding (ctu.py:1383) */
+static void mvd_coding(Parser *p, int mv[2])
+{
+    Cabac *c = p->c;
+    const SliceParams *sp = p->sp;
+    for (int i = 0; i < 2; i++)
+        mv[i] = cabac_decode_bin(c, sp->ctx_mvd_gt0);
+    for (int i = 0; i < 2; i++)
+        if (mv[i])
+            mv[i] += cabac_decode_bin(c, sp->ctx_mvd_gt1);
+    for (int i = 0; i < 2; i++) {
+        if (mv[i] > 0) {
+            if (mv[i] == 2)
+                mv[i] += cabac_limited_egk(c, 1, 15, 17);
+            int sign = cabac_decode_bypass(c);
+            mv[i] = (1 - 2 * sign) * mv[i];
+        }
+    }
+}
+
+/* ff_vvc_pred_flag (ctu.py:1401) */
+static int pred_flag_decode(Parser *p, const int32_t *cu, int is_b)
+{
+    const SliceParams *sp = p->sp;
+    int w = cu[CU_W], h = cu[CU_H];
+    if (!is_b)
+        return PF_L0;
+    if (w + h > 12) {
+        int log2 = ilog2u(w) + ilog2u(h);
+        int inc = 7 - ((1 + log2) >> 1);
+        if (cabac_decode_bin(p->c, sp->ctx_inter_pred_idc + inc))
+            return PF_BI;
+    }
+    return PF_L0 + cabac_decode_bin(p->c, sp->ctx_inter_pred_idc + 5);
+}
+
+/* ref_idx_decode (ctu.py:1415) */
+static int ref_idx_decode(Parser *p, int lx, int sym_mvd_flag)
+{
+    const SliceParams *sp = p->sp;
+    if (sp->num_ref_idx_active[lx] > 1 && !sym_mvd_flag) {
+        int c_max = sp->num_ref_idx_active[lx] - 1;
+        int max_ctx = imin(c_max, 2);
+        int i = 0;
+        while (i < max_ctx && cabac_decode_bin(p->c, sp->ctx_ref_idx + i))
+            i++;
+        if (i == 2) {
+            while (i < c_max && cabac_decode_bypass(p->c))
+                i++;
+        }
+        return i;
+    }
+    if (sym_mvd_flag)
+        return sp->ref_idx_sym[lx];
+    return 0;
+}
+
+/* ff_vvc_amvr_shift (ctu.py:1431); IBC unsupported */
+static int amvr_precision_idx(Parser *p, int inc, int c_max)
+{
+    const SliceParams *sp = p->sp;
+    if (!cabac_decode_bin(p->c, sp->ctx_amvr_precision + inc))
+        return 0;
+    int i = 1;
+    if (i < c_max && cabac_decode_bin(p->c, sp->ctx_amvr_precision + 1))
+        i++;
+    return i;
+}
+
+static int amvr_shift_decode(Parser *p, int inter_affine_flag, int enabled)
+{
+    const SliceParams *sp = p->sp;
+    int amvr_shift = 2;
+    if (enabled) {
+        if (cabac_decode_bin(p->c, sp->ctx_amvr_flag + inter_affine_flag)) {
+            if (inter_affine_flag) {
+                amvr_shift = amvr_precision_idx(p, 2, 1) * 4;
+            } else {
+                static const int shifts[3] = { 3, 4, 6 };
+                amvr_shift = shifts[amvr_precision_idx(p, 0, 2)];
+            }
+        }
+    }
+    return amvr_shift;
+}
+
+/* bcw_idx_decode (ctu.py:1456) */
+static int bcw_idx_decode(Parser *p, const int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    const InterPU *pu = &p->pu;
+    if (sp->sps_bcw && pu->mi_pf == PF_BI &&
+        !sp->wp_flag[0][0][pu->mi_ref[0]] &&
+        !sp->wp_flag[1][0][pu->mi_ref[1]] &&
+        !sp->wp_flag[0][1][pu->mi_ref[0]] &&
+        !sp->wp_flag[1][1][pu->mi_ref[1]] &&
+        cu[CU_W] * cu[CU_H] >= 256) {
+        int c_max = mvs_no_backward_pred_flag(sp) ? 4 : 2;
+        if (!cabac_decode_bin(p->c, sp->ctx_bcw))
+            return 0;
+        int i = 1;
+        while (i < c_max && cabac_decode_bypass(p->c))
+            i++;
+        return i;
+    }
+    return 0;
+}
+
+/* mvp_data (ctu.py:1478) */
+static void mvp_data(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    InterPU *pu = &p->pu;
+    int is_b = sp->slice_type == SLICE_B;
+    int mvds[2][3][2];
+    memset(mvds, 0, sizeof(mvds));
+    int mvp_lx_flag[2] = { 0, 0 };
+    int cu_affine_type_flag = 0;
+    int has_no_zero_mvd = 0;
+
+    pu->mi_pf = pred_flag_decode(p, cu, is_b);
+    if (sp->sps_affine && cu[CU_W] >= 16 && cu[CU_H] >= 16) {
+        int la, ta, lb, tb;
+        left_top_pair(p, sp->msf, sp->msf, cu[CU_X0], cu[CU_Y0], 0, 0,
+                      &la, &ta);
+        left_top_pair(p, sp->iaf, sp->iaf, cu[CU_X0], cu[CU_Y0], 0, 0,
+                      &lb, &tb);
+        int inc = ((la || lb) ? 1 : 0) + ((ta || tb) ? 1 : 0);
+        pu->inter_affine = cabac_decode_bin(p->c,
+                                            sp->ctx_inter_affine + inc);
+        set_grid(sp, sp->iaf, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H],
+                 pu->inter_affine);
+        if (sp->sps_6param_affine && pu->inter_affine)
+            cu_affine_type_flag = cabac_decode_bin(p->c,
+                                                   sp->ctx_affine_type);
+    }
+    pu->mi_mmi = pu->inter_affine + cu_affine_type_flag;
+    int num_cp_mv = pu->mi_mmi + 1;
+
+    if (sp->sps_smvd && !sp->ph_mvd_l1_zero && pu->mi_pf == PF_BI &&
+        !pu->inter_affine && sp->ref_idx_sym[0] > -1 &&
+        sp->ref_idx_sym[1] > -1)
+        pu->sym_mvd = cabac_decode_bin(p->c, sp->ctx_sym_mvd);
+
+    for (int i = 0; i < 2; i++) {
+        int pf = PF_L0 + (1 - i);
+        if (pu->mi_pf != pf) {
+            pu->mi_ref[i] = ref_idx_decode(p, i, pu->sym_mvd);
+            /* mvds_decode (vvc_ctu.c:1524) */
+            if (i == 1 && sp->ph_mvd_l1_zero && pu->mi_pf == PF_BI) {
+                for (int j = 0; j < num_cp_mv; j++) {
+                    mvds[1][j][0] = 0;
+                    mvds[1][j][1] = 0;
+                }
+            } else {
+                if (i == 1 && pu->sym_mvd) {
+                    mvds[1][0][0] = -mvds[0][0][0];
+                    mvds[1][0][1] = -mvds[0][0][1];
+                } else {
+                    mvd_coding(p, mvds[i][0]);
+                }
+                if (mvds[i][0][0] || mvds[i][0][1])
+                    has_no_zero_mvd = 1;
+                for (int j = 1; j < num_cp_mv; j++) {
+                    int d[2];
+                    mvd_coding(p, d);
+                    d[0] += mvds[i][0][0];
+                    d[1] += mvds[i][0][1];
+                    mvds[i][j][0] = d[0];
+                    mvds[i][j][1] = d[1];
+                    if (d[0] || d[1])
+                        has_no_zero_mvd = 1;
+                }
+            }
+            mvp_lx_flag[i] = cabac_decode_bin(p->c, sp->ctx_mvp_lx);
+        }
+    }
+
+    int amvr_enabled = pu->mi_mmi == 0 ? sp->sps_amvr : sp->sps_affine_amvr;
+    amvr_enabled &= has_no_zero_mvd;
+    int amvr_shift = amvr_shift_decode(p, pu->inter_affine, amvr_enabled);
+    pu->mi_hpel = amvr_shift == 3;
+    pu->mi_bcw = bcw_idx_decode(p, cu);
+
+    if (pu->mi_mmi)
+        mvs_ff_affine_mvp(p, cu, mvp_lx_flag, amvr_shift, pu);
+    else
+        mvs_ff_mvp(p, cu, mvp_lx_flag, amvr_shift, pu);
+
+    /* mvp_add_difference (vvc_ctu.c:1556) */
+    for (int i = 0; i < 2; i++) {
+        if (pu->mi_pf & (i + 1)) {
+            for (int j = 0; j < num_cp_mv; j++) {
+                pu->mi_mv[i][j][0] += mvds[i][j][0] * (1 << amvr_shift);
+                pu->mi_mv[i][j][1] += mvds[i][j][1] * (1 << amvr_shift);
+            }
+        }
+    }
+
+    if (pu->mi_mmi) {
+        mvs_store_sb_mvs(p, cu, pu);
+    } else {
+        /* ff_vvc_store_mv (vvc_mvs.c:499) */
+        MvF mvf;
+        memset(&mvf, 0, sizeof(mvf));
+        mvf.hpel = pu->mi_hpel;
+        mvf.bcw = pu->mi_bcw;
+        mvf.pf = pu->mi_pf;
+        for (int i = 0; i < 2; i++) {
+            if (pu->mi_pf & (i + 1)) {
+                mvf.mv[i][0] = pu->mi_mv[i][0][0];
+                mvf.mv[i][1] = pu->mi_mv[i][0][1];
+                mvf.ref[i] = pu->mi_ref[i];
+            }
+        }
+        mvs_set_mvf(sp, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H], &mvf);
+    }
+}
+
+/* derive_dmvr_bdof_flag (ctu.py:1573) */
+static void derive_dmvr_bdof_flag(Parser *p, const int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    InterPU *pu = &p->pu;
+    pu->bdof = 0;
+    pu->dmvr = 0;
+    if (pu->mi_pf == PF_BI &&
+        (sp->poc - sp->rpl_poc[0][pu->mi_ref[0]] ==
+         sp->rpl_poc[1][pu->mi_ref[1]] - sp->poc) &&
+        !sp->rpl_is_lt[0][pu->mi_ref[0]] &&
+        !sp->rpl_is_lt[1][pu->mi_ref[1]] &&
+        !pu->ciip && !pu->mi_bcw &&
+        !sp->wp_flag[0][0][pu->mi_ref[0]] &&
+        !sp->wp_flag[1][0][pu->mi_ref[1]] &&
+        !sp->wp_flag[0][1][pu->mi_ref[0]] &&
+        !sp->wp_flag[1][1][pu->mi_ref[1]] &&
+        cu[CU_W] >= 8 && cu[CU_H] >= 8 &&
+        cu[CU_W] * cu[CU_H] >= 128) {
+        if (!sp->ph_bdof_disabled && pu->mi_mmi == 0 &&
+            !pu->merge_subblock && !pu->sym_mvd)
+            pu->bdof = 1;
+        if (!sp->ph_dmvr_disabled && pu->general_merge && !pu->mmvd)
+            pu->dmvr = 1;
+    }
+}
+
+/* inter_data (ctu.py:1102) */
+static void inter_data(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    InterPU *pu = &p->pu;
+    memset(pu, 0, sizeof(*pu));
+    pu->nsbx = pu->nsby = 1;
+    pu->general_merge = 1;
+    if (!cu[CU_SKIP])
+        pu->general_merge = cabac_decode_bin(p->c, sp->ctx_general_merge);
+    if (pu->general_merge)
+        hls_merge_data(p, cu);
+    else
+        mvp_data(p, cu);
+    if (!pu->merge_gpm && !pu->inter_affine && !pu->merge_subblock) {
+        derive_dmvr_bdof_flag(p, cu);
+        if (pu->dmvr || pu->bdof) {
+            pu->nsbx = cu[CU_W] > 16 ? cu[CU_W] >> 4 : 1;
+            pu->nsby = cu[CU_H] > 16 ? cu[CU_H] >> 4 : 1;
+        }
+        mvs_update_hmvp(p, cu);
+    }
+    if (!pu->dmvr)
+        mvs_fill_dmvr_info(sp, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H]);
+    /* PU fields -> CU record */
+    cu[CU_MI_PF] = pu->mi_pf;
+    cu[CU_REF0] = pu->mi_ref[0];
+    cu[CU_REF1] = pu->mi_ref[1];
+    cu[CU_BCW] = pu->mi_bcw;
+    cu[CU_HPEL] = pu->mi_hpel;
+    cu[CU_MMI] = pu->mi_mmi;
+    cu[CU_NSBX] = pu->nsbx;
+    cu[CU_NSBY] = pu->nsby;
+    cu[CU_IFLAGS] = (pu->merge_gpm ? IF_MERGE_GPM : 0) |
+                    (pu->inter_affine ? IF_AFFINE : 0) |
+                    (pu->ciip ? IF_CIIP : 0) |
+                    (pu->dmvr ? IF_DMVR : 0) |
+                    (pu->bdof ? IF_BDOF : 0) |
+                    (pu->prof[0] ? IF_PROF_L0 : 0) |
+                    (pu->prof[1] ? IF_PROF_L1 : 0) |
+                    (pu->general_merge ? IF_GENERAL_MERGE : 0) |
+                    (pu->merge_subblock ? IF_MERGE_SUBBLOCK : 0);
+    if (pu->merge_gpm) {
+        cu[CU_GPM_PART] = pu->gpm_part;
+        for (int i = 0; i < 2; i++) {
+            int lx = pu->gpm_mv[i].pf - PF_L0;
+            (&cu[CU_GPM0_LX])[i * 4] = lx;
+            (&cu[CU_GPM0_REF])[i * 4] = pu->gpm_mv[i].ref[lx];
+            (&cu[CU_GPM0_MVX])[i * 4] = pu->gpm_mv[i].mv[lx][0];
+            (&cu[CU_GPM0_MVY])[i * 4] = pu->gpm_mv[i].mv[lx][1];
+        }
+    }
+}
+
+/* sbt_info (ctu.py:1602) */
+static void sbt_info(Parser *p, int32_t *cu)
+{
+    const SliceParams *sp = p->sp;
+    if (!(cu[CU_PRED_MODE] == MODE_INTER && sp->sps_sbt && !p->pu.ciip &&
+          cu[CU_W] <= sp->max_tb_size_y && cu[CU_H] <= sp->max_tb_size_y))
+        return;
+    int w = cu[CU_W], h = cu[CU_H];
+    int sbt_ver_h = w >= 8;
+    int sbt_hor_h = h >= 8;
+    int sbt_flag = 0;
+    if (sbt_ver_h || sbt_hor_h) {
+        int inc = w * h <= 256;
+        sbt_flag = cabac_decode_bin(p->c, sp->ctx_sbt_flag + inc);
+    }
+    if (sbt_flag) {
+        int sbt_ver_q = w >= 16;
+        int sbt_hor_q = h >= 16;
+        int quad = 0;
+        int horizontal;
+        if ((sbt_ver_h || sbt_hor_h) && (sbt_ver_q || sbt_hor_q))
+            quad = cabac_decode_bin(p->c, sp->ctx_sbt_quad);
+        if (quad) {
+            horizontal = sbt_hor_q;
+            if (sbt_ver_q && sbt_hor_q) {
+                int inc = w == h ? 0 : (w < h ? 1 : 2);
+                horizontal = cabac_decode_bin(p->c,
+                                              sp->ctx_sbt_horizontal + inc);
+            }
+        } else {
+            horizontal = sbt_hor_h;
+            if (sbt_ver_h && sbt_hor_h) {
+                int inc = w == h ? 0 : (w < h ? 1 : 2);
+                horizontal = cabac_decode_bin(p->c,
+                                              sp->ctx_sbt_horizontal + inc);
+            }
+        }
+        int pos = cabac_decode_bin(p->c, sp->ctx_sbt_pos);
+        int sbt_min = quad ? 1 : 2;
+        p->sbt_num_fourths_tb0 = pos ? (4 - sbt_min) : sbt_min;
+        cu[CU_SBT] = 1 | (horizontal << 1) | (pos << 2);
     }
 }
 
@@ -1498,6 +1880,7 @@ static int coding_unit(Parser *p, int x0, int y0, int w, int h,
         o->err = 3;  /* palette / ACT unsupported (matches Python) */
         return -1;
     }
+    memset(&p->pu, 0, sizeof(p->pu));
     if (cu[CU_PRED_MODE] == MODE_INTRA || cu[CU_PRED_MODE] == MODE_PLT) {
         if (tree_type == SINGLE_TREE || tree_type == DUAL_TREE_LUMA) {
             intra_luma_pred_modes(p, cu);
@@ -1506,14 +1889,17 @@ static int coding_unit(Parser *p, int x0, int y0, int w, int h,
         if ((tree_type == SINGLE_TREE || tree_type == DUAL_TREE_CHROMA) &&
             sp->chroma_format_idc)
             intra_chroma_pred_modes(p, cu);
-    } else {
-        o->err = 4;  /* inter CU: stage-1 C parser is intra-only */
-        return -1;
+    } else if (tree_type != DUAL_TREE_CHROMA) {
+        inter_data(p, cu);
+        if (o->err)
+            return -1;
     }
-    /* intra, no merge: coded_flag inferred from skip */
-    cu[CU_CODED] = !cu[CU_SKIP];
+    if (cu[CU_PRED_MODE] != MODE_INTRA && !p->pu.general_merge)
+        cu[CU_CODED] = cabac_decode_bin(p->c, sp->ctx_cu_coded);
+    else
+        cu[CU_CODED] = !cu[CU_SKIP];
     if (cu[CU_CODED]) {
-        /* sbt_info: inter-only, no-op for intra */
+        sbt_info(p, cu);
         p->lfnst_dc_only = 1;
         p->lfnst_zero_out = 1;
         p->mts_dc_only = 1;
@@ -1870,8 +2256,10 @@ static int parse_ctu_one(Parser *p, int ctu_idx, int rs, int rx, int ry)
     SliceState *st = p->st;
     int x_ctb = rx << sp->ctb_log2;
     int y_ctb = ry << sp->ctb_log2;
-    if (rx == sp->ctb_to_col_bd[rx])
+    if (rx == sp->ctb_to_col_bd[rx]) {
+        st->hmvp_len = 0;
         st->is_first_qg = (ry == sp->ctb_to_row_bd[ry]) || !ctu_idx;
+    }
     st->chroma_qp_offset[0] = 0;
     st->chroma_qp_offset[1] = 0;
     st->chroma_qp_offset[2] = 0;
@@ -1999,3 +2387,7 @@ int parse_ctus(Cabac *c, const SliceParams *sp, SliceState *st,
     }
     return n;
 }
+
+/* layout guards for the Python ctypes mirrors (CLAUDE.md golden rule) */
+int vvcp_sizeof_params(void) { return (int)sizeof(SliceParams); }
+int vvcp_sizeof_state(void) { return (int)sizeof(SliceState); }

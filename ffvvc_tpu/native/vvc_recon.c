@@ -20,40 +20,13 @@
 #include "vvc_cabac.h"   /* record strides must match vvc_parse.c */
 #include "vvc_intra.h"
 
-enum { SINGLE_TREE = 0, DUAL_TREE_LUMA = 1, DUAL_TREE_CHROMA = 2 };
-enum { MODE_INTER = 0, MODE_INTRA = 1, MODE_SKIP = 2, MODE_PLT = 3,
-       MODE_IBC = 4 };
-enum { ISP_NO_SPLIT = 0, ISP_HOR_SPLIT = 1, ISP_VER_SPLIT = 2 };
-enum { LUMA = 0, CB = 1, CR = 2, JCBCR = 3 };
+#include "vvc_parse.h"   /* shared record layout + enums */
+
 enum { DCT2 = 0, DST7 = 1, DCT8 = 2 };
 
-#define INTRA_PLANAR 0
-#define INTRA_DC     1
-#define INTRA_HORZ   18
 #define INTRA_DIAG   34
-#define INTRA_VERT   50
-#define INTRA_VDIAG  66
-#define INTRA_LT_CCLM 81
 #define INTRA_T_CCLM  83
 
-#define CU_STRIDE 32
-#define TU_STRIDE 12
-#define TB_STRIDE 12
-enum {
-    CU_X0 = 0, CU_Y0, CU_W, CU_H, CU_CQT_DEPTH, CU_TREE_TYPE, CU_PRED_MODE,
-    CU_SKIP, CU_CODED, CU_IPM_Y, CU_IPM_C, CU_MRL, CU_MIP_FLAG, CU_MIP_T,
-    CU_MIP_MODE, CU_ISP, CU_NSP, CU_BDPCM0, CU_BDPCM1, CU_BDPCM2,
-    CU_MIP_CHROMA_DIRECT, CU_LFNST, CU_MTS, CU_QP0, CU_QP1, CU_QP2, CU_QP3,
-    CU_TU_START, CU_TU_COUNT, CU_ALF0, CU_ALF1, CU_ALF2
-};
-enum {
-    TU_X0 = 0, TU_Y0, TU_W, TU_H, TU_CODED0, TU_CODED1, TU_CODED2,
-    TU_JCBCR, TU_TB_START, TU_TB_COUNT
-};
-enum {
-    TB_X0 = 0, TB_Y0, TB_W, TB_H, TB_C_IDX, TB_TS, TB_HAS_COEFFS,
-    TB_MAX_SCAN_X, TB_MAX_SCAN_Y, TB_COEFF_OFF
-};
 
 typedef struct {
     int width, height, ctb_log2, w4;
