@@ -425,6 +425,14 @@ class VVCDecoder:
             if sh.slice_type != SLICE_I:
                 from .inter import InterPredictor
                 for rec, ctus in jobs:
+                    nr = rec.native_recon
+                    if nr is not None and nr._ip_ref is not None:
+                        # native inter MC walk (native/vvc_inter.c)
+                        nr.set_lmcs_fwd(
+                            lmcs.fwd_lut if lmcs is not None and
+                            sh.r.sh_lmcs_used_flag else None)
+                        inter_jobs.append((nr, ctus))
+                        continue
                     ip = InterPredictor(sps, pps, tabs, fb, sh, rpl,
                                         rec.nbr)
                     if lmcs is not None and sh.r.sh_lmcs_used_flag:
@@ -448,10 +456,15 @@ class VVCDecoder:
         # inter MC pass (reference INTER task stage precedes RECON,
         # vvc_thread.c:41-51)
         for ip, ctus in inter_jobs:
-            for rs, rx, ry in ctus:
-                ip.c.decode_neighbour(rx << sps.ctb_log2_size_y,
-                                      ry << sps.ctb_log2_size_y, rx, ry, rs)
-                ip.predict_inter_ctu(rs)
+            if hasattr(ip, "c"):      # Python InterPredictor
+                for rs, rx, ry in ctus:
+                    ip.c.decode_neighbour(rx << sps.ctb_log2_size_y,
+                                          ry << sps.ctb_log2_size_y,
+                                          rx, ry, rs)
+                    ip.predict_inter_ctu(rs)
+            else:                     # NativeRecon (native/vvc_inter.c)
+                for rs, rx, ry in ctus:
+                    ip.predict_inter_ctu(rs, rx, ry)
         _stage("inter")
         for rec, ctus in recon_jobs:
             for rs, rx, ry in ctus:
@@ -541,14 +554,17 @@ class VVCDecoder:
             if self.config.native_parse:
                 from .native.parse import make_native_tree
                 coder.native_tree = make_native_tree(coder)
-                # keep_records (zero-copy native recon) covers intra slices;
-                # P/B records are converted to Python CUs for the Python
-                # inter/recon walk until the native inter stage lands
-                if coder.native_tree is not None and native_recon_ok and \
-                        sh.slice_type == SLICE_I:
-                    from .native.recon import load_lib as recon_lib
-                    coder.native_tree.keep_records = \
-                        recon_lib() is not None
+                # keep_records: zero-copy native recon (I slices) / native
+                # inter MC + recon (P/B; gated on RPL compatibility)
+                if coder.native_tree is not None and native_recon_ok:
+                    if sh.slice_type == SLICE_I:
+                        from .native.recon import load_lib as recon_lib
+                        coder.native_tree.keep_records = \
+                            recon_lib() is not None
+                    else:
+                        from .native.recon import native_inter_ok
+                        coder.native_tree.keep_records = \
+                            native_inter_ok(coder, fb)
             engine.set_states(None)
             rec = Reconstructor(sps, pps, tabs, fb, coder)
             rec.ph_r = sh.ph

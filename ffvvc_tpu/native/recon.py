@@ -18,10 +18,13 @@ import numpy as np
 _DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_DIR, "native", "libvvc_recon.so")
 _SRCS = [os.path.join(_DIR, "native", "vvc_recon.c"),
-         os.path.join(_DIR, "native", "vvc_intra.c")]
+         os.path.join(_DIR, "native", "vvc_intra.c"),
+         os.path.join(_DIR, "native", "vvc_inter.c"),
+         os.path.join(_DIR, "native", "vvc_mc.c")]
 _HDRS = [os.path.join(_DIR, "native", "vvc_cabac.h"),
          os.path.join(_DIR, "native", "vvc_parse.h"),
-         os.path.join(_DIR, "native", "vvc_intra.h")]
+         os.path.join(_DIR, "native", "vvc_intra.h"),
+         os.path.join(_DIR, "native", "vvc_recon.h")]
 
 _I = ctypes.c_int
 _P = ctypes.c_void_p
@@ -54,6 +57,24 @@ def _build():
                    check=True)
 
 
+class _InterParams(ctypes.Structure):
+    """Mirror of InterParams (native/vvc_recon.h) — update together."""
+    _fields_ = (
+        [(n, _I) for n in ("is_b", "weighted_pred", "lmcs_used",
+                           "w4", "h4")] +
+        [("pw_denom", _I * 2),
+         ("pw_weight", _I * (2 * 3 * 16)),
+         ("pw_offset", _I * (2 * 3 * 16)),
+         ("lmcs_fwd", _P),
+         ("ref_planes", _P * (2 * 16 * 3))] +
+        [(n, _P) for n in (
+            "mvf_pf", "mvf_mv", "mvf_ref", "mvf_bcw", "mvf_hpel",
+            "mvf_ciip", "col_pf", "col_mv", "col_ref", "cp_mv",
+            "luma_filters", "chroma_filters", "dmvr_filters",
+            "gpm_angle_idx", "gpm_angle_to_weights", "gpm_angle_to_mirror",
+            "gpm_off_x", "gpm_off_y", "gpm_weights")])
+
+
 @functools.lru_cache()
 def load_lib():
     try:
@@ -63,9 +84,19 @@ def load_lib():
         lib = ctypes.CDLL(_SO)
     except Exception:
         return None
-    lib.recon_ctu.argtypes = [ctypes.POINTER(_ReconParams), _I, _I, _I,
+    lib.recon_ctu.argtypes = [ctypes.POINTER(_ReconParams),
+                              ctypes.POINTER(_InterParams), _I, _I, _I,
                               _P, _I, _P, _P, _P]
     lib.recon_ctu.restype = _I
+    lib.inter_ctu.argtypes = [ctypes.POINTER(_ReconParams),
+                              ctypes.POINTER(_InterParams), _I, _I, _I,
+                              _P, _I]
+    lib.inter_ctu.restype = _I
+    # guard the ctypes struct mirrors against C layout drift
+    assert lib.vvcr_sizeof_recon_params() == ctypes.sizeof(_ReconParams), \
+        (lib.vvcr_sizeof_recon_params(), ctypes.sizeof(_ReconParams))
+    assert lib.vvcr_sizeof_inter_params() == ctypes.sizeof(_InterParams), \
+        (lib.vvcr_sizeof_inter_params(), ctypes.sizeof(_InterParams))
     return lib
 
 
@@ -96,8 +127,61 @@ def _tables():
     return out
 
 
+@functools.lru_cache()
+def _inter_tables():
+    """Contiguous copies of the MC filter banks and GPM blend tables."""
+    from ..ops import data as D
+    t = D.tables()
+    return {
+        "luma_filters": np.ascontiguousarray(
+            t["luma_filters"].astype(np.int32)),
+        "chroma_filters": np.ascontiguousarray(
+            t["chroma_filters"].astype(np.int32)),
+        "dmvr_filters": np.ascontiguousarray(
+            t["luma_dmvr_filters"].astype(np.int8)),
+        "gpm_angle_idx": np.ascontiguousarray(t["gpm_angle_idx"]),
+        "gpm_angle_to_weights": np.ascontiguousarray(
+            t["gpm_angle_to_weights_idx"]),
+        "gpm_angle_to_mirror": np.ascontiguousarray(
+            t["gpm_angle_to_mirror"]),
+        "gpm_off_x": np.ascontiguousarray(t["gpm_weights_offset_x"]),
+        "gpm_off_y": np.ascontiguousarray(t["gpm_weights_offset_y"]),
+        "gpm_weights": np.ascontiguousarray(t["gpm_weights"]),
+    }
+
+
 def _ptr(a):
     return ctypes.c_void_p(a.ctypes.data)
+
+
+def _ref_planes_ok(coder, fb):
+    """True when every RPL reference frame's planes can be consumed by the
+    native inter core: int32, C-contiguous, same geometry as the current
+    frame (no RPR resampling)."""
+    rpl = coder.rpl
+    if rpl is None:
+        return False
+    n_planes = 3 if coder.sps.chroma_format_idc else 1
+    for lx in range(2):
+        if rpl[lx].nb_refs > 16:
+            return False
+        for f in rpl[lx].frames:
+            buf = getattr(f, "buffer", None)
+            if buf is None:
+                return False
+            for c in range(n_planes):
+                p = buf.planes[c]
+                if p.dtype != np.int32 or not p.flags.c_contiguous or \
+                        p.shape != fb.planes[c].shape:
+                    return False
+    return True
+
+
+def native_inter_ok(coder, fb):
+    """Whether the native inter MC + recon walk can run this P/B slice."""
+    if load_lib() is None:
+        return False
+    return _ref_planes_ok(coder, fb)
 
 
 class NativeRecon:
@@ -160,13 +244,86 @@ class NativeRecon:
         rp.level_scale = _ptr(t["level_scale"])
         self.rp = rp
         self._rp_ref = ctypes.byref(rp)
+        self._ip_ref = None
+        from ..bitstream.h266 import SLICE_I
+        if coder.sh.slice_type != SLICE_I and coder.rpl is not None:
+            self._build_inter_params(coder, fb)
+
+    def _build_inter_params(self, coder, fb):
+        """InterParams for the native MC walk (inter.py InterPredictor)."""
+        sh, tabs = coder.sh, coder.tabs
+        keep = self._keep
+        it = _inter_tables()
+        keep.append(it)
+        ip = _InterParams()
+        ip.is_b = int(sh.is_b)
+        ip.weighted_pred = int(sh.weighted_pred)
+        ip.lmcs_used = 0
+        ip.w4, ip.h4 = tabs.w4, tabs.h4
+        pwt = coder.pwt
+        rpl = coder.rpl
+        n_planes = 3 if coder.sps.chroma_format_idc else 1
+        for lx in range(2):
+            ip.pw_denom[lx] = pwt.log2_denom[lx] if pwt else 0
+            for i, f in enumerate(rpl[lx].frames[:16]):
+                for c in range(n_planes):
+                    p = f.buffer.planes[c]
+                    keep.append(p)
+                    ip.ref_planes[(lx * 16 + i) * 3 + c] = p.ctypes.data
+                if pwt is not None:
+                    for c in range(3):
+                        ip.pw_weight[(lx * 3 + c) * 16 + i] = \
+                            pwt.weight(lx, c, i)
+                        ip.pw_offset[(lx * 3 + c) * 16 + i] = \
+                            pwt.offset(lx, c, i)
+        keep += [tabs.mvf_pf, tabs.mvf_mv, tabs.mvf_ref, tabs.mvf_bcw,
+                 tabs.mvf_hpel, tabs.mvf_ciip, tabs.col_pf, tabs.col_mv,
+                 tabs.col_ref, tabs.cp_mv]
+        for name, a in (("mvf_pf", tabs.mvf_pf), ("mvf_mv", tabs.mvf_mv),
+                        ("mvf_ref", tabs.mvf_ref), ("mvf_bcw", tabs.mvf_bcw),
+                        ("mvf_hpel", tabs.mvf_hpel),
+                        ("mvf_ciip", tabs.mvf_ciip),
+                        ("col_pf", tabs.col_pf), ("col_mv", tabs.col_mv),
+                        ("col_ref", tabs.col_ref), ("cp_mv", tabs.cp_mv)):
+            setattr(ip, name, a.ctypes.data)
+        for name in ("luma_filters", "chroma_filters", "dmvr_filters",
+                     "gpm_angle_idx", "gpm_angle_to_weights",
+                     "gpm_angle_to_mirror", "gpm_off_x", "gpm_off_y",
+                     "gpm_weights"):
+            setattr(ip, name, it[name].ctypes.data)
+        self.ip = ip
+        self._ip_ref = ctypes.byref(ip)
+
+    def set_lmcs_fwd(self, fwd_lut):
+        """Attach the LMCS forward-mapping LUT (sh_lmcs_used_flag) before
+        the inter MC / recon walks run."""
+        if self._ip_ref is None:
+            return
+        if fwd_lut is None:
+            self.ip.lmcs_fwd = None
+            self.ip.lmcs_used = 0
+            return
+        lut = np.ascontiguousarray(np.asarray(fwd_lut, dtype=np.int32))
+        self._keep.append(lut)
+        self.ip.lmcs_fwd = lut.ctypes.data
+        self.ip.lmcs_used = 1
+
+    def predict_inter_ctu(self, rs, rx, ry):
+        rec = self.records.get(rs)
+        if rec is None or not rec[0]:
+            return
+        n_cu, cu_p, _tu, _tb, _coeff, _keep = rec
+        err = self.lib.inter_ctu(self._rp_ref, self._ip_ref, rx, ry, rs,
+                                 cu_p, n_cu)
+        if err:
+            raise ValueError(f"native inter_ctu failed (err={err})")
 
     def reconstruct_ctu(self, rs, rx, ry):
         rec = self.records.get(rs)
         if rec is None or not rec[0]:
             return
         n_cu, cu_p, tu_p, tb_p, coeff_p, _keep = rec
-        err = self.lib.recon_ctu(self._rp_ref, rx, ry, rs,
+        err = self.lib.recon_ctu(self._rp_ref, self._ip_ref, rx, ry, rs,
                                  cu_p, n_cu, tu_p, tb_p, coeff_p)
         if err:
             raise ValueError(f"native recon_ctu failed (err={err})")

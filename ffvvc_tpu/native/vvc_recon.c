@@ -21,60 +21,12 @@
 #include "vvc_intra.h"
 
 #include "vvc_parse.h"   /* shared record layout + enums */
+#include "vvc_recon.h"   /* ReconParams / InterParams / Recon */
 
 enum { DCT2 = 0, DST7 = 1, DCT8 = 2 };
 
 #define INTRA_DIAG   34
 #define INTRA_T_CCLM  83
-
-
-typedef struct {
-    int width, height, ctb_log2, w4;
-    int chroma_format_idc, hshift1, vshift1, bit_depth, qp_bd_offset;
-    int log2_range;           /* log2_transform_range (ext precision) */
-    int dep_quant;            /* sh_dep_quant_used_flag */
-    int sps_mts, sps_explicit_mts_intra;
-    int wpp;                  /* sps_entropy_coding_sync_enabled_flag */
-    int chroma_vert_coll;     /* sps_chroma_vertical_collocated_flag */
-    int jcbcr_sign;           /* 1 - 2 * ph_joint_cbcr_sign_flag */
-    int slice_type_i;
-    int min_qp_prime_ts;      /* sps_min_qp_prime_ts */
-    /* frame planes (int32) */
-    int32_t *plane0, *plane1, *plane2;
-    /* tab planes for LFNST pred-mode derivation */
-    int32_t *imf, *cpm0, *ipm;
-    /* tile / slice maps for decode_neighbour */
-    int32_t *slice_idx, *ctb_to_col_bd, *ctb_to_row_bd;
-    int ctb_width;
-    /* constant tables */
-    int32_t *fc_filt, *fg_filt;                /* intra filters */
-    int32_t *dct2_2, *dct2_4, *dct2_8, *dct2_16, *dct2_32, *dct2_64;
-    int32_t *dst7_4, *dst7_8, *dst7_16, *dst7_32;
-    int32_t *dct8_4, *dct8_8, *dct8_16, *dct8_32;
-    int8_t *lfnst_4x4;        /* [4][2][16][16] */
-    int8_t *lfnst_8x8;        /* [4][2][16][48] */
-    uint8_t *lfnst_set_idx;   /* [95] */
-    uint8_t *mip_4x4;         /* [16][16][4] */
-    uint8_t *mip_8x8;         /* [8][16][8] */
-    uint8_t *mip_16x16;       /* [6][64][7] */
-    int32_t *level_scale;     /* [2][6] */
-} ReconParams;
-
-#define MAX_RA 4096
-
-typedef struct {
-    const ReconParams *rp;
-    /* per-CTU neighbour flags (decode_neighbour, ctu.py:348) */
-    int ctb_left_flag, ctb_up_flag, ctb_up_right_flag, ctb_up_left_flag;
-    int end_of_tiles_x, end_of_tiles_y;
-    int na_cand_up_left;
-    /* reconstructed areas per ch_type: (x, y, w, h) in plane coords */
-    int32_t ras[2][MAX_RA][4];
-    int n_ras[2];
-    /* current CU */
-    const int32_t *cu;
-    int err;
-} Recon;
 
 static inline int imin(int a, int b) { return a < b ? a : b; }
 static inline int imax(int a, int b) { return a > b ? a : b; }
@@ -82,15 +34,18 @@ static inline int ilog2u(int v) { return 31 - __builtin_clz((unsigned)v); }
 static inline long long ll_clip(long long v, long long lo, long long hi)
 { return v < lo ? lo : (v > hi ? hi : v); }
 
-static int32_t *plane_of(const ReconParams *rp, int c)
+int32_t *vvcr_plane_of(const ReconParams *rp, int c)
 {
     return c == 0 ? rp->plane0 : (c == 1 ? rp->plane1 : rp->plane2);
 }
 
-static long stride_of(const ReconParams *rp, int c)
+long vvcr_stride_of(const ReconParams *rp, int c)
 {
     return c == 0 ? rp->width : (rp->width >> rp->hshift1);
 }
+
+#define plane_of vvcr_plane_of
+#define stride_of vvcr_stride_of
 
 /* decode_neighbour (ctu.py:348), trimmed to what recon uses */
 static void recon_neighbour(Recon *r, int rx, int ry, int rs)
@@ -119,7 +74,7 @@ static void recon_neighbour(Recon *r, int rx, int ry, int rs)
 }
 
 /* set_neighbour_available (ctu.py:369) — only cand_up_left is consumed */
-static void set_na(Recon *r, int x0, int y0, int w, int h)
+void vvcr_set_na(Recon *r, int x0, int y0, int w, int h)
 {
     int mask = (1 << r->rp->ctb_log2) - 1;
     int x0b = x0 & mask, y0b = y0 & mask;
@@ -823,15 +778,23 @@ static void transform_type(const ReconParams *rp, const int32_t *cu,
         *trh = *trv = DCT2;
         return;
     }
+    int sbt = cu[CU_SBT] & 1;
     int implicit = 0;
     if (rp->sps_mts) {
-        if (cu[CU_ISP] != ISP_NO_SPLIT ||
+        int mx = tb[TB_W] > tb[TB_H] ? tb[TB_W] : tb[TB_H];
+        if (cu[CU_ISP] != ISP_NO_SPLIT || (sbt && mx <= 32) ||
             (!rp->sps_explicit_mts_intra &&
              cu[CU_PRED_MODE] == MODE_INTRA && !cu[CU_LFNST] &&
              !cu[CU_MIP_FLAG]))
-            implicit = 1;     /* SBT is inter-only; not reachable here */
+            implicit = 1;
     }
     if (implicit) {
+        if (sbt) {
+            int hor = (cu[CU_SBT] >> 1) & 1, pos = (cu[CU_SBT] >> 2) & 1;
+            *trh = (hor || pos) ? DST7 : DCT8;
+            *trv = (!hor || pos) ? DST7 : DCT8;
+            return;
+        }
         *trh = (tb[TB_W] >= 4 && tb[TB_W] <= 16) ? DST7 : DCT2;
         *trv = (tb[TB_H] >= 4 && tb[TB_H] <= 16) ? DST7 : DCT2;
         return;
@@ -918,8 +881,8 @@ static void itx_2d(Recon *r, const int32_t *tb, const int32_t *coeffs,
 
 /* ---- intra prediction driver (recon.py:334-392 intra_pred) -------------- */
 
-static void intra_pred_c(Recon *r, const int32_t *cu, int x0, int y0,
-                         int width, int height, int c_idx)
+void vvcr_intra_pred(Recon *r, const int32_t *cu, int x0, int y0,
+                     int width, int height, int c_idx)
 {
     const ReconParams *rp = r->rp;
     int hs = c_idx ? rp->hshift1 : 0;
@@ -1101,15 +1064,40 @@ static void recon_cu(Recon *r, const int32_t *cu, const int32_t *tu_recs,
     int start = cu[CU_TREE_TYPE] == DUAL_TREE_CHROMA ? 1 : 0;
     int end = (rp->chroma_format_idc &&
                cu[CU_TREE_TYPE] != DUAL_TREE_LUMA) ? 1 : 0;
-    if (cu[CU_PRED_MODE] != MODE_INTRA) { r->err = 3; return; }
+    if (cu[CU_PRED_MODE] != MODE_INTRA) {
+        /* inter CU: MC already ran in the inter pass; CIIP blends here,
+         * then recon adds residuals + marks reconstructed areas
+         * (recon.py reconstruct_cu :213-227) */
+        if (cu[CU_PRED_MODE] == MODE_PLT || !r->ip) { r->err = 3; return; }
+        if (cu[CU_IFLAGS] & IF_CIIP)
+            vvci_predict_ciip(r, cu);
+        if (!cu[CU_CODED]) {
+            add_ra(r, 0, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H]);
+            add_ra(r, 1, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H]);
+            return;
+        }
+        for (int ch_type = start; ch_type <= end; ch_type++) {
+            for (int i = 0; i < cu[CU_TU_COUNT]; i++) {
+                const int32_t *tu = tu_recs +
+                    (cu[CU_TU_START] + i) * TU_STRIDE;
+                const int32_t *tbs = tb_recs + tu[TU_TB_START] * TB_STRIDE;
+                add_ra(r, ch_type, tu[TU_X0], tu[TU_Y0], tu[TU_W],
+                       tu[TU_H]);
+                itransform_tu(r, cu, tu, tbs, coeff_pool, ch_type);
+                if (r->err)
+                    return;
+            }
+        }
+        return;
+    }
     for (int ch_type = start; ch_type <= end; ch_type++) {
         for (int i = 0; i < cu[CU_TU_COUNT]; i++) {
             const int32_t *tu = tu_recs + (cu[CU_TU_START] + i) * TU_STRIDE;
             const int32_t *tbs = tb_recs + tu[TU_TB_START] * TB_STRIDE;
             /* predict_intra (recon.py:294) */
             if (!ch_type && cu[CU_TREE_TYPE] != DUAL_TREE_CHROMA) {
-                set_na(r, tu[TU_X0], tu[TU_Y0], tu[TU_W], tu[TU_H]);
-                intra_pred_c(r, cu, tu[TU_X0], tu[TU_Y0], tu[TU_W],
+                vvcr_set_na(r, tu[TU_X0], tu[TU_Y0], tu[TU_W], tu[TU_H]);
+                vvcr_intra_pred(r, cu, tu[TU_X0], tu[TU_Y0], tu[TU_W],
                              tu[TU_H], 0);
                 add_ra(r, 0, tu[TU_X0], tu[TU_Y0], tu[TU_W], tu[TU_H]);
             }
@@ -1131,13 +1119,13 @@ static void recon_cu(Recon *r, const int32_t *cu, const int32_t *tu_recs,
                     do_pred = 0;
                 }
                 if (do_pred) {
-                    set_na(r, px, py, pw, ph);
+                    vvcr_set_na(r, px, py, pw, ph);
                     if (cu[CU_IPM_C] >= INTRA_LT_CCLM &&
                         cu[CU_IPM_C] <= INTRA_T_CCLM) {
                         cclm_pred(r, cu, px, py, pw, ph);
                     } else {
-                        intra_pred_c(r, cu, px, py, pw, ph, 1);
-                        intra_pred_c(r, cu, px, py, pw, ph, 2);
+                        vvcr_intra_pred(r, cu, px, py, pw, ph, 1);
+                        vvcr_intra_pred(r, cu, px, py, pw, ph, 2);
                     }
                     add_ra(r, 1, px, py, pw, ph);
                 }
@@ -1149,13 +1137,16 @@ static void recon_cu(Recon *r, const int32_t *cu, const int32_t *tu_recs,
     }
 }
 
-/* exported: reconstruct one CTU from its flat records.  Returns 0 ok. */
-int recon_ctu(const ReconParams *rp, int rx, int ry, int rs,
-              const int32_t *cu_recs, int n_cu, const int32_t *tu_recs,
-              const int32_t *tb_recs, int32_t *coeff_pool)
+/* exported: reconstruct one CTU from its flat records.  ip may be NULL on
+ * intra-only slices.  Returns 0 ok. */
+int recon_ctu(const ReconParams *rp, const InterParams *ip, int rx, int ry,
+              int rs, const int32_t *cu_recs, int n_cu,
+              const int32_t *tu_recs, const int32_t *tb_recs,
+              int32_t *coeff_pool)
 {
     static _Thread_local Recon r;   /* 128KB of RA slots; don't memset */
     r.rp = rp;
+    r.ip = ip;
     r.n_ras[0] = r.n_ras[1] = 0;
     r.err = 0;
     r.na_cand_up_left = 0;
@@ -1167,3 +1158,6 @@ int recon_ctu(const ReconParams *rp, int rx, int ry, int rs,
     }
     return 0;
 }
+
+int vvcr_sizeof_recon_params(void) { return (int)sizeof(ReconParams); }
+int vvcr_sizeof_inter_params(void) { return (int)sizeof(InterParams); }

@@ -104,7 +104,9 @@ ALL_TOOLS = dict(sps_temporal_mvp_enabled_flag=1, sps_sbtmvp_enabled_flag=1,
              sps_max_num_merge_cand_minus_max_num_gpm_cand=0,
              sps_six_minus_max_num_merge_cand=1)),
     (2, AFFINE),                                         # affine + PROF
+    (7, dict(sps_sbt_enabled_flag=1)),                   # SBT
     (5, ALL_TOOLS),                                      # everything at once
+    (6, dict(sps_sbt_enabled_flag=1, **ALL_TOOLS)),      # + SBT
 ])
 def test_l4_inter_tools(seed, tools, tmp_path):
     from forge import forge_inter_stream
