@@ -50,33 +50,34 @@ class _CtxNamespace:
 CTX = _CtxNamespace()
 
 
+@functools.lru_cache(maxsize=256)
+def make_states_np(qp: int, init_type: int):
+    """Per-slice context init states as a read-only (4, NUM) int32 array
+    (state0, state1, shift0, shift1) — cached per (qp, init_type)."""
+    import numpy as np
+    iv = init_values()
+    qp = max(0, min(63, qp))
+    row = iv[init_type].astype(np.int64)
+    shift_row = iv[3].astype(np.int64)
+    m = (row >> 3) - 4
+    v = ((row & 7) * 18) + 1
+    pre = np.clip(((m * (qp - 16)) >> 1) + v, 1, 127)
+    sh0 = (shift_row >> 2) + 2
+    out = np.ascontiguousarray(np.stack(
+        [pre << 3, pre << 7, sh0, (shift_row & 3) + 3 + sh0]
+    ).astype(np.int32))
+    out.setflags(write=False)
+    return out
+
+
 def make_states(qp: int, init_type: int):
-    """Per-slice context state arrays (state0, state1, shift0, shift1).
+    """Per-slice context state arrays (state0, state1, shift0, shift1) as
+    mutable Python lists (engines update states in place).
 
     qp: clipped slice luma QP; init_type: 0/1/2 per slice type and
     sh_cabac_init_flag (9.3.2.2).
     """
-    iv = init_values()
-    qp = max(0, min(63, qp))
-    n = iv.shape[1]
-    s0 = [0] * n
-    s1 = [0] * n
-    sh0 = [0] * n
-    sh1 = [0] * n
-    row = iv[init_type]
-    shift_row = iv[3]
-    for i in range(n):
-        init_value = int(row[i])
-        shift_idx = int(shift_row[i])
-        m = (init_value >> 3) - 4
-        v = ((init_value & 7) * 18) + 1
-        pre = ((m * (qp - 16)) >> 1) + v
-        pre = max(1, min(127, pre))
-        s0[i] = pre << 3
-        s1[i] = pre << 7
-        sh0[i] = (shift_idx >> 2) + 2
-        sh1[i] = (shift_idx & 3) + 3 + sh0[i]
-    return [s0, s1, sh0, sh1]
+    return [r.tolist() for r in make_states_np(qp, init_type)]
 
 
 class CabacDecoder:

@@ -503,6 +503,12 @@ class VVCDecoder:
                        range(max(sh_by_slice) + 1)]
             AlfFilter(sps, pps, tabs, fb, sh_list, alf_list).alf_frame()
         _stage("sao_alf")
+        # recycle native parse record arenas (everything pixel-level that
+        # reads them — MC, CIIP, recon — has run; tabs keep the MV grids)
+        for rec, _ in recon_jobs:
+            tree = getattr(rec.nbr, "native_tree", None)
+            if tree is not None:
+                tree.release_records()
         return outputs
 
     def _entry_point_offsets(self, nal, sh_r, sh_end_bits):
@@ -582,8 +588,8 @@ class VVCDecoder:
                     self._np_wpp_buf = np.zeros((4, CTX.NUM), np.int32)
                 wpp_buf = self._np_wpp_buf
                 qp = max(0, min(63, sh.slice_qp_y))
-                tmpl = np.ascontiguousarray(np.asarray(
-                    make_states(qp, sh.cabac_init_type), dtype=np.int32))
+                from .cabac.engine import make_states_np
+                tmpl = make_states_np(qp, sh.cabac_init_type)
                 items = []
                 for i, rs in enumerate(ctus):
                     rx = rs % pps.ctb_width

@@ -541,6 +541,17 @@ class NativeTreeParser:
         self._synced_engine = None
         self._cabac_ref = None
 
+    def release_records(self):
+        """Recycle record arenas into the pool (call once the frame's MC +
+        recon walks have consumed them — decoder end-of-frame)."""
+        seen = set()
+        for v in self.records.values():
+            a = v[5]
+            if isinstance(a, _Arena) and id(a) not in seen:
+                seen.add(id(a))
+                _release_arena(a)
+        self.records.clear()
+
     def __call__(self, coder, ctu_idx, rs, rx, ry):
         """Parse one CTU's coding tree; appends CUs to coder.cur_cus.
 
@@ -715,9 +726,14 @@ class _CtuDesc(ctypes.Structure):
 
 class _Arena:
     """Record arena shared by many CTUs (consumed zero-copy by the native
-    recon); chained when a dense slice exhausts it."""
+    recon); chained when a dense slice exhausts it.  Pooled across frames
+    (acquire_arena / release below): the ~MB-scale np.empty allocations go
+    through mmap and their first-touch page faults otherwise dominate the
+    batched parse."""
 
     def __init__(self, ctb_log2, n_ctus):
+        self.ctb_log2 = ctb_log2
+        self.n_ctus = n_ctus
         ctb4 = (1 << ctb_log2) >> 2
         cu_need = 2 * ctb4 * ctb4 + 64
         # np.empty is safe: every record/coeff block is fully written by
@@ -738,6 +754,28 @@ class _Arena:
         self.tu_ptr = ctypes.c_void_p(self.tu.ctypes.data)
         self.tb_ptr = ctypes.c_void_p(self.tb.ctypes.data)
         self.coeff_ptr = ctypes.c_void_p(self.coeff.ctypes.data)
+
+    def reset(self):
+        o = self.out
+        o.n_cu = o.n_tu = o.n_tb = o.coeff_len = o.err = 0
+
+
+_ARENA_POOL = []        # per-process free list (decode_parallel forks)
+_ARENA_POOL_MAX = 48
+
+
+def acquire_arena(ctb_log2, n_ctus):
+    for i, a in enumerate(_ARENA_POOL):
+        if a.ctb_log2 == ctb_log2 and a.n_ctus >= n_ctus:
+            a = _ARENA_POOL.pop(i)
+            a.reset()
+            return a
+    return _Arena(ctb_log2, max(n_ctus, 16))
+
+
+def _release_arena(a):
+    if len(_ARENA_POOL) < _ARENA_POOL_MAX:
+        _ARENA_POOL.append(a)
 
 
 def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf):
@@ -767,7 +805,7 @@ def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf):
     wpp_ptr = ctypes.c_void_p(wpp_buf.ctypes.data)
     done = 0
     while done < n:
-        arena = _Arena(coder.sps.ctb_log2_size_y, n - done)
+        arena = acquire_arena(coder.sps.ctb_log2_size_y, n - done)
         idx = np.empty((n - done, 8), np.int32)
         k = lib.parse_ctus(
             ctypes.byref(coder.e.c), tree._sp_ref, ctypes.byref(st),
