@@ -212,3 +212,35 @@ def test_transform_skip(kw, tmp_path):
     """Transform-skip / BDPCM tool rows (reference TSSC/BDPCM streams)."""
     from forge import forge_ts_stream
     _check_stream(forge_ts_stream(nframes=2, **kw), tmp_path, 2)
+
+
+def test_l8_wpp_asymmetric_tiles_ref_bug(tmp_path):
+    """Raster-scan tiles + WPP with tile cols != rows: the reference's CBS
+    slice-header parser miscounts NumEntryPoints (cbs_h266_syntax_template.c
+    :3406 divides the raster tile index by num_tile_rows instead of
+    num_tile_columns, reading row_height_val out of bounds) and rejects
+    spec-valid streams.  Our reader implements the spec formula
+    (h266.py:1907); assert we decode such a stream consistently across the
+    native and Python paths, and pin the oracle's rejection so a fixed
+    reference flips this test."""
+    import subprocess
+    from forge import forge_tiled_stream
+    from ffvvc_tpu.config import DecoderConfig
+    stream = forge_tiled_stream(seed=3, nframes=2, wpp=True, width=96,
+                                height=96, rows=(1, 2), cols=(1,))
+    a = VVCDecoder().decode(stream)
+    b = VVCDecoder(DecoderConfig(native_parse=False)).decode(stream)
+    assert len(a) == len(b) == 2
+    assert b"".join(f.to_yuv_bytes() for f in a) == \
+        b"".join(f.to_yuv_bytes() for f in b)
+    if have_oracle():
+        bit = tmp_path / "t.bit"
+        bit.write_bytes(stream)
+        from conftest import ORACLE
+        r = subprocess.run(
+            [ORACLE, "-hide_banner", "-loglevel", "error", "-threads", "1",
+             "-f", "vvc", "-i", str(bit), "-f", "rawvideo", "-y",
+             str(tmp_path / "t.yuv")], capture_output=True, timeout=120)
+        assert b"byte_alignment" in r.stderr, \
+            "reference now parses this stream — drop the bug pin and " \
+            "compare outputs instead"
