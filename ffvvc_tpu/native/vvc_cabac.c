@@ -22,9 +22,15 @@ static inline void refill_cache(Cabac *c)
     long p = c->pos;
     long byte = p >> 3;
     long nbytes = (c->nbits + 7) >> 3;
-    uint64_t v = 0;
-    for (int i = 0; i < 8; i++)
-        v = (v << 8) | (byte + i < nbytes ? c->data[byte + i] : 0);
+    uint64_t v;
+    if (byte + 8 <= nbytes) {
+        memcpy(&v, c->data + byte, 8);
+        v = __builtin_bswap64(v);
+    } else {
+        v = 0;
+        for (int i = 0; i < 8; i++)
+            v = (v << 8) | (byte + i < nbytes ? c->data[byte + i] : 0);
+    }
     int skip = (int)(p & 7);
     c->cache = v << skip;       /* bits past nbits read as 0 */
     c->cache_n = 64 - skip;
@@ -38,6 +44,18 @@ static inline int read_bit(Cabac *c)
     c->cache <<= 1;
     c->cache_n--;
     c->pos++;
+    return b;
+}
+
+/* read n (1..32) MSB-first bits from the cache in one step */
+static inline uint32_t take_bits(Cabac *c, int n)
+{
+    if (c->cache_n < n)
+        refill_cache(c);       /* refill reloads from c->pos: lossless */
+    uint32_t b = (uint32_t)(c->cache >> (64 - n));
+    c->cache <<= n;
+    c->cache_n -= n;
+    c->pos += n;
     return b;
 }
 
@@ -73,9 +91,11 @@ int cabac_decode_bin(Cabac *c, int idx)
     } else {
         bit = val_mps;
     }
-    while (rng < 256) {
-        rng <<= 1;
-        c->offset = (c->offset << 1) | read_bit(c);
+    if (rng < 256) {
+        /* renormalize in one step (rng >= 4 always) */
+        int s = 8 - (31 - __builtin_clz(rng));
+        rng <<= s;
+        c->offset = (c->offset << s) | take_bits(c, s);
     }
     c->range = rng;
     int a = c->sh0[idx];
@@ -87,7 +107,7 @@ int cabac_decode_bin(Cabac *c, int idx)
 
 int cabac_decode_bypass(Cabac *c)
 {
-    uint32_t offset = (c->offset << 1) | read_bit(c);
+    uint32_t offset = (c->offset << 1) | take_bits(c, 1);
     if (offset >= c->range) {
         c->offset = offset - c->range;
         return 1;
@@ -98,9 +118,18 @@ int cabac_decode_bypass(Cabac *c)
 
 int cabac_decode_bypass_bits(Cabac *c, int n)
 {
+    /* n sequential bypass bins == long division of (offset:bits) by range:
+     * each bin is offset' = 2*offset + b - bit*range with 0 <= offset' <
+     * range, i.e. successive quotient digits of ((offset << n) | bits) /
+     * range.  Chunked at 16 bins to bound the dividend. */
     int v = 0;
-    for (int i = 0; i < n; i++)
-        v = (v << 1) | cabac_decode_bypass(c);
+    while (n > 0) {
+        int k = n > 16 ? 16 : n;
+        uint64_t d = ((uint64_t)c->offset << k) | take_bits(c, k);
+        v = (v << k) | (int)(d / c->range);
+        c->offset = (uint32_t)(d % c->range);
+        n -= k;
+    }
     return v;
 }
 
@@ -109,9 +138,10 @@ int cabac_decode_terminate(Cabac *c)
     c->range -= 2;
     if (c->offset >= c->range)
         return 1;
-    while (c->range < 256) {
-        c->range <<= 1;
-        c->offset = (c->offset << 1) | read_bit(c);
+    if (c->range < 256) {
+        int s = 8 - (31 - __builtin_clz(c->range));
+        c->range <<= s;
+        c->offset = (c->offset << s) | take_bits(c, s);
     }
     return 0;
 }

@@ -857,7 +857,55 @@ static void itx_2d(Recon *r, const int32_t *tb, const int32_t *coeffs,
     }
     const int32_t *mv = tx_matrix(rp, trv, h);
     const int32_t *mh = tx_matrix(rp, trh, w);
-    /* column pass: tmp[y][x] = sum_k mv[k][y] * in[k][x], x < nzw */
+    if (log2_range <= 15) {
+        /* int32 fast path: |in| <= 2^15 (dequant/LFNST clip), matrix
+         * coefficients <= 128, <= 64 taps => accumulators stay < 2^28.
+         * Loops are ordered scalar-times-contiguous-row so gcc
+         * autovectorizes both passes. */
+        static _Thread_local int32_t tmp32[64 * 64];
+        int32_t lo32 = (int32_t)lo, hi32 = (int32_t)hi;
+        int32_t off0 = 1 << (shift0 - 1);
+        for (int yy = 0; yy < h; yy++) {
+            int32_t acc[64] = {0};
+            for (int k = 0; k < nzh; k++) {
+                int32_t m = mv[k * h + yy];
+                if (!m)
+                    continue;
+                if (in64) {
+                    const int64_t *row = in64 + (long)k * w;
+                    for (int xx = 0; xx < nzw; xx++)
+                        acc[xx] += m * (int32_t)row[xx];
+                } else {
+                    const int32_t *row = coeffs + (long)k * w;
+                    for (int xx = 0; xx < nzw; xx++)
+                        acc[xx] += m * row[xx];
+                }
+            }
+            int32_t *t = tmp32 + yy * w;
+            for (int xx = 0; xx < nzw; xx++) {
+                int32_t v = (acc[xx] + off0) >> shift0;
+                t[xx] = v < lo32 ? lo32 : (v > hi32 ? hi32 : v);
+            }
+        }
+        int32_t off1 = 1 << (shift1 - 1);
+        for (int yy = 0; yy < h; yy++) {
+            int32_t acc[64] = {0};
+            const int32_t *t = tmp32 + yy * w;
+            for (int k = 0; k < nzw; k++) {
+                int32_t tv = t[k];
+                if (!tv)
+                    continue;
+                const int32_t *mr = mh + k * w;
+                for (int xx = 0; xx < w; xx++)
+                    acc[xx] += tv * mr[xx];
+            }
+            int64_t *res = res64 + yy * w;
+            for (int xx = 0; xx < w; xx++)
+                res[xx] = (acc[xx] + off1) >> shift1;
+        }
+        return;
+    }
+    /* extended-precision (log2_range > 15) int64 path */
     static _Thread_local long long tmp[64 * 64];
     for (int yy = 0; yy < h; yy++) {
         for (int xx = 0; xx < nzw; xx++) {
