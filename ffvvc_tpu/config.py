@@ -53,3 +53,8 @@ class DecoderConfig:
     # over a tunneled single chip the map transfer can outweigh the compute
     # win; enable on real local chips / large frames.
     device_sao: bool = False
+
+    # Run whole-frame ALF/CC-ALF on device (host rasterizes VB-resolved tap
+    # planes + per-pixel coeff/clip maps; one fused clipped-diamond pass per
+    # plane). Same tunneled-chip caveat as device_sao.
+    device_alf: bool = False

@@ -501,7 +501,11 @@ class VVCDecoder:
             alf_list = {i: VVCALF(a) for i, a in self.ps.aps_alf.items()}
             sh_list = [sh_by_slice.get(i) for i in
                        range(max(sh_by_slice) + 1)]
-            AlfFilter(sps, pps, tabs, fb, sh_list, alf_list).alf_frame()
+            if self.config.backend == "tpu" and self.config.device_alf:
+                from .ops.alf_device import alf_frame_device
+                alf_frame_device(sps, pps, tabs, fb, sh_list, alf_list)
+            else:
+                AlfFilter(sps, pps, tabs, fb, sh_list, alf_list).alf_frame()
         _stage("sao_alf")
         # recycle native parse record arenas (everything pixel-level that
         # reads them — MC, CIIP, recon — has run; tabs keep the MV grids)

@@ -115,3 +115,54 @@ def test_sao_sharded_matches_single_device():
                            pix_max)
     got = np.asarray(fn(plane.astype(np.int32), typ, m1, offs, keep))
     assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("seed,tools,pallas", [
+    (2, dict(sps_alf_enabled_flag=1), False),
+    (2, dict(sps_alf_enabled_flag=1), True),
+    (3, dict(sps_alf_enabled_flag=1, sps_ccalf_enabled_flag=1), False),
+    (3, dict(sps_alf_enabled_flag=1, sps_ccalf_enabled_flag=1), True),
+    (3, dict(sps_sao_enabled_flag=1, sps_alf_enabled_flag=1,
+             sps_ccalf_enabled_flag=1, sps_lmcs_enabled_flag=1), False),
+])
+def test_alf_device_matches_host(seed, tools, pallas, monkeypatch):
+    """Device ALF/CC-ALF pass == host golden on real forged inter streams
+    (the forged CTB flag/APS matrix exercises fixed + APS filters, alt
+    chroma filters and CC-ALF idc)."""
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    import ffvvc_tpu.ops.alf_device as AD
+
+    stream = forge_inter_stream(seed=seed, nframes=3, deblock=True, **tools)
+    ref = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(stream))
+    if pallas:
+        import functools
+        monkeypatch.setattr(AD, "alf_frame_device", functools.partial(
+            AD.alf_frame_device, force_pallas=True))
+    frames = VVCDecoder(DecoderConfig(device_alf=True)).decode(stream)
+    dev = b"".join(f.to_yuv_bytes() for f in frames)
+    assert dev == ref
+
+
+def test_device_alf_full_decode(oracle_path, tmp_path):
+    """End-to-end decode with device ALF enabled must match the oracle."""
+    import subprocess
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+
+    stream = forge_inter_stream(seed=3, nframes=3, deblock=True,
+                                sps_sao_enabled_flag=1,
+                                sps_alf_enabled_flag=1,
+                                sps_ccalf_enabled_flag=1)
+    bit = tmp_path / "a.bit"
+    yuv = tmp_path / "a.yuv"
+    bit.write_bytes(stream)
+    subprocess.run([oracle_path, "-hide_banner", "-loglevel", "error",
+                    "-threads", "1", "-f", "vvc", "-i", str(bit),
+                    "-f", "rawvideo", "-y", str(yuv)], check=True)
+    frames = VVCDecoder(DecoderConfig(device_alf=True,
+                                      device_sao=True)).decode(stream)
+    ours = b"".join(f.to_yuv_bytes() for f in frames)
+    assert ours == yuv.read_bytes()
