@@ -2,11 +2,13 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = our fps / reference-C-decoder fps on the same stream
-(the reference publishes no numbers of its own — BASELINE.md).
+(the reference publishes no numbers of its own — BASELINE.md; the measured
+config is BASELINE.md's 1080p all-intra target).
 
-Env knobs: FFVVC_BENCH_SIZE (default "256x256"), FFVVC_BENCH_FRAMES (2),
-FFVVC_BENCH_QP (27).
+Env knobs: FFVVC_BENCH_SIZE (default "1920x1080"), FFVVC_BENCH_FRAMES (4),
+FFVVC_BENCH_QP (30).
 """
+import hashlib
 import json
 import os
 import subprocess
@@ -27,13 +29,24 @@ def main():
     from ffvvc_tpu.pipeline import decode_parallel
 
     w, h = (int(v) for v in os.environ.get(
-        "FFVVC_BENCH_SIZE", "256x256").split("x"))
-    n_frames = int(os.environ.get("FFVVC_BENCH_FRAMES", "8"))
-    qp = int(os.environ.get("FFVVC_BENCH_QP", "27"))
+        "FFVVC_BENCH_SIZE", "1920x1080").split("x"))
+    n_frames = int(os.environ.get("FFVVC_BENCH_FRAMES", "4"))
+    qp = int(os.environ.get("FFVVC_BENCH_QP", "30"))
     workers = int(os.environ.get("FFVVC_BENCH_WORKERS", os.cpu_count() or 1))
 
-    stream = forge_stream(level=1, seed=0, width=w, height=h, qp=qp,
-                          nframes=n_frames)
+    # forging a 1080p stream through the Python encoder is minutes of CPU;
+    # cache it on disk keyed by the bench parameters
+    key = hashlib.sha256(f"v1:{w}x{h}:{n_frames}:{qp}".encode()).hexdigest()
+    cache = f"/tmp/ffvvc_bench_{key[:16]}.bit"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            stream = f.read()
+    else:
+        stream = forge_stream(level=1, seed=0, width=w, height=h, qp=qp,
+                              nframes=n_frames)
+        with open(cache + ".tmp", "wb") as f:
+            f.write(stream)
+        os.replace(cache + ".tmp", cache)
 
     # warm run builds native libs / jit caches / forked-worker state, then
     # best-of-3 timed GOP-parallel decodes (noise-robust on shared hosts)
