@@ -58,3 +58,8 @@ class DecoderConfig:
     # planes + per-pixel coeff/clip maps; one fused clipped-diamond pass per
     # plane). Same tunneled-chip caveat as device_sao.
     device_alf: bool = False
+
+    # Intra-frame stage threads over GIL-releasing native calls (inter MC
+    # CTUs; deblock row/column shards). 0 = auto (cpu count). GOP-parallel
+    # worker processes force 1 to avoid oversubscription (pipeline.py).
+    stage_threads: int = 0

@@ -210,7 +210,21 @@ class Deblocker:
         f.ladf_lowest = int(getattr(
             sps.r, "sps_ladf_lowest_interval_qp_offset", 0) or 0)
         f.ladf_off, f.ladf_bnd = ptr["ladf_off"], ptr["ladf_bnd"]
-        self.lib.deblock_frame_c(ctypes.byref(self._bs_ctx), ctypes.byref(f))
+        cref, fref = ctypes.byref(self._bs_ctx), ctypes.byref(f)
+        nt = getattr(self, "n_threads", 1)
+        if nt > 1 and pps.ctb_width * pps.ctb_height >= 4:
+            # vertical-edge pass shards by CTB rows, horizontal-edge pass by
+            # CTB columns (each only writes pixels of its own rows/columns)
+            from .threads import run_parallel, split_ranges
+            part = self.lib.deblock_frame_part
+            run_parallel(nt, [
+                (lambda lo=lo, hi=hi: part(cref, fref, 1, lo, hi))
+                for lo, hi in split_ranges(pps.ctb_height, nt)])
+            run_parallel(nt, [
+                (lambda lo=lo, hi=hi: part(cref, fref, 0, lo, hi))
+                for lo, hi in split_ranges(pps.ctb_width, nt)])
+        else:
+            self.lib.deblock_frame_c(cref, fref)
         return True
 
     def _boundary_flags(self, rx, ry):

@@ -455,6 +455,7 @@ class VVCDecoder:
         _stage("itx")
         # inter MC pass (reference INTER task stage precedes RECON,
         # vvc_thread.c:41-51)
+        native_mc = []
         for ip, ctus in inter_jobs:
             if hasattr(ip, "c"):      # Python InterPredictor
                 for rs, rx, ry in ctus:
@@ -463,8 +464,20 @@ class VVCDecoder:
                                           rx, ry, rs)
                     ip.predict_inter_ctu(rs)
             else:                     # NativeRecon (native/vvc_inter.c)
-                for rs, rx, ry in ctus:
+                native_mc.extend((ip, rs, rx, ry) for rs, rx, ry in ctus)
+        if native_mc:
+            # MC CTUs are data-independent (refs are other frames; DMVR
+            # col-grid writes are per-CU disjoint): thread the C calls
+            from .threads import resolve, run_parallel, split_ranges
+            nt = resolve(self.config.stage_threads)
+
+            def mc_chunk(lo, hi):
+                for ip, rs, rx, ry in native_mc[lo:hi]:
                     ip.predict_inter_ctu(rs, rx, ry)
+
+            run_parallel(nt, [
+                (lambda lo=lo, hi=hi: mc_chunk(lo, hi))
+                for lo, hi in split_ranges(len(native_mc), nt)])
         _stage("inter")
         for rec, ctus in recon_jobs:
             for rs, rx, ry in ctus:
@@ -486,8 +499,10 @@ class VVCDecoder:
         _stage("lmcs")
         # in-loop filters (whole-frame passes per spec 8.8)
         from .deblock import Deblocker
+        from .threads import resolve
         db = Deblocker(sps, pps, tabs, fb)
         db.slice_rpls = frame.slice_rpls
+        db.n_threads = resolve(self.config.stage_threads)
         db.deblock_frame()
         _stage("deblock")
         if self.config.backend == "tpu" and self.config.device_sao:

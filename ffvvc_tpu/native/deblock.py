@@ -95,6 +95,11 @@ def load_lib():
     lib.deblock_frame_c.argtypes = [ctypes.POINTER(BsCtx),
                                     ctypes.POINTER(DeblockFrame)]
     lib.deblock_frame_c.restype = None
+    lib.deblock_frame_part.argtypes = [ctypes.POINTER(BsCtx),
+                                       ctypes.POINTER(DeblockFrame),
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int]
+    lib.deblock_frame_part.restype = None
     return lib
 
 

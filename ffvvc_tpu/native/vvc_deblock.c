@@ -805,14 +805,22 @@ typedef struct {
 #define LUMA_GRID    4
 #define CHROMA_GRID  8
 
-void deblock_frame_c(const BsCtx *c, const DeblockFrame *f)
+/* One pass (vertical or horizontal) over a CTB range.  Parallel-safe
+ * split axis: vertical-edge filtering only writes pixels of its own rows
+ * -> shard by CTB row [lo, hi); horizontal-edge filtering only writes its
+ * own columns -> shard by CTB column [lo, hi).  BS tables are written at
+ * disjoint per-CTB offsets. */
+void deblock_frame_part(const BsCtx *c, const DeblockFrame *f, int vertical,
+                        int lo, int hi)
 {
     int32_t *planes[3] = {f->plane0, f->plane1, f->plane2};
     const int32_t *qps[3] = {f->qp0, f->qp1, f->qp2};
     int c_end = c->chroma ? 3 : 1;
-    for (int vertical = 1; vertical >= 0; vertical--) {
-        for (int ry = 0; ry < f->ctb_h; ry++) {
-            for (int rx = 0; rx < f->ctb_w; rx++) {
+    {
+        for (int ry = (vertical ? lo : 0);
+             ry < (vertical ? hi : f->ctb_h); ry++) {
+            for (int rx = (vertical ? 0 : lo);
+                 rx < (vertical ? f->ctb_w : hi); rx++) {
                 int rs = ry * f->ctb_w + rx;
                 if (f->dis[rs])
                     continue;
@@ -866,4 +874,10 @@ void deblock_frame_c(const BsCtx *c, const DeblockFrame *f)
             }
         }
     }
+}
+
+void deblock_frame_c(const BsCtx *c, const DeblockFrame *f)
+{
+    deblock_frame_part(c, f, 1, 0, f->ctb_h);
+    deblock_frame_part(c, f, 0, 0, f->ctb_w);
 }

@@ -100,6 +100,8 @@ def _decode_segment(args):
     idx, blob, config = args
     # workers stay off the device: host itx only (no XLA calls after fork)
     os.environ["FFVVC_ITX"] = "host"
+    import dataclasses
+    config = dataclasses.replace(config, stage_threads=1)
     from .decoder import VVCDecoder
     frames = VVCDecoder(config).decode(blob)
     return idx, [f.to_yuv_bytes() for f in frames]
