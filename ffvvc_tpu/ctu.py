@@ -680,6 +680,18 @@ class CtuCoder:
         cu = CodingUnit(x0, y0, w, h, cqt_depth, tree_type)
         self.cu = cu
         self.cur_cus.append(cu)
+        # per-CU parse state (reference add_cu, vvc_ctu.c:1205)
+        self.parse.prev_tu_cbf_y = 0
+        # cb geometry grids are written at CU *alloc* time (reference
+        # set_cb_pos, vvc_ctu.c:1226) — the ISP-last-TU chroma lookup in
+        # transform_unit reads them mid-CU (vvc_ctu.c:336-342).
+        tabs = self.tabs
+        ch = cu.ch_type
+        set_grid(tabs.cb_pos_x[ch], x0, y0, w, h, x0)
+        set_grid(tabs.cb_pos_y[ch], x0, y0, w, h, y0)
+        set_grid(tabs.cb_width[ch], x0, y0, w, h, w)
+        set_grid(tabs.cb_height[ch], x0, y0, w, h, h)
+        set_grid(tabs.cqt_depth[ch], x0, y0, w, h, cqt_depth)
         self.set_neighbour_available(x0, y0, w, h)
         if rsh.sh_slice_type == SLICE_I and is_128:
             mode_type = MODE_TYPE_INTRA
@@ -909,8 +921,10 @@ class CtuCoder:
                                  mrl=cu.intra_luma_ref_idx))
         cand = self._mpm_cands(cu)
         if cu.intra_luma_ref_idx:
-            # MRL: mpm_flag inferred 1, planar not allowed; target must be in cand
-            assert target in cand, (target, cand)
+            # MRL: mpm_flag inferred 1, planar not allowed — only MPM modes
+            # are codeable; remap an out-of-list target onto the list.
+            if target not in cand:
+                target = cand[target % len(cand)]
             mpm_idx = cand.index(target)
             i = 0
             while i < min(mpm_idx, 4):

@@ -1869,6 +1869,20 @@ static int coding_unit(Parser *p, int x0, int y0, int w, int h,
     cu[CU_NSP] = 1;
     cu[CU_TU_START] = o->n_tu;
     p->cu = cu;
+    /* per-CU parse state (reference add_cu, vvc_ctu.c:1205) */
+    p->st->prev_tu_cbf_y = 0;
+    /* cb geometry grids are written at CU alloc time (reference set_cb_pos,
+     * vvc_ctu.c:1226): the ISP-last-TU chroma lookup reads them mid-CU */
+    {
+        const SliceParams *spp = p->sp;
+        int ch = tree_type == DUAL_TREE_CHROMA;
+        set_grid(spp, ch ? spp->cb_pos_x1 : spp->cb_pos_x0, x0, y0, w, h, x0);
+        set_grid(spp, ch ? spp->cb_pos_y1 : spp->cb_pos_y0, x0, y0, w, h, y0);
+        set_grid(spp, ch ? spp->cb_width1 : spp->cb_width0, x0, y0, w, h, w);
+        set_grid(spp, ch ? spp->cb_height1 : spp->cb_height0, x0, y0, w, h, h);
+        set_grid(spp, ch ? spp->cqt_depth1 : spp->cqt_depth0, x0, y0, w, h,
+                 cqt_depth);
+    }
 
     set_neighbour_available(p, x0, y0, w, h);
     if (sp->slice_type == SLICE_I && is_128)

@@ -1142,12 +1142,21 @@ static void recon_cu(Recon *r, const int32_t *cu, const int32_t *tu_recs,
         for (int i = 0; i < cu[CU_TU_COUNT]; i++) {
             const int32_t *tu = tu_recs + (cu[CU_TU_START] + i) * TU_STRIDE;
             const int32_t *tbs = tb_recs + tu[TU_TB_START] * TB_STRIDE;
-            /* predict_intra (recon.py:294) */
+            /* predict_intra (recon.py:294); narrow ISP_VER subpartitions
+             * predict MIN_ISP_PRED_WIDTH=4 wide, once per group
+             * (reference get_luma_predict_unit, vvc_intra.c:216-227) */
             if (!ch_type && cu[CU_TREE_TYPE] != DUAL_TREE_CHROMA) {
-                vvcr_set_na(r, tu[TU_X0], tu[TU_Y0], tu[TU_W], tu[TU_H]);
-                vvcr_intra_pred(r, cu, tu[TU_X0], tu[TU_Y0], tu[TU_W],
-                             tu[TU_H], 0);
-                add_ra(r, 0, tu[TU_X0], tu[TU_Y0], tu[TU_W], tu[TU_H]);
+                int pw = tu[TU_W], do_luma = 1;
+                if (cu[CU_ISP] == ISP_VER_SPLIT && pw < 4) {
+                    do_luma = !(i % (4 / pw));
+                    pw = 4;
+                }
+                if (do_luma) {
+                    vvcr_set_na(r, tu[TU_X0], tu[TU_Y0], pw, tu[TU_H]);
+                    vvcr_intra_pred(r, cu, tu[TU_X0], tu[TU_Y0], pw,
+                                 tu[TU_H], 0);
+                    add_ra(r, 0, tu[TU_X0], tu[TU_Y0], pw, tu[TU_H]);
+                }
             }
             if (ch_type && cu[CU_TREE_TYPE] != DUAL_TREE_LUMA) {
                 /* _chroma_predict_unit (recon.py:324) */

@@ -320,10 +320,13 @@ class Reconstructor:
                 self.add_ra(1, x0, y0, w, h)
 
     def _luma_predict_unit(self, cu, tu, idx):
-        # reference get_luma_predict_unit: ISP predicts per sub-TU; otherwise
-        # per TU rect (for CUs split into multiple TUs)
-        if cu.isp_split_type == ISP_NO_SPLIT:
-            return (tu.x0, tu.y0, tu.width, tu.height)
+        # reference get_luma_predict_unit (vvc_intra.c:216-227): ISP predicts
+        # per sub-TU, but vertical subpartitions narrower than
+        # MIN_ISP_PRED_WIDTH=4 predict 4-wide, once per group of 4/width.
+        if cu.isp_split_type == ISP_VER_SPLIT and tu.width < 4:
+            if idx % (4 // tu.width):
+                return None
+            return (tu.x0, tu.y0, 4, tu.height)
         return (tu.x0, tu.y0, tu.width, tu.height)
 
     def _chroma_predict_unit(self, cu, tu, idx):

@@ -244,3 +244,62 @@ def test_l8_wpp_asymmetric_tiles_ref_bug(tmp_path):
         assert b"byte_alignment" in r.stderr, \
             "reference now parses this stream — drop the bug pin and " \
             "compare outputs instead"
+
+
+# --- intra coding-tools matrix: ISP / MIP / MRL / LFNST / MTS ---------------
+# (the reference's CodingToolsSets streams, tests/fate/vvc.mak:1-2; also the
+# BASELINE.md all-intra 10-bit config)
+
+def _tools_policy(only=None):
+    """ToolsPolicy restricted to a single intra tool (or all when None)."""
+    from forge import ToolsPolicy
+
+    class P(ToolsPolicy):
+        def __call__(self, tag, **ctx):
+            gate = {"mip_flag": "mip", "isp_mode_flag": "isp",
+                    "mrl_idx": "mrl", "lfnst_idx": "lfnst",
+                    "mts_idx": "mts"}.get(tag)
+            if only is not None and gate is not None and gate != only:
+                return 0
+            return super().__call__(tag, **ctx)
+    return P
+
+
+@pytest.mark.parametrize("tool,kw", [
+    ("mip", {}),
+    ("isp", {}),
+    ("mrl", {}),
+    ("lfnst", {}),
+    ("mts", {}),
+])
+def test_l12_intra_tool(tool, kw, tmp_path):
+    """Each BASELINE-named intra tool in isolation, 10-bit, vs oracle."""
+    from forge import forge_tools_stream
+    p = _tools_policy(tool)(3)
+    _check_stream(forge_tools_stream(seed=3, width=96, height=96, qp=30,
+                                     bit_depth=10, nframes=1, policy=p, **kw),
+                  tmp_path, 1)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(seed=0, bit_depth=10),
+    dict(seed=1, bit_depth=10, dual_tree=True),
+    dict(seed=2, bit_depth=8),
+    dict(seed=3, bit_depth=12),
+])
+def test_l12_tools_matrix(kw, tmp_path):
+    """Combined ISP+MIP+MRL+LFNST+MTS stream (CodingToolsSets analogue)."""
+    from forge import forge_tools_stream
+    _check_stream(forge_tools_stream(width=128, height=128, qp=30, nframes=2,
+                                     **kw), tmp_path, 2)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(seed=4, bit_depth=10, scaling=True),
+    dict(seed=5, bit_depth=10, scaling=True, dual_tree=True),
+])
+def test_l13_scaling_lists(kw, tmp_path):
+    """Explicit scaling lists via APS (reference SCALING_A_1 analogue)."""
+    from forge import forge_tools_stream
+    _check_stream(forge_tools_stream(width=128, height=128, qp=30, nframes=2,
+                                     **kw), tmp_path, 2)

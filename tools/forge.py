@@ -252,6 +252,59 @@ class FuzzPolicy:
         return c
 
 
+class ToolsPolicy(FuzzPolicy):
+    """FuzzPolicy variant for the intra coding-tools matrix (ISP / MIP / MRL
+    / LFNST / explicit MTS — the reference's CodingToolsSets streams,
+    tests/fate/vvc.mak:1-2).  Residual patterns are shaped so the LFNST/MTS
+    zero-out signalling conditions (vvc_ctu.c:791-861) actually fire:
+    "lfnst" TBs confine nonzeros to scan positions <=5 of the top-left
+    subblock, "mts" TBs to the top-left 16x16."""
+
+    def __call__(self, tag, **ctx):
+        r = self.rng
+        if tag == "mip_flag":
+            return int(r.random() < 0.5)
+        if tag == "mip_mode":
+            return r.randrange(ctx["c_max"] + 1)
+        if tag == "mrl_idx":
+            return r.choice((0, 0, 1, 2))
+        if tag == "isp_mode_flag":
+            return int(r.random() < 0.4)
+        if tag == "lfnst_idx":
+            return r.randrange(3)
+        if tag == "mts_idx":
+            return r.randrange(5)
+        return super().__call__(tag, **ctx)
+
+    def _gen_coeffs(self, ctx, c_idx):
+        key = (ctx["x0"], ctx["y0"], c_idx)
+        if self.rng.random() > self.residual_p:
+            return 0
+        w, h = ctx["w"], ctx["h"]
+        if c_idx:
+            w = max(1, w >> 1)
+            h = max(1, h >> 1)
+        c = np.zeros((h, w), dtype=np.int32)
+        if self.rng.random() < 0.6:
+            # LFNST-eligible: diagonal x+y<=2 of the top-left 4x4 (scan
+            # positions 0..5) — keeps lfnst_zero_out_sig_coeff_flag set
+            pos = [(x, y) for y in range(min(h, 3)) for x in range(min(w, 3))
+                   if x + y <= 2]
+        else:
+            # MTS-eligible: top-left 16x16 only
+            pos = [(x, y) for y in range(min(h, 16)) for x in range(min(w, 16))]
+        n = max(2, int(len(pos) * 0.5 * self.rng.random()))
+        for x, y in self.rng.sample(pos, min(n, len(pos))):
+            c[y, x] = self.rng.randrange(-self.max_level, self.max_level + 1)
+        # force >=1 non-DC coeff (lfnst_dc_only / mts_dc_only must clear)
+        if w > 1 and not c.flat[1:].any():
+            c[0, 1] = self.rng.randrange(1, self.max_level)
+        if not c.any():
+            c[0, 0] = 1
+        self._coeff_cache[key] = c
+        return 1
+
+
 def make_alf_aps(rng, aps_id=0, chroma=True, ccalf=False, clip=True):
     """Random legal ALF APS."""
     a = SyntaxObj()
@@ -732,6 +785,43 @@ def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
     for i in range(nframes):
         # all-intra: every frame IDR until the forge writes ref pic lists
         nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=True)
+        stream += nal
+    return stream
+
+
+def forge_tools_stream(seed=0, width=128, height=128, qp=30, bit_depth=10,
+                       nframes=2, scaling=False, dual_tree=False, lfnst=True,
+                       mts=True, policy=None, **sps_kw):
+    """All-intra stream exercising the BASELINE-named intra toolset:
+    ISP + MIP + MRL + LFNST + explicit MTS (reference CodingToolsSets_A_2,
+    tests/fate/vvc.mak:1-2), optionally + explicit scaling lists / dual
+    tree.  Default 10-bit per BASELINE.md's all-intra 1080p config."""
+    sps_kw.setdefault("sps_mip_enabled_flag", 1)
+    sps_kw.setdefault("sps_isp_enabled_flag", 1)
+    sps_kw.setdefault("sps_mrl_enabled_flag", 1)
+    if lfnst:
+        sps_kw.setdefault("sps_lfnst_enabled_flag", 1)
+    if mts:
+        sps_kw.setdefault("sps_mts_enabled_flag", 1)
+        sps_kw.setdefault("sps_explicit_mts_intra_enabled_flag", 1)
+    if dual_tree:
+        sps_kw.setdefault("sps_qtbtt_dual_tree_intra_flag", 1)
+    if scaling:
+        sps_kw.setdefault("sps_explicit_scaling_list_enabled_flag", 1)
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2, **sps_kw)
+    pps_r = build_pps(sps_r)
+    if policy is None:
+        policy = ToolsPolicy(seed)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    scaling_aps = None
+    if scaling:
+        scaling_aps = make_scaling_aps(policy.rng, chroma=True)
+        stream += write_nal(NalType.PREFIX_APS, write_aps(scaling_aps))
+    for i in range(nframes):
+        nal, _ = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i, idr=True,
+                             scaling_aps=scaling_aps)
         stream += nal
     return stream
 
