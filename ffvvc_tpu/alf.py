@@ -285,7 +285,10 @@ class AlfFilter:
                     o[6] = o[4]
                     o[5] = o[3]
             near_vb = vb_pos - 1 <= y <= vb_pos
-            rows = {k: win[b + y + v] for k, v in o.items()}
+            # chroma's 5x5 diamond only reads row offsets 0..4 (max |dy| 2);
+            # keys 5/6 (dy +-3) would overflow the border-2 window on a
+            # short last CTB row, where no VB substitution clamps them
+            rows = {k: win[b + y + o[k]] for k in range(5)}
             cur = rows[0][b:b + w]
             taps = ((rows[3], 0, rows[4], 0), (rows[1], 1, rows[2], -1),
                     (rows[1], 0, rows[2], 0), (rows[1], -1, rows[2], 1),

@@ -89,6 +89,13 @@ class VVCDecoder:
         self.gdr_recovered = True
         # per-stage wall time (seconds) accumulated when config.profile
         self.stage_times = {}
+        # mesh-sharded filter pipeline (parallel/filters.py): frames over
+        # "gop", CTU-row slabs over "tile"; drains at inter ref barriers
+        self._mesh_q = None
+        g, t = self.config.mesh_shape
+        if g * t > 1:
+            from .parallel.filters import make_mesh_exact, MeshFilterQueue
+            self._mesh_q = MeshFilterQueue(make_mesh_exact((g, t)))
 
     def decode(self, data: bytes, flush: bool = True):
         """Decode an Annex-B chunk.  With flush=True (whole-stream call)
@@ -124,12 +131,20 @@ class VVCDecoder:
             t = nal.nal_unit_type
             r = BitReader(nal.rbsp)
             if t == NalType.SPS:
+                # parameter sets decode in NAL order (decode_nal_unit,
+                # vvcdec.c:724): a pending frame must decode against the
+                # param sets active when its slices arrived, not ones from
+                # a following AU
+                flush_frame()
                 self.ps.store_sps(read_sps(r, nal.nuh_layer_id))
             elif t == NalType.PPS:
+                flush_frame()
                 self.ps.store_pps(read_pps(r, self.ps))
             elif t in (NalType.PREFIX_APS, NalType.SUFFIX_APS):
+                flush_frame()
                 self.ps.store_aps(read_aps(r))
             elif t == NalType.VPS:
+                flush_frame()
                 vps = read_vps(r)
                 self.ps.vps[vps.vps_video_parameter_set_id] = vps
             elif t == NalType.PH:
@@ -167,11 +182,18 @@ class VVCDecoder:
                 handle(nal)
         flush_frame()
         out.extend(self._output_frames(flush=flush))
+        if self._mesh_q is not None:
+            # frames reference live buffers; deferred mesh filters must
+            # land before the caller reads pixels
+            self._mesh_q.drain()
         return out
 
     def flush(self):
         """Drain remaining reordered frames (end of stream)."""
-        return self._output_frames(flush=True)
+        out = self._output_frames(flush=True)
+        if self._mesh_q is not None:
+            self._mesh_q.drain()
+        return out
 
     # --- DPB / output order (vvc_refs.c:196-292) ---------------------------
 
@@ -366,6 +388,11 @@ class VVCDecoder:
         self._bump_frame(poc)
 
         is_inter_frame = any(s[1].sh_slice_type != SLICE_I for s in slices)
+        if is_inter_frame and self._mesh_q is not None:
+            # inter reference barrier: MC below reads DPB pixels, so all
+            # deferred mesh filter work must land first (the mesh analogue
+            # of the reference's row-progress wait, vvc_thread.c:281-296)
+            self._mesh_q.drain()
         if is_inter_frame:
             # clear ref marks of all other frames; slice RPLs re-mark
             # (ff_vvc_frame_rpl, vvc_refs.c:468)
@@ -505,22 +532,32 @@ class VVCDecoder:
         db.n_threads = resolve(self.config.stage_threads)
         db.deblock_frame()
         _stage("deblock")
-        if self.config.backend == "tpu" and self.config.device_sao:
-            from .ops.sao_device import sao_frame_device
-            sao_frame_device(sps, pps, tabs, fb)
-        else:
-            from .sao import SaoFilter
-            SaoFilter(sps, pps, tabs, fb).sao_frame()
+        alf_list = sh_list = None
         if sps.r.sps_alf_enabled_flag:
-            from .alf import AlfFilter, VVCALF
+            from .alf import VVCALF
             alf_list = {i: VVCALF(a) for i, a in self.ps.aps_alf.items()}
             sh_list = [sh_by_slice.get(i) for i in
                        range(max(sh_by_slice) + 1)]
-            if self.config.backend == "tpu" and self.config.device_alf:
-                from .ops.alf_device import alf_frame_device
-                alf_frame_device(sps, pps, tabs, fb, sh_list, alf_list)
+        if self._mesh_q is not None:
+            # mesh-sharded SAO/ALF/CC-ALF (parallel/filters.py): deferred
+            # until an inter ref barrier or end of the decode call, so
+            # independent frames batch over the "gop" axis
+            self._mesh_q.add(sps, pps, tabs, fb, sh_list, alf_list)
+        else:
+            if self.config.backend == "tpu" and self.config.device_sao:
+                from .ops.sao_device import sao_frame_device
+                sao_frame_device(sps, pps, tabs, fb)
             else:
-                AlfFilter(sps, pps, tabs, fb, sh_list, alf_list).alf_frame()
+                from .sao import SaoFilter
+                SaoFilter(sps, pps, tabs, fb).sao_frame()
+            if alf_list is not None:
+                if self.config.backend == "tpu" and self.config.device_alf:
+                    from .ops.alf_device import alf_frame_device
+                    alf_frame_device(sps, pps, tabs, fb, sh_list, alf_list)
+                else:
+                    from .alf import AlfFilter
+                    AlfFilter(sps, pps, tabs, fb, sh_list,
+                              alf_list).alf_frame()
         _stage("sao_alf")
         # recycle native parse record arenas (everything pixel-level that
         # reads them — MC, CIIP, recon — has run; tabs keep the MV grids)
