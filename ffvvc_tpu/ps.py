@@ -127,6 +127,16 @@ class PPS:
         self.ctb_count = self.ctb_width * self.ctb_height
         self.min_cb_width = self.width >> sps.min_cb_log2_size_y
         self.min_cb_height = self.height >> sps.min_cb_log2_size_y
+        # conformance cropping window in luma samples (spec 7.4.3.4: offsets
+        # scale by SubWidthC/SubHeightC).  NOTE the reference applies the
+        # offsets UNSCALED (vvc_refs.c:188-191, vvcdec.c:675-676), cropping
+        # too little on 4:2:0/4:2:2 — a reference bug we do not replicate;
+        # pinned by tests/test_conformance.py::test_l14_conf_window_ref_bug.
+        sw, sh = 1 << sps.hshift[1], 1 << sps.vshift[1]
+        self.crop = (sw * r.pps_conf_win_left_offset,
+                     sw * r.pps_conf_win_right_offset,
+                     sh * r.pps_conf_win_top_offset,
+                     sh * r.pps_conf_win_bottom_offset)
         self.min_pu_width = self.width >> 3   # 8x8 granularity (MinPU = 8? no:)
         # 4x4 granularity maps (mvf / intra modes are stored per 4x4)
         self.min_tu_width = self.width >> 2

@@ -104,8 +104,16 @@ class FrameBuffer:
 
     def to_yuv_bytes(self) -> bytes:
         bd = self.sps.bit_depth
+        left, right, top, bottom = getattr(self.pps, "crop", (0, 0, 0, 0))
         out = b""
-        for p in self.planes:
+        for c, p in enumerate(self.planes):
+            if left or right or top or bottom:
+                # conformance window crop (spec 7.4.3.4), output-only: the
+                # DPB keeps full planes for MC reference
+                hs, vs = self.sps.hshift[c], self.sps.vshift[c]
+                h, w = p.shape
+                p = p[top >> vs:h - (bottom >> vs),
+                      left >> hs:w - (right >> hs)]
             if bd == 8:
                 out += p.astype(np.uint8).tobytes()
             else:

@@ -59,13 +59,16 @@ def oracle_path():
 
 
 def oracle_decode(stream: bytes, tmp_path) -> bytes:
-    """Decode Annex-B bytes with the reference decoder; returns raw YUV."""
+    """Decode Annex-B bytes with the reference decoder; returns raw YUV.
+    -flags unaligned makes conformance-window cropping exact (FATE does the
+    same, reference tests/fate/vvc.mak:41)."""
     import subprocess
     bit = tmp_path / "t.bit"
     yuv = tmp_path / "t.yuv"
     bit.write_bytes(stream)
     r = subprocess.run(
         [ORACLE, "-hide_banner", "-loglevel", "error", "-threads", "1",
+         "-flags", "unaligned",
          "-f", "vvc", "-i", str(bit), "-f", "rawvideo", "-y", str(yuv)],
         capture_output=True, timeout=120)
     assert r.returncode == 0 and not r.stderr, r.stderr.decode()

@@ -303,3 +303,55 @@ def test_l13_scaling_lists(kw, tmp_path):
     from forge import forge_tools_stream
     _check_stream(forge_tools_stream(width=128, height=128, qp=30, nframes=2,
                                      **kw), tmp_path, 2)
+
+
+# --- conformance cropping window (reference CROP_B_4 analogue) --------------
+
+CONF_WIN = dict(sps_conformance_window_flag=1, sps_conf_win_left_offset=2,
+                sps_conf_win_right_offset=1, sps_conf_win_top_offset=1,
+                sps_conf_win_bottom_offset=3)
+
+
+@pytest.mark.parametrize("chroma", [3, 0])
+def test_l14_conf_window(chroma, tmp_path):
+    """Output cropping, 4:4:4 / mono (SubWidthC=1: the reference's unscaled
+    crop coincides with the spec there, so byte-compare vs oracle)."""
+    from forge import forge_inter_stream
+    _check_stream(forge_inter_stream(slice_type=2, nframes=2, width=64,
+                                     height=64, seed=1, deblock=True,
+                                     chroma=chroma, **CONF_WIN),
+                  tmp_path, 2)
+
+
+def test_l14_conf_window_ref_bug(tmp_path):
+    """4:2:0 conformance window: spec 7.4.3.4 scales the offsets by
+    SubWidthC/SubHeightC; the reference applies them UNSCALED
+    (vvc_refs.c:188-191, vvcdec.c:675-676) and crops too little.  We follow
+    the spec; pin both windows against the same full-plane decode so a
+    fixed reference flips this test."""
+    import subprocess
+    import numpy as np
+    from forge import forge_inter_stream
+    from conftest import ORACLE
+    stream = forge_inter_stream(slice_type=2, nframes=1, width=64, height=64,
+                                seed=0, deblock=True, **CONF_WIN)
+    frames = VVCDecoder().decode(stream)
+    full = frames[0].buffer.planes[0]
+    ours = np.frombuffer(frames[0].to_yuv_bytes(), np.uint8)
+    assert ours.size == 58 * 56 + 2 * 29 * 28       # spec: 58x56
+    assert np.array_equal(ours[:58 * 56].reshape(56, 58),
+                          full[2:-6, 4:-2].astype(np.uint8))
+    if have_oracle():
+        bit = tmp_path / "t.bit"
+        bit.write_bytes(stream)
+        r = subprocess.run(
+            [ORACLE, "-hide_banner", "-loglevel", "error", "-threads", "1",
+             "-flags", "unaligned", "-f", "vvc", "-i", str(bit),
+             "-f", "rawvideo", "-y", str(tmp_path / "t.yuv")],
+            capture_output=True, timeout=120)
+        assert r.returncode == 0
+        ref = np.frombuffer((tmp_path / "t.yuv").read_bytes(), np.uint8)
+        assert ref.size == 61 * 60 + 2 * 31 * 30, \
+            "reference now scales the crop — compare outputs instead"
+        assert np.array_equal(ref[:61 * 60].reshape(60, 61),
+                              full[1:-3, 2:-1].astype(np.uint8))
