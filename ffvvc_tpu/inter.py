@@ -28,13 +28,17 @@ def _filters():
     return t["luma_filters"], t["chroma_filters"], t["luma_dmvr_filters"]
 
 
-def _gather_block(plane, x0, y0, w, h, box=None):
+def _gather_block(plane, x0, y0, w, h, box=None, wrap=0):
     """Replicate-padded block fetch (emulated_edge_mc semantics).  `box`
     (x_lo, x_hi, y_lo, y_hi, inclusive) restricts reads to a prefetch
-    window (emulated_edge_dmvr, vvc_inter.c:60-89)."""
+    window (emulated_edge_dmvr, vvc_inter.c:60-89).  `wrap` is the
+    horizontal wraparound MC offset in plane samples (spec 8.5.6.3.2
+    ClipH; 0 = off)."""
     H, W = plane.shape
     ys = np.arange(y0, y0 + h)
     xs = np.arange(x0, x0 + w)
+    if wrap:
+        xs = np.where(xs < 0, xs + wrap, np.where(xs > W - 1, xs - wrap, xs))
     if box is not None:
         xs = np.clip(xs, box[0], box[1])
         ys = np.clip(ys, box[2], box[3])
@@ -71,6 +75,8 @@ class InterPredictor:
         self.c = coder      # CtuCoder (na flags for CIIP weight)
         self.bd = sps.bit_depth
         self.lmcs_fwd = None  # forward-mapping LUT when sh_lmcs_used_flag
+        # wraparound MC offset in luma samples (0 = off)
+        self.wrap = pps.ref_wraparound_offset * sps.min_cb_size_y
         self._mc_lib = _mc_native.load_lib()
 
     # --- core interpolation (h2656_inter_template.c) -----------------------
@@ -79,6 +85,9 @@ class InterPredictor:
                 is_luma, hf_idx=0, vf_idx=0, box=None):
         """put[LUMA/CHROMA][..][!!my][!!mx] -> int intermediate [h, w]
         (14-bit domain)."""
+        wrap = getattr(self, "wrap", 0)
+        if wrap and not is_luma:
+            wrap >>= self.sps.hshift[1]
         lib = self._mc_lib
         if lib is not None and ref_plane.dtype == np.int32 and \
                 ref_plane.flags.c_contiguous:
@@ -92,7 +101,7 @@ class InterPredictor:
                        ctypes.c_void_p(ref_plane.ctypes.data), W, W, H,
                        x_int, y_int, frac_x, frac_y, w, h, int(is_luma),
                        hf, vf, self.bd, int(box is not None),
-                       bx[0], bx[1], bx[2], bx[3])
+                       bx[0], bx[1], bx[2], bx[3], wrap)
             return dst
         lf, cf, _ = _filters()
         bd = self.bd
@@ -105,19 +114,19 @@ class InterPredictor:
             hf = cf[hf_idx][frac_x]
             vf = cf[vf_idx][frac_y]
         if not frac_x and not frac_y:
-            blk = _gather_block(ref_plane, x_int, y_int, w, h, box)
+            blk = _gather_block(ref_plane, x_int, y_int, w, h, box, wrap)
             return blk << (14 - bd)
         if frac_y == 0:
             src = _gather_block(ref_plane, x_int - extra_before, y_int,
-                                w + taps - 1, h, box)
+                                w + taps - 1, h, box, wrap)
             return _filter_h(src, hf, taps, w) >> (bd - 8)
         if frac_x == 0:
             src = _gather_block(ref_plane, x_int, y_int - extra_before,
-                                w, h + taps - 1, box)
+                                w, h + taps - 1, box, wrap)
             return _filter_v(src, vf, taps, h) >> (bd - 8)
         src = _gather_block(ref_plane, x_int - extra_before,
                             y_int - extra_before, w + taps - 1,
-                            h + taps - 1, box)
+                            h + taps - 1, box, wrap)
         tmp = _filter_h(src, hf, taps, w) >> (bd - 8)
         return _filter_v(tmp, vf, taps, h) >> 6
 
@@ -231,7 +240,8 @@ class InterPredictor:
                 # bdof_fetch_samples: (h+2, w+2) integer-sample ring
                 intg = _gather_block(refs[i].planes[0],
                                      xi + (mx >> 3) - 1, yi + (my >> 3) - 1,
-                                     w + 2, h + 2, box) << (14 - self.bd)
+                                     w + 2, h + 2, box,
+                                     self.wrap) << (14 - self.bd)
                 intg[1:1 + h, 1:1 + w] = tmp[i]
                 fetched.append(intg)
         if sb_bdof_flag:
@@ -377,7 +387,7 @@ class InterPredictor:
             lib.dmvr_bilinear(ctypes.c_void_p(dst.ctypes.data),
                               ctypes.c_void_p(ref_plane.ctypes.data), W,
                               W, H, int(mv[0]), int(mv[1]), x0, y0,
-                              pred_w, pred_h, self.bd, fptr)
+                              pred_w, pred_h, self.bd, fptr, self.wrap)
             return dst
         _, _, df = _filters()
         bd = self.bd
@@ -386,7 +396,8 @@ class InterPredictor:
         ox = x0 + (mv[0] >> 4) - sr
         oy = y0 + (mv[1] >> 4) - sr
         if not mx and not my:
-            src = _gather_block(ref_plane, ox, oy, pred_w, pred_h)
+            src = _gather_block(ref_plane, ox, oy, pred_w, pred_h,
+                                wrap=self.wrap)
             if bd > 10:
                 off = 1 << (bd - 11)
                 return (src + off) >> (bd - 10)
@@ -394,14 +405,17 @@ class InterPredictor:
         shift1 = bd - 6
         off1 = 1 << (shift1 - 1)
         if my == 0:
-            src = _gather_block(ref_plane, ox, oy, pred_w + 1, pred_h)
+            src = _gather_block(ref_plane, ox, oy, pred_w + 1, pred_h,
+                                wrap=self.wrap)
             f = df[mx]
             return (_filter_h(src, f, 2, pred_w) + off1) >> shift1
         if mx == 0:
-            src = _gather_block(ref_plane, ox, oy, pred_w, pred_h + 1)
+            src = _gather_block(ref_plane, ox, oy, pred_w, pred_h + 1,
+                                wrap=self.wrap)
             f = df[my]
             return (_filter_v(src, f, 2, pred_h) + off1) >> shift1
-        src = _gather_block(ref_plane, ox, oy, pred_w + 1, pred_h + 1)
+        src = _gather_block(ref_plane, ox, oy, pred_w + 1, pred_h + 1,
+                            wrap=self.wrap)
         tmp = (_filter_h(src, df[mx], 2, pred_w) + off1) >> shift1
         return (_filter_v(tmp, df[my], 2, pred_h) + 8) >> 4
 
@@ -616,7 +630,8 @@ class InterPredictor:
         val = self._mc_put(ref_plane, xi, yi, mx, my, 4, 4, True, 2, 2)
         # integer-sample 6x6 ring (fetch_samples, vvc_inter_template.c:130)
         intg = _gather_block(ref_plane, xi + (mx >> 3) - 1,
-                             yi + (my >> 3) - 1, 6, 6) << (14 - bd)
+                             yi + (my >> 3) - 1, 6, 6,
+                             wrap=self.wrap) << (14 - bd)
         padded = intg
         padded[1:5, 1:5] = val
         gh = (padded[1:5, 2:6] >> 6) - (padded[1:5, 0:4] >> 6)

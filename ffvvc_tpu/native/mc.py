@@ -31,7 +31,7 @@ def load_lib():
         lib = ctypes.CDLL(_SO)
     except Exception:
         return None
-    lib.mc_put.argtypes = [_P, _P, _L] + [_I] * 9 + [_P, _P, _I] + [_I] * 5
+    lib.mc_put.argtypes = [_P, _P, _L] + [_I] * 9 + [_P, _P, _I] + [_I] * 6
     lib.mc_put.restype = None
     lib.mc_uni_out.argtypes = [_P, _L] + [_I] * 2 + [_P] + [_I] * 7
     lib.mc_uni_out.restype = None
@@ -39,7 +39,7 @@ def load_lib():
     lib.mc_avg.restype = None
     lib.mc_w_avg.argtypes = [_P, _L] + [_I] * 2 + [_P, _P] + [_I] * 8
     lib.mc_w_avg.restype = None
-    lib.dmvr_bilinear.argtypes = [_P, _P, _L] + [_I] * 9 + [_P]
+    lib.dmvr_bilinear.argtypes = [_P, _P, _L] + [_I] * 9 + [_P, _I]
     lib.dmvr_bilinear.restype = None
     lib.dmvr_search.argtypes = [_P, _P, _I, _I, _P]
     lib.dmvr_search.restype = _I

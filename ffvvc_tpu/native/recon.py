@@ -60,7 +60,7 @@ def _build():
 class _InterParams(ctypes.Structure):
     """Mirror of InterParams (native/vvc_recon.h) — update together."""
     _fields_ = (
-        [(n, _I) for n in ("is_b", "weighted_pred", "lmcs_used",
+        [(n, _I) for n in ("is_b", "weighted_pred", "lmcs_used", "wrap",
                            "w4", "h4")] +
         [("pw_denom", _I * 2),
          ("pw_weight", _I * (2 * 3 * 16)),
@@ -259,6 +259,9 @@ class NativeRecon:
         ip.is_b = int(sh.is_b)
         ip.weighted_pred = int(sh.weighted_pred)
         ip.lmcs_used = 0
+        # wraparound MC offset in luma samples (spec 8.5.6.3.2;
+        # pps_ref_wraparound derive at ps.py PPS)
+        ip.wrap = coder.pps.ref_wraparound_offset * coder.sps.min_cb_size_y
         ip.w4, ip.h4 = tabs.w4, tabs.h4
         pwt = coder.pwt
         rpl = coder.rpl

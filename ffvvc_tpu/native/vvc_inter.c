@@ -23,6 +23,17 @@ static inline int iclip(int v, int lo, int hi)
 { return v < lo ? lo : (v > hi ? hi : v); }
 static inline long long llclip(long long v, long long lo, long long hi)
 { return v < lo ? lo : (v > hi ? hi : v); }
+/* horizontal wraparound MC (spec 8.5.6.3.2 ClipH) */
+static inline int wrapx(int x, int W, int wrap)
+{
+    if (wrap) {
+        if (x < 0)
+            x += wrap;
+        else if (x > W - 1)
+            x -= wrap;
+    }
+    return x;
+}
 
 enum { L = 0, CB_ = 1, CR_ = 2 };
 
@@ -153,7 +164,7 @@ static int dmvr_refine(const ReconParams *rp, const InterParams *ip,
         const int32_t *ref = ip->ref_planes[i][f->ref[i]][0];
         dmvr_bilinear(tp[i], ref, rp->width, rp->width, rp->height,
                       f->mv[i][0], f->mv[i][1], x0, y0, pw, ph,
-                      rp->bit_depth, ip->dmvr_filters);
+                      rp->bit_depth, ip->dmvr_filters, ip->wrap);
     }
     int32_t dmv[2];
     int skip = dmvr_search(t0, t1, bw, bh, dmv);
@@ -171,13 +182,13 @@ static int dmvr_refine(const ReconParams *rp, const InterParams *ip,
 
 static void bdof_fetch(const ReconParams *rp, const int32_t *ref,
                        const int32_t *center, int xi, int yi, int w, int h,
-                       int has_box, const int box[4], int32_t *out)
+                       int has_box, const int box[4], int wrap, int32_t *out)
 {
     int W = rp->width, H = rp->height, sh = 14 - rp->bit_depth;
     int pw = w + 2;
     for (int y = 0; y < h + 2; y++)
         for (int x = 0; x < w + 2; x++) {
-            int sx = xi + x, sy = yi + y;   /* xi/yi already ring-shifted */
+            int sx = wrapx(xi + x, W, wrap), sy = yi + y;
             if (has_box) {
                 sx = iclip(sx, box[0], box[1]);
                 sy = iclip(sy, box[2], box[3]);
@@ -214,7 +225,7 @@ static void luma_uni(const ReconParams *rp, const InterParams *ip,
     int xi = x0 + (mv[0] >> 4), yi = y0 + (mv[1] >> 4);
     mc_put(s_buf0, ref, rp->width, rp->width, rp->height, xi, yi, mx, my,
            w, h, 1, luma_row(ip, hf_idx, mx), luma_row(ip, vf_idx, my),
-           rp->bit_depth, 0, 0, 0, 0, 0);
+           rp->bit_depth, 0, 0, 0, 0, 0, ip->wrap);
     int wg[3];
     if (derive_weight_uni(ip, f, L, wg))
         mc_uni_out(dst, dstride, dx, dy, s_buf0, w, h, rp->bit_depth, 1,
@@ -245,10 +256,11 @@ static void luma_bi(const ReconParams *rp, const InterParams *ip,
         mc_put(tmp[i], ref, rp->width, rp->width, rp->height, xi, yi,
                mx, my, w, h, 1, luma_row(ip, hf_idx, mx),
                luma_row(ip, vf_idx, my), rp->bit_depth, has_box,
-               box[0], box[1], box[2], box[3]);
+               box[0], box[1], box[2], box[3], ip->wrap);
         if (sb_bdof_flag)
             bdof_fetch(rp, ref, tmp[i], xi + (mx >> 3) - 1,
-                       yi + (my >> 3) - 1, w, h, has_box, box, fetched[i]);
+                       yi + (my >> 3) - 1, w, h, has_box, box, ip->wrap,
+                       fetched[i]);
     }
     if (sb_bdof_flag) {
         apply_bdof(s_out, fetched[0], fetched[1], w, h, rp->bit_depth);
@@ -279,7 +291,7 @@ static void chroma_uni(const ReconParams *rp, const InterParams *ip,
     long cs = rp->width >> hs;
     mc_put(s_buf0, ref_plane, cs, (int)cs, rp->height >> vs, xi, yi, mx, my,
            wc, hc, 0, chroma_row(ip, 0, mx), chroma_row(ip, 0, my),
-           rp->bit_depth, 0, 0, 0, 0, 0);
+           rp->bit_depth, 0, 0, 0, 0, 0, ip->wrap >> hs);
     int wg[3];
     if (derive_weight_uni(ip, f, c_idx, wg))
         mc_uni_out(dst, dstride, dx, dy, s_buf0, wc, hc, rp->bit_depth, 1,
@@ -311,7 +323,8 @@ static void chroma_bi(const ReconParams *rp, const InterParams *ip,
                      y0c + (orig->mv[i][1] >> (4 + vs)), wc, hc, 0, box);
         mc_put(tmp[i], ref, cs, (int)cs, rp->height >> vs, xi, yi, mx, my,
                wc, hc, 0, chroma_row(ip, 0, mx), chroma_row(ip, 0, my),
-               rp->bit_depth, has_box, box[0], box[1], box[2], box[3]);
+               rp->bit_depth, has_box, box[0], box[1], box[2], box[3],
+               ip->wrap >> hs);
     }
     int wg[5];
     if (derive_weight(ip, f, c_idx, dmvr_flag, ciip_flag, wg))
@@ -532,14 +545,14 @@ static void prof_block(const ReconParams *rp, const InterParams *ip,
     int32_t val[16];
     mc_put(val, ref, rp->width, rp->width, rp->height, xi, yi, mx, my,
            4, 4, 1, luma_row(ip, 2, mx), luma_row(ip, 2, my), bd,
-           0, 0, 0, 0, 0);
+           0, 0, 0, 0, 0, ip->wrap);
     /* integer-sample 6x6 ring (fetch_samples) */
     long long padded[36];
     int W = rp->width, H = rp->height;
     int bx = xi + (mx >> 3) - 1, by = yi + (my >> 3) - 1;
     for (int yy = 0; yy < 6; yy++)
         for (int xx = 0; xx < 6; xx++) {
-            int sx = iclip(bx + xx, 0, W - 1);
+            int sx = iclip(wrapx(bx + xx, W, ip->wrap), 0, W - 1);
             int sy = iclip(by + yy, 0, H - 1);
             padded[yy * 6 + xx] = (long long)ref[(long)sy * W + sx]
                                   << (14 - bd);
@@ -599,7 +612,7 @@ static void luma_prof_uni(const ReconParams *rp, const InterParams *ip,
     int xi = x + (mv[0] >> 4), yi = y + (mv[1] >> 4);
     mc_put(s_buf0, ref, rp->width, rp->width, rp->height, xi, yi, mx, my,
            sbw, sbh, 1, luma_row(ip, 2, mx), luma_row(ip, 2, my), bd,
-           0, 0, 0, 0, 0);
+           0, 0, 0, 0, 0, ip->wrap);
     mc_uni_out(plane, rp->width, x, y, s_buf0, sbw, sbh, bd, weighted,
                wg[0], wg[1], wg[2]);
 }
@@ -625,7 +638,7 @@ static void luma_prof_bi(const ReconParams *rp, const InterParams *ip,
             int xi = x + (mv[0] >> 4), yi = y + (mv[1] >> 4);
             mc_put(tmp[i], ref, rp->width, rp->width, rp->height, xi, yi,
                    mx, my, sbw, sbh, 1, luma_row(ip, 2, mx),
-                   luma_row(ip, 2, my), bd, 0, 0, 0, 0, 0);
+                   luma_row(ip, 2, my), bd, 0, 0, 0, 0, 0, ip->wrap);
         }
     }
     int wg[5];
@@ -728,13 +741,13 @@ static void pred_gpm_blk(Recon *r, const InterParams *ip, const int32_t *cu)
                 int yi = y + (mvs[i][1] >> (4 + vs));
                 mc_put(tmp[i], ref, cs, (int)cs, H, xi, yi, mx, my, w, h,
                        0, chroma_row(ip, 0, mx), chroma_row(ip, 0, my),
-                       bd, 0, 0, 0, 0, 0);
+                       bd, 0, 0, 0, 0, 0, ip->wrap >> hs);
             } else {
                 int mx = mvs[i][0] & 0xF, my = mvs[i][1] & 0xF;
                 int xi = x + (mvs[i][0] >> 4), yi = y + (mvs[i][1] >> 4);
                 mc_put(tmp[i], ref, cs, (int)cs, H, xi, yi, mx, my, w, h,
                        1, luma_row(ip, 0, mx), luma_row(ip, 0, my), bd,
-                       0, 0, 0, 0, 0);
+                       0, 0, 0, 0, 0, ip->wrap);
             }
         }
         int32_t *plane = vvcr_plane_of(rp, c_idx);

@@ -18,8 +18,16 @@ static inline int iclip(int v, int lo, int hi)
  * prefetch box, inclusive bounds) */
 static inline int32_t fetch(const int32_t *ref, long stride, int W, int H,
                             int x, int y, int has_box, int bx0, int bx1,
-                            int by0, int by1)
+                            int by0, int by1, int wrap)
 {
+    if (wrap) {
+        /* horizontal wraparound MC (spec 8.5.6.3.2 ClipH): wrap x by the
+         * PpsRefWraparoundOffset*MinCbSizeY sample offset, then clamp */
+        if (x < 0)
+            x += wrap;
+        else if (x > W - 1)
+            x -= wrap;
+    }
     if (has_box) {
         x = iclip(x, bx0, bx1);
         y = iclip(y, by0, by1);
@@ -87,7 +95,7 @@ static void mc_put_interior(int32_t *dst, const int32_t *ref, long stride,
 void mc_put(int32_t *dst, const int32_t *ref, long stride, int W, int H,
             int x_int, int y_int, int frac_x, int frac_y, int w, int h,
             int is_luma, const int32_t *hf, const int32_t *vf, int bd,
-            int has_box, int bx0, int bx1, int by0, int by1)
+            int has_box, int bx0, int bx1, int by0, int by1, int wrap)
 {
     int taps = is_luma ? 8 : 4;
     int eb = is_luma ? 3 : 1;
@@ -102,7 +110,7 @@ void mc_put(int32_t *dst, const int32_t *ref, long stride, int W, int H,
             for (int xx = 0; xx < w; xx++)
                 dst[yy * w + xx] = fetch(ref, stride, W, H, x_int + xx,
                                          y_int + yy, has_box, bx0, bx1,
-                                         by0, by1) << (14 - bd);
+                                         by0, by1, wrap) << (14 - bd);
         return;
     }
     if (!frac_y) {
@@ -112,7 +120,7 @@ void mc_put(int32_t *dst, const int32_t *ref, long stride, int W, int H,
                 for (int k = 0; k < taps; k++)
                     acc += hf[k] * fetch(ref, stride, W, H,
                                          x_int - eb + xx + k, y_int + yy,
-                                         has_box, bx0, bx1, by0, by1);
+                                         has_box, bx0, bx1, by0, by1, wrap);
                 dst[yy * w + xx] = acc >> (bd - 8);
             }
         return;
@@ -124,7 +132,7 @@ void mc_put(int32_t *dst, const int32_t *ref, long stride, int W, int H,
                 for (int k = 0; k < taps; k++)
                     acc += vf[k] * fetch(ref, stride, W, H, x_int + xx,
                                          y_int - eb + yy + k,
-                                         has_box, bx0, bx1, by0, by1);
+                                         has_box, bx0, bx1, by0, by1, wrap);
                 dst[yy * w + xx] = acc >> (bd - 8);
             }
         return;
@@ -138,7 +146,7 @@ void mc_put(int32_t *dst, const int32_t *ref, long stride, int W, int H,
             for (int k = 0; k < taps; k++)
                 acc += hf[k] * fetch(ref, stride, W, H, x_int - eb + xx + k,
                                      y_int - eb + yy, has_box, bx0, bx1,
-                                     by0, by1);
+                                     by0, by1, wrap);
             tmp[yy * w + xx] = acc >> (bd - 8);
         }
     for (int yy = 0; yy < h; yy++)
@@ -215,14 +223,16 @@ void mc_w_avg(int32_t *plane, long stride, int x, int y, const int32_t *s0,
 /* 2-tap bilinear to the 10-bit domain; dst [ph][pw] int32 */
 void dmvr_bilinear(int32_t *dst, const int32_t *ref, long stride, int W,
                    int H, int mvx, int mvy, int x0, int y0, int pw, int ph,
-                   int bd, const int8_t *dfilt /* [16][2] */)
+                   int bd, const int8_t *dfilt /* [16][2] */, int wrap)
 {
     int mx = mvx & 0xF, my = mvy & 0xF;
     int sr = 2;
     int ox = x0 + (mvx >> 4) - sr;
     int oy = y0 + (mvy >> 4) - sr;
 #define F(xx, yy) \
-    ref[(long)iclip((yy), 0, H - 1) * stride + iclip((xx), 0, W - 1)]
+    ref[(long)iclip((yy), 0, H - 1) * stride + \
+        iclip(wrap && (xx) < 0 ? (xx) + wrap \
+              : (wrap && (xx) > W - 1 ? (xx) - wrap : (xx)), 0, W - 1)]
     if (!mx && !my) {
         if (bd > 10) {
             int off = 1 << (bd - 11);

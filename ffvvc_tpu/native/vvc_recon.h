@@ -52,6 +52,8 @@ typedef struct {
     int is_b;                 /* sh.is_b */
     int weighted_pred;        /* sh.weighted_pred (wp/wbp per slice type) */
     int lmcs_used;            /* sh_lmcs_used_flag && ph lmcs */
+    int wrap;                 /* wraparound MC offset in luma samples
+                                 (PpsRefWraparoundOffset*MinCbSizeY; 0=off) */
     int w4, h4;               /* 4x4-grid plane strides */
     int pw_denom[2];          /* pwt.log2_denom[luma, chroma] */
     int pw_weight[2][3][16];  /* pwt.weight(lx, c_idx, ref_idx) */
@@ -111,7 +113,7 @@ void vvci_predict_ciip(Recon *r, const int32_t *cu);
 void mc_put(int32_t *dst, const int32_t *ref, long stride, int W, int H,
             int x_int, int y_int, int frac_x, int frac_y, int w, int h,
             int is_luma, const int32_t *hf, const int32_t *vf, int bd,
-            int has_box, int bx0, int bx1, int by0, int by1);
+            int has_box, int bx0, int bx1, int by0, int by1, int wrap);
 void mc_uni_out(int32_t *plane, long stride, int x, int y,
                 const int32_t *val, int w, int h, int bd, int weighted,
                 int denom, int wx, int ox);
@@ -122,7 +124,7 @@ void mc_w_avg(int32_t *plane, long stride, int x, int y, const int32_t *s0,
               int w1, int o0, int o1);
 void dmvr_bilinear(int32_t *dst, const int32_t *ref, long stride, int W,
                    int H, int mvx, int mvy, int x0, int y0, int pw, int ph,
-                   int bd, const int8_t *dfilt);
+                   int bd, const int8_t *dfilt, int wrap);
 int dmvr_search(const int32_t *t0, const int32_t *t1, int bw, int bh,
                 int32_t *dmv);
 void apply_bdof(int32_t *out, const int32_t *s0p, const int32_t *s1p,

@@ -355,3 +355,52 @@ def test_l14_conf_window_ref_bug(tmp_path):
             "reference now scales the crop — compare outputs instead"
         assert np.array_equal(ref[:61 * 60].reshape(60, 61),
                               full[1:-3, 2:-1].astype(np.uint8))
+
+
+# --- horizontal wraparound MC (reference WRAP_A_4 analogue) -----------------
+
+@pytest.mark.parametrize("seed,slice_type,tools", [
+    (0, 1, {}),                                           # P
+    (1, 0, {}),                                           # B (DMVR/BDOF-able)
+    (2, 0, dict(sps_affine_enabled_flag=1,                # affine + PROF
+                sps_five_minus_max_num_subblock_merge_cand=0,
+                sps_6param_affine_enabled_flag=1,
+                sps_affine_prof_enabled_flag=1)),
+])
+def test_l15_wraparound_ref_bug(seed, slice_type, tools, tmp_path):
+    """Horizontal wraparound MC (spec 8.5.6.3.2 ClipH): implemented in every
+    fetch path (regular/affine/GPM MC, DMVR bilinear, BDOF/PROF rings).  The
+    reference derives PpsRefWraparoundOffset (vvc_ps.c:428-433) but never
+    applies it — its MC clamps.  Pin three facts: (a) golden == native with
+    wrap on; (b) with the wrap derive neutered we match the oracle exactly
+    (so the only divergence IS the wrap); (c) wrap on differs from the
+    oracle — a fixed reference flips (c)."""
+    from forge import forge_inter_stream
+    import ffvvc_tpu.ps as ps
+    from ffvvc_tpu.config import DecoderConfig
+    stream = forge_inter_stream(
+        seed=seed, slice_type=slice_type, nframes=3, width=64, height=64,
+        deblock=True, sps_ref_wraparound_enabled_flag=1,
+        pps_kw=dict(pps_ref_wraparound_enabled_flag=1,
+                    pps_pic_width_minus_wraparound_offset=0), **tools)
+    nat = b"".join(f.to_yuv_bytes()
+                   for f in VVCDecoder().decode(stream))
+    gold = b"".join(f.to_yuv_bytes() for f in VVCDecoder(DecoderConfig(
+        backend="golden", native_cabac=False,
+        native_parse=False)).decode(stream))
+    assert nat == gold
+    ref = oracle_decode(stream, tmp_path)
+    orig = ps.PPS.__post_init__
+
+    def patched(self):
+        orig(self)
+        self.ref_wraparound_offset = 0
+    ps.PPS.__post_init__ = patched
+    try:
+        unwrapped = b"".join(f.to_yuv_bytes()
+                             for f in VVCDecoder().decode(stream))
+    finally:
+        ps.PPS.__post_init__ = orig
+    assert unwrapped == ref, "oracle no longer matches clamped MC"
+    assert nat != ref, \
+        "reference now applies wraparound — compare outputs instead"
