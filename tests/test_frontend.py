@@ -86,3 +86,55 @@ def test_vvcc_roundtrip():
 def test_malformed_mp4_sample():
     with pytest.raises(ValueError):
         mp4_sample_to_annexb(b"\x00\x00\x00\xff\x01", 4)
+
+
+def test_au_split_poc_matches_structural():
+    """POC-based AU detection (vvc_parser.c:199-331 semantics) agrees with
+    the structural splitter on ordinary streams."""
+    from ffvvc_tpu.bitstream.au import split_access_units_poc
+    for stream in (_stream(nframes=4),):
+        a = [[n.raw for n in au] for au in split_access_units(stream)]
+        b = [[n.raw for n in au] for au in split_access_units_poc(stream)]
+        assert a == b
+
+
+def test_au_split_poc_hier_gop():
+    """Out-of-order POCs (hierarchical GOP, B-frames) and inter streams
+    split one AU per coded picture."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_hier_stream, forge_inter_stream
+    from ffvvc_tpu.bitstream.au import split_access_units_poc
+    s = forge_hier_stream(seed=1, ngops=2)
+    assert len(list(split_access_units_poc(s))) == 5
+    s = forge_inter_stream(seed=2, nframes=3, slice_type=0)
+    assert len(list(split_access_units_poc(s))) == 3
+
+
+def test_au_poc_packetwise_decode():
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    from ffvvc_tpu.bitstream.au import split_access_unit_bytes_poc
+    stream = _stream(nframes=3)
+    whole = VVCDecoder(DecoderConfig()).decode(stream)
+    dec = VVCDecoder(DecoderConfig())
+    frames = []
+    for pkt in split_access_unit_bytes_poc(stream):
+        frames += dec.decode(pkt, flush=False)
+    frames += dec.flush()
+    assert b"".join(f.to_yuv_bytes() for f in whole) == \
+        b"".join(f.to_yuv_bytes() for f in frames)
+
+
+def test_au_poc_multislice_no_ph_markers():
+    """Multi-slice pictures whose slices share one PH NAL: the POC detector
+    must keep the slices in one AU (same POC) and split between pictures."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_rect_slice_stream
+    from ffvvc_tpu.bitstream.au import split_access_units_poc
+    from ffvvc_tpu.bitstream.nal import is_vcl
+    s = forge_rect_slice_stream(seed=0, slice_type=2, nframes=2)
+    aus = list(split_access_units_poc(s))
+    assert len(aus) == 2
+    assert all(sum(is_vcl(n.type) for n in au) >= 2 for au in aus)
