@@ -1,12 +1,24 @@
 """Decode benchmark: our decoder vs the reference CPU decoder (oracle).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = our fps / reference-C-decoder fps on the same stream
-(the reference publishes no numbers of its own — BASELINE.md; the measured
-config is BASELINE.md's 1080p all-intra target).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
+vs_baseline = our fps / reference-C-decoder fps on the same stream + host
+(the reference publishes no numbers of its own — BASELINE.md).
 
-Env knobs: FFVVC_BENCH_SIZE (default "1920x1080"), FFVVC_BENCH_FRAMES (4),
-FFVVC_BENCH_QP (30).
+Measured configs (BASELINE.md targets):
+  * primary metric: 1080p all-intra **10-bit with ISP+MIP+MRL+LFNST+MTS**
+    (the BASELINE-named all-intra config), GOP-parallel host decode.
+  * extra.ra_fps / ra_vs_baseline: 1080p random-access 10-bit hierarchical
+    GOP with DMVR/BDOF + affine (the BASELINE-named RA config).
+  * extra.scaling_efficiency: 1-worker vs N-worker GOP-parallel decode of
+    the multi-IDR primary stream (BASELINE target >= 0.8).
+  * extra.device_fps: single-process decode with the device pixel path on
+    (batched device itx dispatch + device SAO/ALF), bit-exact vs oracle.
+    On the tunneled bench chip every launch pays wire latency, so this is
+    an honest lower bound for a locally-attached chip.
+
+Env knobs: FFVVC_BENCH_SIZE ("1920x1080"), FFVVC_BENCH_FRAMES (4),
+FFVVC_BENCH_QP (30), FFVVC_BENCH_WORKERS (cpu count),
+FFVVC_BENCH_QUICK=1 (primary metric only).
 """
 import hashlib
 import json
@@ -21,11 +33,48 @@ ORACLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".refbuild", "ffmpeg")
 
 
+def _cached_stream(tag, builder):
+    key = hashlib.sha256(tag.encode()).hexdigest()
+    cache = f"/tmp/ffvvc_bench_{key[:16]}.bit"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return f.read()
+    stream = builder()
+    with open(cache + ".tmp", "wb") as f:
+        f.write(stream)
+    os.replace(cache + ".tmp", cache)
+    return stream
+
+
+def _time_best(fn, n=3):
+    best = None
+    out = None
+    for _ in range(n):
+        t0 = time.monotonic()
+        out = fn()
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    return best, out
+
+
+def _oracle_fps(stream, n_frames, tmp="/tmp/bench"):
+    if not os.path.exists(ORACLE):
+        return 0.0, None
+    bit, yuv = tmp + ".bit", tmp + "_ref.yuv"
+    with open(bit, "wb") as f:
+        f.write(stream)
+    best, _ = _time_best(lambda: subprocess.run(
+        [ORACLE, "-hide_banner", "-loglevel", "error", "-flags", "unaligned",
+         "-f", "vvc", "-i", bit, "-f", "rawvideo", "-y", yuv], check=True))
+    with open(yuv, "rb") as f:
+        ref_yuv = f.read()
+    return n_frames / best, ref_yuv
+
+
 def main():
-    from tools.forge import forge_stream
+    from tools.forge import forge_tools_stream, forge_hier_stream
     from ffvvc_tpu.decoder import VVCDecoder
     from ffvvc_tpu.config import DecoderConfig
-
     from ffvvc_tpu.pipeline import decode_parallel
 
     w, h = (int(v) for v in os.environ.get(
@@ -33,55 +82,135 @@ def main():
     n_frames = int(os.environ.get("FFVVC_BENCH_FRAMES", "4"))
     qp = int(os.environ.get("FFVVC_BENCH_QP", "30"))
     workers = int(os.environ.get("FFVVC_BENCH_WORKERS", os.cpu_count() or 1))
+    quick = os.environ.get("FFVVC_BENCH_QUICK") == "1"
 
-    # forging a 1080p stream through the Python encoder is minutes of CPU;
-    # cache it on disk keyed by the bench parameters
-    key = hashlib.sha256(f"v1:{w}x{h}:{n_frames}:{qp}".encode()).hexdigest()
-    cache = f"/tmp/ffvvc_bench_{key[:16]}.bit"
-    if os.path.exists(cache):
-        with open(cache, "rb") as f:
-            stream = f.read()
-    else:
-        stream = forge_stream(level=1, seed=0, width=w, height=h, qp=qp,
-                              nframes=n_frames)
-        with open(cache + ".tmp", "wb") as f:
-            f.write(stream)
-        os.replace(cache + ".tmp", cache)
-
-    # warm run builds native libs / jit caches / forked-worker state, then
-    # best-of-3 timed GOP-parallel decodes (noise-robust on shared hosts)
-    decode_parallel(stream, workers=workers)
-    best = None
-    for _ in range(3):
-        t0 = time.monotonic()
-        yuvs = decode_parallel(stream, workers=workers)
-        dt = time.monotonic() - t0
-        best = dt if best is None or dt < best else best
+    # --- primary: all-intra 10-bit ISP+MIP+MRL+LFNST+MTS (BASELINE.md) ----
+    stream = _cached_stream(
+        f"tools10:{w}x{h}:{n_frames}:{qp}",
+        lambda: forge_tools_stream(seed=0, width=w, height=h, qp=qp,
+                                   bit_depth=10, nframes=n_frames))
+    decode_parallel(stream, workers=workers)      # warm libs/pool
+    best, yuvs = _time_best(
+        lambda: decode_parallel(stream, workers=workers))
     ours_fps = len(yuvs) / best
     ours_yuv = b"".join(yuvs)
+    ref_fps, ref_yuv = _oracle_fps(stream, len(yuvs))
+    if ref_yuv is not None:
+        assert ref_yuv == ours_yuv, "bench decode NOT bit-exact vs oracle"
+    vs_baseline = ours_fps / ref_fps if ref_fps else 0.0
 
-    # reference decode timing (if the oracle is built)
-    vs_baseline = 0.0
-    if os.path.exists(ORACLE):
-        bit, yuv = "/tmp/bench.bit", "/tmp/bench_ref.yuv"
-        with open(bit, "wb") as f:
-            f.write(stream)
-        ref_best = None
-        for _ in range(3):
-            t0 = time.monotonic()
-            subprocess.run([ORACLE, "-hide_banner", "-loglevel", "error",
-                            "-f", "vvc", "-i", bit, "-f", "rawvideo", "-y",
-                            yuv], check=True)
-            dt = time.monotonic() - t0
-            ref_best = dt if ref_best is None or dt < ref_best else ref_best
-        ref_fps = len(yuvs) / ref_best
-        with open(yuv, "rb") as f:
-            assert f.read() == ours_yuv, "bench decode NOT bit-exact vs oracle"
-        vs_baseline = ours_fps / ref_fps
+    extra = {}
+    if not quick:
+        # --- scaling efficiency: 1 vs N workers (multi-IDR stream).
+        # The 1-worker run decodes in-process: pin the host itx path so it
+        # does the same work as the forked workers (pipeline.py:102) and
+        # does not drag device-compile time into the parent
+        # Both runs disable the in-worker frame pipeline so the metric
+        # isolates the GOP axis (the axis that scales across hosts, where
+        # each worker owns its cores); with pipelining on, a 1-worker run
+        # already uses 2 threads and the N-worker run can't show the
+        # cross-host headroom on this single oversubscribed box.
+        if workers > 1:
+            nopipe = DecoderConfig(pipeline_frames=False)
+            prev_itx = os.environ.get("FFVVC_ITX")
+            os.environ["FFVVC_ITX"] = "host"
+            try:
+                t1, _ = _time_best(
+                    lambda: decode_parallel(stream, workers=1,
+                                            config=nopipe), n=2)
+            finally:
+                if prev_itx is None:
+                    del os.environ["FFVVC_ITX"]
+                else:
+                    os.environ["FFVVC_ITX"] = prev_itx
+            tn, _ = _time_best(lambda: decode_parallel(
+                stream, workers=workers, config=nopipe), n=2)
+            extra["scaling_efficiency"] = round(t1 / (workers * tn), 4)
+            extra["scaling_workers"] = workers
+
+        # --- random access: hier-GOP 10-bit DMVR/BDOF + affine.  Two
+        # IDR-led random-access segments (RA = periodic RAPs), so both the
+        # GOP workers and the in-worker frame pipeline engage — the same
+        # axes the reference's frame threading exploits
+        def _forge_ra():
+            kw = dict(width=w, height=h, qp=qp, bit_depth=10, ngops=2,
+                      deblock=True, sps_affine_enabled_flag=1,
+                      sps_five_minus_max_num_subblock_merge_cand=0,
+                      sps_6param_affine_enabled_flag=1,
+                      sps_affine_prof_enabled_flag=1,
+                      sps_temporal_mvp_enabled_flag=1,
+                      sps_bdof_enabled_flag=1, sps_dmvr_enabled_flag=1)
+            return forge_hier_stream(seed=0, **kw) + \
+                forge_hier_stream(seed=1, **kw)
+        ra = _cached_stream(f"ra10v2:{w}x{h}:{qp}", _forge_ra)
+        dec_cfg = DecoderConfig()
+        decode_parallel(ra, workers=workers, config=dec_cfg)
+        best_ra, yuvs_ra = _time_best(
+            lambda: decode_parallel(ra, workers=workers, config=dec_cfg))
+        ra_fps = len(yuvs_ra) / best_ra
+        ref_ra_fps, ref_ra_yuv = _oracle_fps(ra, len(yuvs_ra),
+                                             tmp="/tmp/bench_ra")
+        if ref_ra_yuv is not None:
+            assert ref_ra_yuv == b"".join(yuvs_ra), \
+                "RA bench decode NOT bit-exact vs oracle"
+        extra["ra_fps"] = round(ra_fps, 4)
+        extra["ra_vs_baseline"] = round(
+            ra_fps / ref_ra_fps if ref_ra_fps else 0.0, 4)
+
+        # --- device pixel path: device SAO/ALF kernels on the chip.
+        # Runs in a watchdogged subprocess: on a machine with a cold XLA
+        # persistent cache, a single remote (tunneled) compile can take
+        # minutes — record device_error instead of blowing the budget.
+        # FFVVC_ITX=host keeps the itx bucket shapes (dozens of compiles)
+        # off the cold path; SAO/ALF are a handful of shapes.
+        dev_timeout = int(os.environ.get("FFVVC_BENCH_DEVICE_TIMEOUT",
+                                         "420"))
+        prog = (
+            "import sys, time, os, json\n"
+            "sys.path.insert(0, %r)\n"
+            "os.environ['FFVVC_ITX'] = 'host'\n"
+            "from ffvvc_tpu.decoder import VVCDecoder\n"
+            "from ffvvc_tpu.config import DecoderConfig\n"
+            "s = open(sys.argv[1], 'rb').read()\n"
+            "cfg = DecoderConfig(device_sao=True, device_alf=True)\n"
+            "VVCDecoder(cfg).decode(s)\n"          # warm compiles
+            "best = None\n"
+            "for _ in range(2):\n"
+            "    t0 = time.monotonic()\n"
+            "    frames = VVCDecoder(cfg).decode(s)\n"
+            "    dt = time.monotonic() - t0\n"
+            "    best = dt if best is None or dt < best else best\n"
+            "import hashlib, jax\n"
+            "yuv = b''.join(f.to_yuv_bytes() for f in frames)\n"
+            "print(json.dumps({'fps': len(frames) / best,\n"
+            "                  'md5': hashlib.md5(yuv).hexdigest(),\n"
+            "                  'backend': jax.default_backend()}))\n"
+        ) % os.path.dirname(os.path.abspath(__file__))
+        try:
+            with open("/tmp/bench.bit", "wb") as f:
+                f.write(stream)
+            r = subprocess.run([sys.executable, "-c", prog,
+                                "/tmp/bench.bit"],
+                               capture_output=True, text=True,
+                               timeout=dev_timeout)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout else ""
+            dev = json.loads(line)
+            import hashlib
+            if ref_yuv is not None:
+                assert dev["md5"] == hashlib.md5(ref_yuv).hexdigest(), \
+                    "device-path decode NOT bit-exact vs oracle"
+            extra["device_fps"] = round(dev["fps"], 4)
+            extra["device_backend"] = dev["backend"]
+        except subprocess.TimeoutExpired:
+            extra["device_error"] = \
+                f"timeout {dev_timeout}s (cold XLA cache on this host?)"
+        except Exception as e:
+            extra["device_error"] = f"{type(e).__name__}: {e}"[:120]
 
     print(json.dumps({"metric": "decode_fps", "value": round(ours_fps, 4),
                       "unit": "frames/sec/chip",
-                      "vs_baseline": round(vs_baseline, 4)}))
+                      "vs_baseline": round(vs_baseline, 4),
+                      "extra": extra}))
 
 
 if __name__ == "__main__":

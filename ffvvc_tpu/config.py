@@ -63,3 +63,10 @@ class DecoderConfig:
     # CTUs; deblock row/column shards). 0 = auto (cpu count). GOP-parallel
     # worker processes force 1 to avoid oversubscription (pipeline.py).
     stage_threads: int = 0
+    # Frame pipeline: overlap frame N's pixel stages (recon/LMCS/deblock/
+    # SAO/ALF) with frame N+1's CABAC parse + MV derivation on a worker
+    # thread — the TPU-host analogue of the reference's frame pipeline with
+    # row-progress gating (vvc_thread.c:281-296, vvcdec.c:830-841).  The
+    # inter MC of frame N+1 still waits for frame N's filtered pixels.
+    # Disabled automatically under error_resilient (exception attribution).
+    pipeline_frames: bool = True

@@ -89,6 +89,10 @@ class VVCDecoder:
         self.gdr_recovered = True
         # per-stage wall time (seconds) accumulated when config.profile
         self.stage_times = {}
+        # frame pipeline: pixel stages of frame N run on this worker while
+        # frame N+1 parses (config.pipeline_frames)
+        self._pix_exec = None
+        self._pix_future = None
         # mesh-sharded filter pipeline (parallel/filters.py): frames over
         # "gop", CTU-row slabs over "tile"; drains at inter ref barriers
         self._mesh_q = None
@@ -181,6 +185,7 @@ class VVCDecoder:
             else:
                 handle(nal)
         flush_frame()
+        self._join_pixels()
         out.extend(self._output_frames(flush=flush))
         if self._mesh_q is not None:
             # frames reference live buffers; deferred mesh filters must
@@ -190,6 +195,7 @@ class VVCDecoder:
 
     def flush(self):
         """Drain remaining reordered frames (end of stream)."""
+        self._join_pixels()
         out = self._output_frames(flush=True)
         if self._mesh_q is not None:
             self._mesh_q.drain()
@@ -392,6 +398,7 @@ class VVCDecoder:
             # inter reference barrier: MC below reads DPB pixels, so all
             # deferred mesh filter work must land first (the mesh analogue
             # of the reference's row-progress wait, vvc_thread.c:281-296)
+            self._join_pixels()
             self._mesh_q.drain()
         if is_inter_frame:
             # clear ref marks of all other frames; slice RPLs re-mark
@@ -474,6 +481,12 @@ class VVCDecoder:
 
         _stage("parse")
 
+        # inter MC needs the refs' FILTERED pixels: frame N-1's pixel
+        # stages (possibly on the worker thread) must land first — the
+        # host analogue of the reference's row-progress wait
+        # (schedule_inter, vvc_thread.c:281-296)
+        self._join_pixels()
+
         if self.config.backend == "tpu":
             # batched inverse transforms on device (one launch per TB bucket);
             # host recon below then only adds the precomputed residuals
@@ -494,78 +507,115 @@ class VVCDecoder:
                 native_mc.extend((ip, rs, rx, ry) for rs, rx, ry in ctus)
         if native_mc:
             # MC CTUs are data-independent (refs are other frames; DMVR
-            # col-grid writes are per-CU disjoint): thread the C calls
+            # col-grid writes are per-CU disjoint): thread batched C calls
+            # (inter_ctus: one ctypes call per contiguous same-job run)
             from .threads import resolve, run_parallel, split_ranges
             nt = resolve(self.config.stage_threads)
 
             def mc_chunk(lo, hi):
-                for ip, rs, rx, ry in native_mc[lo:hi]:
-                    ip.predict_inter_ctu(rs, rx, ry)
+                i = lo
+                while i < hi:
+                    ip = native_mc[i][0]
+                    j = i
+                    while j < hi and native_mc[j][0] is ip:
+                        j += 1
+                    ip.predict_inter_ctus(
+                        [(rs, rx, ry) for _, rs, rx, ry in native_mc[i:j]])
+                    i = j
 
             run_parallel(nt, [
                 (lambda lo=lo, hi=hi: mc_chunk(lo, hi))
                 for lo, hi in split_ranges(len(native_mc), nt)])
         _stage("inter")
-        for rec, ctus in recon_jobs:
-            for rs, rx, ry in ctus:
-                rec.reconstruct_ctu(rs, rx, ry)
-        _stage("recon")
-        # LMCS inverse mapping (stage before deblock, vvc_thread.c:44,
-        # ff_vvc_lmcs_filter vvc_filter.c:1322)
-        if lmcs is not None:
-            ctb = sps.ctb_size_y
+
+        def pixel_stages():
+            # recon / LMCS / deblock / SAO / ALF: no later frame's PARSE
+            # depends on these (TMVP reads the col MV grids written at
+            # parse/inter time), so they overlap frame N+1's parse on the
+            # frame pipeline (config.pipeline_frames)
             for rec, ctus in recon_jobs:
-                if not rec.lmcs_used:
-                    continue
-                for rs, rx, ry in ctus:
-                    x0, y0 = rx * ctb, ry * ctb
-                    x1 = min(x0 + ctb, pps.width)
-                    y1 = min(y0 + ctb, pps.height)
-                    blk = fb.planes[0][y0:y1, x0:x1]
-                    blk[:] = lmcs.inv_lut[blk]
-        _stage("lmcs")
-        # in-loop filters (whole-frame passes per spec 8.8)
-        from .deblock import Deblocker
-        from .threads import resolve
-        db = Deblocker(sps, pps, tabs, fb)
-        db.slice_rpls = frame.slice_rpls
-        db.n_threads = resolve(self.config.stage_threads)
-        db.deblock_frame()
-        _stage("deblock")
-        alf_list = sh_list = None
-        if sps.r.sps_alf_enabled_flag:
-            from .alf import VVCALF
-            alf_list = {i: VVCALF(a) for i, a in self.ps.aps_alf.items()}
-            sh_list = [sh_by_slice.get(i) for i in
-                       range(max(sh_by_slice) + 1)]
-        if self._mesh_q is not None:
-            # mesh-sharded SAO/ALF/CC-ALF (parallel/filters.py): deferred
-            # until an inter ref barrier or end of the decode call, so
-            # independent frames batch over the "gop" axis
-            self._mesh_q.add(sps, pps, tabs, fb, sh_list, alf_list)
-        else:
-            if self.config.backend == "tpu" and self.config.device_sao:
-                from .ops.sao_device import sao_frame_device
-                sao_frame_device(sps, pps, tabs, fb)
-            else:
-                from .sao import SaoFilter
-                SaoFilter(sps, pps, tabs, fb).sao_frame()
-            if alf_list is not None:
-                if self.config.backend == "tpu" and self.config.device_alf:
-                    from .ops.alf_device import alf_frame_device
-                    alf_frame_device(sps, pps, tabs, fb, sh_list, alf_list)
+                nr = rec.native_recon
+                if nr is not None:
+                    nr.reconstruct_ctus(ctus)   # one C call per job
                 else:
-                    from .alf import AlfFilter
-                    AlfFilter(sps, pps, tabs, fb, sh_list,
-                              alf_list).alf_frame()
-        _stage("sao_alf")
-        # recycle native parse record arenas (everything pixel-level that
-        # reads them — MC, CIIP, recon — has run; tabs keep the MV grids)
-        for rec, _ in recon_jobs:
-            tree = getattr(rec.nbr, "native_tree", None)
-            if tree is not None:
-                tree.release_records()
+                    for rs, rx, ry in ctus:
+                        rec.reconstruct_ctu(rs, rx, ry)
+            _stage("recon")
+            # LMCS inverse mapping (stage before deblock, vvc_thread.c:44,
+            # ff_vvc_lmcs_filter vvc_filter.c:1322)
+            if lmcs is not None:
+                ctb = sps.ctb_size_y
+                for rec, ctus in recon_jobs:
+                    if not rec.lmcs_used:
+                        continue
+                    for rs, rx, ry in ctus:
+                        x0, y0 = rx * ctb, ry * ctb
+                        x1 = min(x0 + ctb, pps.width)
+                        y1 = min(y0 + ctb, pps.height)
+                        blk = fb.planes[0][y0:y1, x0:x1]
+                        blk[:] = lmcs.inv_lut[blk]
+            _stage("lmcs")
+            # in-loop filters (whole-frame passes per spec 8.8)
+            from .deblock import Deblocker
+            from .threads import resolve
+            db = Deblocker(sps, pps, tabs, fb)
+            db.slice_rpls = frame.slice_rpls
+            db.n_threads = resolve(self.config.stage_threads)
+            db.deblock_frame()
+            _stage("deblock")
+            alf_list = sh_list = None
+            if sps.r.sps_alf_enabled_flag:
+                from .alf import VVCALF
+                alf_list = {i: VVCALF(a) for i, a in self.ps.aps_alf.items()}
+                sh_list = [sh_by_slice.get(i) for i in
+                           range(max(sh_by_slice) + 1)]
+            if self._mesh_q is not None:
+                # mesh-sharded SAO/ALF/CC-ALF (parallel/filters.py):
+                # deferred until an inter ref barrier or end of the decode
+                # call, so independent frames batch over the "gop" axis
+                self._mesh_q.add(sps, pps, tabs, fb, sh_list, alf_list)
+            else:
+                if self.config.backend == "tpu" and self.config.device_sao:
+                    from .ops.sao_device import sao_frame_device
+                    sao_frame_device(sps, pps, tabs, fb)
+                else:
+                    from .sao import SaoFilter
+                    SaoFilter(sps, pps, tabs, fb).sao_frame()
+                if alf_list is not None:
+                    if self.config.backend == "tpu" and \
+                            self.config.device_alf:
+                        from .ops.alf_device import alf_frame_device
+                        alf_frame_device(sps, pps, tabs, fb, sh_list,
+                                         alf_list)
+                    else:
+                        from .alf import AlfFilter
+                        AlfFilter(sps, pps, tabs, fb, sh_list,
+                                  alf_list).alf_frame()
+            _stage("sao_alf")
+            # recycle native parse record arenas (everything pixel-level
+            # that reads them — MC, CIIP, recon — has run; tabs keep the
+            # MV grids).  The pool is lock-guarded against the next
+            # frame's concurrent parse (native/parse.py _ARENA_LOCK).
+            for rec, _ in recon_jobs:
+                tree = getattr(rec.nbr, "native_tree", None)
+                if tree is not None:
+                    tree.release_records()
+
+        if self.config.pipeline_frames and not self.config.error_resilient:
+            if self._pix_exec is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pix_exec = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="ffvvc-pixels")
+            self._pix_future = self._pix_exec.submit(pixel_stages)
+        else:
+            pixel_stages()
         return outputs
+
+    def _join_pixels(self):
+        """Wait for the in-flight pixel-stage thread (frame pipeline)."""
+        fut, self._pix_future = self._pix_future, None
+        if fut is not None:
+            fut.result()
 
     def _entry_point_offsets(self, nal, sh_r, sh_end_bits):
         """Byte ranges of each entry point within nal.rbsp (EPB-adjusted;

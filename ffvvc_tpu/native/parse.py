@@ -762,20 +762,25 @@ class _Arena:
 
 _ARENA_POOL = []        # per-process free list (decode_parallel forks)
 _ARENA_POOL_MAX = 48
+# the frame pipeline acquires (parse of frame N+1) and releases (pixel
+# stages of frame N, worker thread) concurrently — decoder.py
+_ARENA_LOCK = __import__("threading").Lock()
 
 
 def acquire_arena(ctb_log2, n_ctus):
-    for i, a in enumerate(_ARENA_POOL):
-        if a.ctb_log2 == ctb_log2 and a.n_ctus >= n_ctus:
-            a = _ARENA_POOL.pop(i)
-            a.reset()
-            return a
+    with _ARENA_LOCK:
+        for i, a in enumerate(_ARENA_POOL):
+            if a.ctb_log2 == ctb_log2 and a.n_ctus >= n_ctus:
+                a = _ARENA_POOL.pop(i)
+                a.reset()
+                return a
     return _Arena(ctb_log2, max(n_ctus, 16))
 
 
 def _release_arena(a):
-    if len(_ARENA_POOL) < _ARENA_POOL_MAX:
-        _ARENA_POOL.append(a)
+    with _ARENA_LOCK:
+        if len(_ARENA_POOL) < _ARENA_POOL_MAX:
+            _ARENA_POOL.append(a)
 
 
 def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf):

@@ -15,6 +15,12 @@ import os
 
 import numpy as np
 
+
+def _addr(p):
+    """Raw address of a record pointer (stored as ctypes.c_void_p)."""
+    v = p.value if isinstance(p, ctypes.c_void_p) else p
+    return 0 if v is None else int(v)
+
 _DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_DIR, "native", "libvvc_recon.so")
 _SRCS = [os.path.join(_DIR, "native", "vvc_recon.c"),
@@ -92,6 +98,14 @@ def load_lib():
                               ctypes.POINTER(_InterParams), _I, _I, _I,
                               _P, _I]
     lib.inter_ctu.restype = _I
+    lib.recon_ctus.argtypes = [ctypes.POINTER(_ReconParams),
+                               ctypes.POINTER(_InterParams), _I,
+                               _P, _P, _P, _P, _P, _P, _P, _P]
+    lib.recon_ctus.restype = _I
+    lib.inter_ctus.argtypes = [ctypes.POINTER(_ReconParams),
+                               ctypes.POINTER(_InterParams), _I,
+                               _P, _P, _P, _P, _P]
+    lib.inter_ctus.restype = _I
     # guard the ctypes struct mirrors against C layout drift
     assert lib.vvcr_sizeof_recon_params() == ctypes.sizeof(_ReconParams), \
         (lib.vvcr_sizeof_recon_params(), ctypes.sizeof(_ReconParams))
@@ -330,6 +344,57 @@ class NativeRecon:
                                  cu_p, n_cu, tu_p, tb_p, coeff_p)
         if err:
             raise ValueError(f"native recon_ctu failed (err={err})")
+
+    @staticmethod
+    def _noop():
+        pass
+
+    def _batch_arrays(self, ctus, with_records):
+        """Flat per-CTU argument arrays for the batched C walks (one
+        ctypes call per job instead of per CTU)."""
+        n = len(ctus)
+        rxs = np.empty(n, np.int32)
+        rys = np.empty(n, np.int32)
+        rss = np.empty(n, np.int32)
+        n_cus = np.zeros(n, np.int32)
+        cu_ps = np.zeros(n, np.int64)
+        tu_ps = np.zeros(n, np.int64)
+        tb_ps = np.zeros(n, np.int64)
+        co_ps = np.zeros(n, np.int64)
+        for i, (rs, rx, ry) in enumerate(ctus):
+            rxs[i], rys[i], rss[i] = rx, ry, rs
+            rec = self.records.get(rs)
+            if rec is None or not rec[0]:
+                continue
+            n_cu, cu_p, tu_p, tb_p, coeff_p, _keep = rec
+            n_cus[i] = n_cu
+            cu_ps[i] = _addr(cu_p)
+            if with_records:
+                tu_ps[i] = _addr(tu_p)
+                tb_ps[i] = _addr(tb_p)
+                co_ps[i] = _addr(coeff_p)
+        return rxs, rys, rss, n_cus, cu_ps, tu_ps, tb_ps, co_ps
+
+    def predict_inter_ctus(self, ctus):
+        rxs, rys, rss, n_cus, cu_ps, _t, _b, _c = \
+            self._batch_arrays(ctus, False)
+        err = self.lib.inter_ctus(
+            self._rp_ref, self._ip_ref, len(ctus),
+            rxs.ctypes.data, rys.ctypes.data, rss.ctypes.data,
+            cu_ps.ctypes.data, n_cus.ctypes.data)
+        if err:
+            raise ValueError(f"native inter_ctus failed (err={err})")
+
+    def reconstruct_ctus(self, ctus):
+        rxs, rys, rss, n_cus, cu_ps, tu_ps, tb_ps, co_ps = \
+            self._batch_arrays(ctus, True)
+        err = self.lib.recon_ctus(
+            self._rp_ref, self._ip_ref, len(ctus),
+            rxs.ctypes.data, rys.ctypes.data, rss.ctypes.data,
+            cu_ps.ctypes.data, n_cus.ctypes.data,
+            tu_ps.ctypes.data, tb_ps.ctypes.data, co_ps.ctypes.data)
+        if err:
+            raise ValueError(f"native recon_ctus failed (err={err})")
 
 
 def make_native_recon(coder, fb, ph_r):

@@ -827,3 +827,19 @@ int inter_ctu(const ReconParams *rp, const InterParams *ip, int rx, int ry,
     }
     return 0;
 }
+
+/* batched inter MC walk (see recon_ctus) */
+int inter_ctus(const ReconParams *rp, const InterParams *ip, int n,
+               const int32_t *rxs, const int32_t *rys, const int32_t *rss,
+               const int64_t *cu_ps, const int32_t *n_cus)
+{
+    for (int i = 0; i < n; i++) {
+        if (!n_cus[i])
+            continue;
+        int err = inter_ctu(rp, ip, rxs[i], rys[i], rss[i],
+                            (const int32_t *)(intptr_t)cu_ps[i], n_cus[i]);
+        if (err)
+            return err;
+    }
+    return 0;
+}

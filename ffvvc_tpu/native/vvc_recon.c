@@ -1216,5 +1216,27 @@ int recon_ctu(const ReconParams *rp, const InterParams *ip, int rx, int ry,
     return 0;
 }
 
+/* batched CTU walk: one call per recon job (cuts the per-CTU Python
+ * ctypes dispatch that profiling shows at ~30% of RA decode time) */
+int recon_ctus(const ReconParams *rp, const InterParams *ip, int n,
+               const int32_t *rxs, const int32_t *rys, const int32_t *rss,
+               const int64_t *cu_ps, const int32_t *n_cus,
+               const int64_t *tu_ps, const int64_t *tb_ps,
+               const int64_t *coeff_ps)
+{
+    for (int i = 0; i < n; i++) {
+        if (!n_cus[i])
+            continue;
+        int err = recon_ctu(rp, ip, rxs[i], rys[i], rss[i],
+                            (const int32_t *)(intptr_t)cu_ps[i], n_cus[i],
+                            (const int32_t *)(intptr_t)tu_ps[i],
+                            (const int32_t *)(intptr_t)tb_ps[i],
+                            (int32_t *)(intptr_t)coeff_ps[i]);
+        if (err)
+            return err;
+    }
+    return 0;
+}
+
 int vvcr_sizeof_recon_params(void) { return (int)sizeof(ReconParams); }
 int vvcr_sizeof_inter_params(void) { return (int)sizeof(InterParams); }

@@ -106,6 +106,15 @@ void vvcr_set_na(Recon *r, int x0, int y0, int w, int h);
 void vvcr_intra_pred(Recon *r, const int32_t *cu, int x0, int y0,
                      int width, int height, int c_idx);
 
+int recon_ctus(const ReconParams *rp, const InterParams *ip, int n,
+               const int32_t *rxs, const int32_t *rys, const int32_t *rss,
+               const int64_t *cu_ps, const int32_t *n_cus,
+               const int64_t *tu_ps, const int64_t *tb_ps,
+               const int64_t *coeff_ps);
+int inter_ctus(const ReconParams *rp, const InterParams *ip, int n,
+               const int32_t *rxs, const int32_t *rys, const int32_t *rss,
+               const int64_t *cu_ps, const int32_t *n_cus);
+
 /* vvc_inter.c: CIIP blend at recon stage (ff_vvc_predict_ciip) */
 void vvci_predict_ciip(Recon *r, const int32_t *cu);
 

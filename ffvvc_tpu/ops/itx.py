@@ -148,20 +148,42 @@ def itx_batch_host(coeffs, w: int, h: int, trh: int, trv: int,
     return out.astype(np.int32)
 
 
-@functools.lru_cache()
-def device_roundtrip_ms() -> float:
+_PROBE = {"state": None, "ms": float("inf")}
+
+
+def device_roundtrip_ms(timeout: float = 5.0) -> float:
     """Measured host->device->host latency for a small buffer: the dispatch
-    cost model deciding device vs host itx (FFVVC_ITX=device|host|auto)."""
+    cost model deciding device vs host itx (FFVVC_ITX=device|host|auto).
+
+    The probe jit runs on a daemon thread with a timeout: on a cold
+    machine a remote (tunneled) XLA compile can take minutes, and the
+    dispatch decision must not stall the decode — until the probe answers,
+    callers see inf (host path); once it lands, the real latency sticks."""
     import time
-    try:
-        x = np.zeros((64, 64), np.int32)
-        f = jax.jit(lambda a: a + 1)
-        np.asarray(f(jnp.asarray(x)))          # warm compile + transfer
-        t0 = time.monotonic()
-        np.asarray(f(jnp.asarray(x)))
-        return (time.monotonic() - t0) * 1000.0
-    except Exception:
-        return float("inf")
+    import threading
+
+    st = _PROBE["state"]
+    if st is None:
+        done = threading.Event()
+
+        def probe():
+            try:
+                x = np.zeros((64, 64), np.int32)
+                f = jax.jit(lambda a: a + 1)
+                np.asarray(f(jnp.asarray(x)))   # warm compile + transfer
+                t0 = time.monotonic()
+                np.asarray(f(jnp.asarray(x)))
+                _PROBE["ms"] = (time.monotonic() - t0) * 1000.0
+            except Exception:
+                pass
+            done.set()
+
+        threading.Thread(target=probe, daemon=True,
+                         name="ffvvc-itx-probe").start()
+        _PROBE["state"] = done
+        st = done
+    st.wait(timeout)
+    return _PROBE["ms"]
 
 
 def _use_device_itx() -> bool:
