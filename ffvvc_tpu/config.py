@@ -58,6 +58,9 @@ class DecoderConfig:
     # planes + per-pixel coeff/clip maps; one fused clipped-diamond pass per
     # plane). Same tunneled-chip caveat as device_sao.
     device_alf: bool = False
+    # Device deblocking (ops/deblock_device.py): batched segment math, one
+    # pass per direction.  LADF streams fall back to the host filter.
+    device_deblock: bool = False
 
     # Intra-frame stage threads over GIL-releasing native calls (inter MC
     # CTUs; deblock row/column shards). 0 = auto (cpu count). GOP-parallel

@@ -556,12 +556,18 @@ class VVCDecoder:
                         blk[:] = lmcs.inv_lut[blk]
             _stage("lmcs")
             # in-loop filters (whole-frame passes per spec 8.8)
-            from .deblock import Deblocker
-            from .threads import resolve
-            db = Deblocker(sps, pps, tabs, fb)
-            db.slice_rpls = frame.slice_rpls
-            db.n_threads = resolve(self.config.stage_threads)
-            db.deblock_frame()
+            done = False
+            if self.config.backend == "tpu" and self.config.device_deblock:
+                from .ops.deblock_device import deblock_frame_device
+                done = deblock_frame_device(sps, pps, tabs, fb,
+                                            frame.slice_rpls)
+            if not done:
+                from .deblock import Deblocker
+                from .threads import resolve
+                db = Deblocker(sps, pps, tabs, fb)
+                db.slice_rpls = frame.slice_rpls
+                db.n_threads = resolve(self.config.stage_threads)
+                db.deblock_frame()
             _stage("deblock")
             alf_list = sh_list = None
             if sps.r.sps_alf_enabled_flag:

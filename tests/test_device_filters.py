@@ -166,3 +166,63 @@ def test_device_alf_full_decode(oracle_path, tmp_path):
                                       device_sao=True)).decode(stream)
     ours = b"".join(f.to_yuv_bytes() for f in frames)
     assert ours == yuv.read_bytes()
+
+
+# --- device deblock (ops/deblock_device.py) ---------------------------------
+
+@pytest.mark.parametrize("kw", [
+    dict(slice_type=2, nframes=2, width=96, height=96, seed=3,
+         sps_sao_enabled_flag=1, sps_lmcs_enabled_flag=1),
+    dict(slice_type=0, nframes=3, width=96, height=64, seed=1),   # B, DMVR-able
+    dict(slice_type=1, nframes=3, width=64, height=80, seed=2),   # P, odd h
+    dict(slice_type=2, nframes=2, width=64, height=64, seed=4, bit_depth=10),
+    dict(slice_type=0, nframes=3, width=128, height=128, seed=5, qp=38),
+])
+def test_device_deblock_matches_host(kw):
+    """Whole-stream decode with the device deblock pass must equal the
+    host decode byte-for-byte (host path is oracle-pinned elsewhere)."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_inter_stream(deblock=True, **kw)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_deblock=True)).decode(s))
+    assert host == dev
+
+
+def test_device_deblock_tiles():
+    """Tile boundaries gate edges via the BS maps; device must agree."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_tiled_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_tiled_stream(seed=2, nframes=2, width=96, height=96,
+                           rows=(2,), cols=(2,))
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_deblock=True)).decode(s))
+    assert host == dev
+
+
+def test_device_deblock_ladf_fallback():
+    """LADF reads pixel averages mid-pass: the device path must decline
+    and the host fallback keep the decode byte-identical."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_inter_stream(seed=4, nframes=2, deblock=True,
+                           sps_ladf_enabled_flag=1,
+                           sps_num_ladf_intervals_minus2=1,
+                           sps_ladf_lowest_interval_qp_offset=3,
+                           sps_ladf_qp_offset=[-2, 4],
+                           sps_ladf_delta_threshold_minus1=[30, 100])
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_deblock=True)).decode(s))
+    assert host == dev
