@@ -61,6 +61,10 @@ class DecoderConfig:
     # Device deblocking (ops/deblock_device.py): batched segment math, one
     # pass per direction.  LADF streams fall back to the host filter.
     device_deblock: bool = False
+    # Device inter MC (ops/mc_device.py): simple regular blocks batch as
+    # device 8/4-tap puts + uni/bi finals; complex blocks (affine/GPM/
+    # CIIP/DMVR/BDOF/weighted/BCW/LMCS/wraparound) stay on the host C path.
+    device_mc: bool = False
 
     # Intra-frame stage threads over GIL-releasing native calls (inter MC
     # CTUs; deblock row/column shards). 0 = auto (cpu count). GOP-parallel

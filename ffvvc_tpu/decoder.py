@@ -505,6 +505,15 @@ class VVCDecoder:
                     ip.predict_inter_ctu(rs)
             else:                     # NativeRecon (native/vvc_inter.c)
                 native_mc.extend((ip, rs, rx, ry) for rs, rx, ry in ctus)
+        if native_mc and self.config.backend == "tpu" and \
+                self.config.device_mc:
+            # batched device MC for simple regular blocks; the same C call
+            # host-filters the complex ones (ops/mc_device.py)
+            from .ops.mc_device import frame_device_mc
+            njobs = [(ip, ctus) for ip, ctus in inter_jobs
+                     if not hasattr(ip, "c")]
+            frame_device_mc(njobs, sps, sps.bit_depth)
+            native_mc = []
         if native_mc:
             # MC CTUs are data-independent (refs are other frames; DMVR
             # col-grid writes are per-CU disjoint): thread batched C calls

@@ -106,6 +106,10 @@ def load_lib():
                                ctypes.POINTER(_InterParams), _I,
                                _P, _P, _P, _P, _P]
     lib.inter_ctus.restype = _I
+    lib.inter_ctus_dev.argtypes = [ctypes.POINTER(_ReconParams),
+                                   ctypes.POINTER(_InterParams), _I,
+                                   _P, _P, _P, _P, _P, _I, _P, _I, _P]
+    lib.inter_ctus_dev.restype = _I
     # guard the ctypes struct mirrors against C layout drift
     assert lib.vvcr_sizeof_recon_params() == ctypes.sizeof(_ReconParams), \
         (lib.vvcr_sizeof_recon_params(), ctypes.sizeof(_ReconParams))
@@ -203,6 +207,8 @@ class NativeRecon:
     records retained by the slice's NativeTreeParser."""
 
     def __init__(self, coder, tree_parser, fb, lib, ph_r):
+        self.fb = fb
+        self.rpl = coder.rpl
         self.lib = lib
         self.records = tree_parser.records
         sps, pps = coder.sps, coder.pps
@@ -384,6 +390,24 @@ class NativeRecon:
             cu_ps.ctypes.data, n_cus.ctypes.data)
         if err:
             raise ValueError(f"native inter_ctus failed (err={err})")
+
+    def predict_inter_ctus_dev(self, ctus, tag):
+        """Host MC for complex blocks + descriptor emission for simple
+        regular blocks (device-MC dispatch, ops/mc_device.py).  Returns
+        the [nd, 13] descriptor array (may be empty)."""
+        rxs, rys, rss, n_cus, cu_ps, _t, _b, _c = \
+            self._batch_arrays(ctus, False)
+        cap = max(int(n_cus.sum()), 1)
+        desc = np.zeros((cap, 13), np.int32)
+        nd = np.zeros(1, np.int32)
+        err = self.lib.inter_ctus_dev(
+            self._rp_ref, self._ip_ref, len(ctus),
+            rxs.ctypes.data, rys.ctypes.data, rss.ctypes.data,
+            cu_ps.ctypes.data, n_cus.ctypes.data, int(tag),
+            desc.ctypes.data, cap, nd.ctypes.data)
+        if err:
+            raise ValueError(f"native inter_ctus_dev failed (err={err})")
+        return desc[:int(nd[0])]
 
     def reconstruct_ctus(self, ctus):
         rxs, rys, rss, n_cus, cu_ps, tu_ps, tb_ps, co_ps = \

@@ -843,3 +843,70 @@ int inter_ctus(const ReconParams *rp, const InterParams *ip, int n,
     }
     return 0;
 }
+
+/* device-MC dispatch: walk CUs, run the host path for everything except
+ * "simple regular" blocks (uni/bi, no affine/GPM/CIIP/DMVR/BDOF, no
+ * weighted pred / BCW, no LMCS fwd, single subblock) and emit those as
+ * descriptors for the batched device MC (ops/mc_device.py) — the
+ * decoder-side analogue of the reference's hottest h2656 MC kernels
+ * moving to the chip.  desc layout (13 x int32 per entry):
+ * {x0, y0, w, h, pf, ref0, ref1, mvx0, mvy0, mvx1, mvy1, hpel, job}. */
+int inter_ctus_dev(const ReconParams *rp, const InterParams *ip, int n,
+                   const int32_t *rxs, const int32_t *rys,
+                   const int32_t *rss, const int64_t *cu_ps,
+                   const int32_t *n_cus, int job_tag,
+                   int32_t *desc, int desc_cap, int32_t *n_desc)
+{
+    static _Thread_local Recon r;
+    r.rp = rp;
+    r.ip = ip;
+    r.n_ras[0] = r.n_ras[1] = 0;
+    r.err = 0;
+    int nd = *n_desc;
+    for (int c = 0; c < n; c++) {
+        if (!n_cus[c])
+            continue;
+        const int32_t *cu_recs = (const int32_t *)(intptr_t)cu_ps[c];
+        (void)rxs; (void)rys; (void)rss;
+        for (int i = 0; i < n_cus[c]; i++) {
+            const int32_t *cu = cu_recs + i * CU_STRIDE;
+            if (cu[CU_PRED_MODE] == MODE_INTRA ||
+                cu[CU_PRED_MODE] == MODE_PLT ||
+                cu[CU_TREE_TYPE] == DUAL_TREE_CHROMA)
+                continue;
+            int flags = cu[CU_IFLAGS];
+            int simple = !(flags & (IF_MERGE_GPM | IF_AFFINE | IF_CIIP |
+                                    IF_DMVR | IF_BDOF)) &&
+                cu[CU_NSBX] == 1 && cu[CU_NSBY] == 1 &&
+                !ip->weighted_pred && !ip->lmcs_fwd && !ip->wrap;
+            MvF f;
+            if (simple) {
+                ip_get_mvf(ip, cu[CU_X0], cu[CU_Y0], &f);
+                simple = f.bcw == 0;
+            }
+            if (simple && nd < desc_cap) {
+                int32_t *d = desc + (long)nd * 13;
+                d[0] = cu[CU_X0]; d[1] = cu[CU_Y0];
+                d[2] = cu[CU_W]; d[3] = cu[CU_H];
+                d[4] = f.pf; d[5] = f.ref[0]; d[6] = f.ref[1];
+                d[7] = f.mv[0][0]; d[8] = f.mv[0][1];
+                d[9] = f.mv[1][0]; d[10] = f.mv[1][1];
+                d[11] = f.hpel; d[12] = job_tag;
+                nd++;
+                continue;
+            }
+            if (flags & IF_MERGE_GPM)
+                pred_gpm_blk(&r, ip, cu);
+            else if (flags & IF_AFFINE)
+                pred_affine_blk(&r, ip, cu);
+            else
+                pred_regular_blk(&r, ip, cu, 1);
+            if (ip->lmcs_fwd && !(flags & IF_CIIP))
+                lmcs_map_cu_luma(rp, ip, cu);
+            if (r.err)
+                return r.err;
+        }
+    }
+    *n_desc = nd;
+    return 0;
+}

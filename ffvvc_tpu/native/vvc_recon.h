@@ -114,6 +114,11 @@ int recon_ctus(const ReconParams *rp, const InterParams *ip, int n,
 int inter_ctus(const ReconParams *rp, const InterParams *ip, int n,
                const int32_t *rxs, const int32_t *rys, const int32_t *rss,
                const int64_t *cu_ps, const int32_t *n_cus);
+int inter_ctus_dev(const ReconParams *rp, const InterParams *ip, int n,
+                   const int32_t *rxs, const int32_t *rys,
+                   const int32_t *rss, const int64_t *cu_ps,
+                   const int32_t *n_cus, int job_tag,
+                   int32_t *desc, int desc_cap, int32_t *n_desc);
 
 /* vvc_inter.c: CIIP blend at recon stage (ff_vvc_predict_ciip) */
 void vvci_predict_ciip(Recon *r, const int32_t *cu);

@@ -114,3 +114,107 @@ def mc_avg_batch(s0, s1, bd):
 
 def mc_uni_batch(val, bd):
     return np.asarray(_mc_uni_batch(jnp.asarray(val), int(bd)))
+
+
+# ---- decoder-side batched dispatch (ops/itx.py cost-dispatch analogue) -----
+
+PF_L0, PF_L1, PF_BI = 1, 2, 3
+
+
+def frame_device_mc(native_jobs, sps, bd):
+    """Whole-frame batched device MC for the simple regular blocks of every
+    native inter job; complex blocks (affine/GPM/CIIP/DMVR/BDOF, weighted,
+    BCW, LMCS, wraparound) run the host C path inside the same collect call
+    (native/vvc_inter.c inter_ctus_dev).
+
+    native_jobs: [(NativeRecon, ctus)].  Puts batch per (ref plane, size,
+    filter class); the uni/bi finals batch per size."""
+    descs = []
+    rpls = []
+    for tag, (nr, ctus) in enumerate(native_jobs):
+        d = nr.predict_inter_ctus_dev(ctus, tag)
+        rpls.append(nr.rpl)
+        if len(d):
+            descs.append(d)
+    if not descs:
+        return
+    D = np.concatenate(descs)
+    nc = 3 if sps.chroma_format_idc else 1
+    hs, vs = (sps.hshift[1], sps.vshift[1]) if nc > 1 else (0, 0)
+
+    put_buckets = {}      # key -> dict(plane, xs, ys, fx, fy, out slots)
+    entries = []          # (desc_i, c_idx, hyps=[(bucket_key, idx)], dst)
+
+    def add_put(plane, xi, yi, fx, fy, w, h, is_luma, hf_idx):
+        key = (id(plane), w, h, is_luma, hf_idx, fx != 0 or None,
+               fy != 0 or None)
+        # bucket by actual frac class so fclass is uniform per launch
+        key = (id(plane), w, h, is_luma, hf_idx, bool(fx), bool(fy))
+        b = put_buckets.get(key)
+        if b is None:
+            b = put_buckets[key] = {"plane": plane, "xs": [], "ys": [],
+                                    "fx": [], "fy": [], "w": w, "h": h,
+                                    "is_luma": is_luma, "hf": hf_idx}
+        b["xs"].append(xi)
+        b["ys"].append(yi)
+        b["fx"].append(fx)
+        b["fy"].append(fy)
+        return (key, len(b["xs"]) - 1)
+
+    for di in range(len(D)):
+        x0, y0, w, h, pf, r0, r1, mx0, my0, mx1, my1, hpel, tag = \
+            (int(v) for v in D[di])
+        rpl = rpls[tag]
+        hyps = [0] if pf == PF_L0 else [1] if pf == PF_L1 else [0, 1]
+        for c in range(nc):
+            chs, cvs = (0, 0) if c == 0 else (hs, vs)
+            wc, hc = w >> chs, h >> cvs
+            slots = []
+            for lx in hyps:
+                ref = rpl[lx].frames[[r0, r1][lx]].buffer.planes[c]
+                mvx, mvy = (mx0, my0) if lx == 0 else (mx1, my1)
+                if c == 0:
+                    fx, fy = mvx & 15, mvy & 15
+                    xi = x0 + (mvx >> 4)
+                    yi = y0 + (mvy >> 4)
+                    hf_idx = hpel
+                else:
+                    fx = (mvx & ((1 << (4 + chs)) - 1)) << (1 - chs)
+                    fy = (mvy & ((1 << (4 + cvs)) - 1)) << (1 - cvs)
+                    xi = (x0 >> chs) + (mvx >> (4 + chs))
+                    yi = (y0 >> cvs) + (mvy >> (4 + cvs))
+                    hf_idx = 0
+                slots.append(add_put(ref, xi, yi, fx, fy, wc, hc,
+                                     c == 0, hf_idx))
+            entries.append((tag, c, x0 >> chs, y0 >> cvs, wc, hc, slots))
+
+    vals = {}
+    for key, b in put_buckets.items():
+        vals[key] = mc_put_batch(
+            b["plane"], np.asarray(b["xs"], np.int32),
+            np.asarray(b["ys"], np.int32), np.asarray(b["fx"], np.int32),
+            np.asarray(b["fy"], np.int32), b["w"], b["h"], b["is_luma"],
+            bd, b["hf"], b["hf"])
+
+    # finals: batch uni/bi combines per block size
+    finals = {}           # (w, h, is_bi) -> ([s0], [s1]|None, [writeback])
+    for tag, c, xc, yc, wc, hc, slots in entries:
+        dstplane = native_jobs[tag][0].fb.planes[c]
+        if len(slots) == 1:
+            k, i = slots[0]
+            f = finals.setdefault((wc, hc, False), ([], None, []))
+            f[0].append(vals[k][i])
+            f[2].append((dstplane, xc, yc))
+        else:
+            (k0, i0), (k1, i1) = slots
+            f = finals.setdefault((wc, hc, True), ([], [], []))
+            f[0].append(vals[k0][i0])
+            f[1].append(vals[k1][i1])
+            f[2].append((dstplane, xc, yc))
+    for (wc, hc, is_bi), (s0, s1, wbs) in finals.items():
+        if is_bi:
+            out = mc_avg_batch(np.stack(s0), np.stack(s1), bd)
+        else:
+            out = mc_uni_batch(np.stack(s0), bd)
+        for i, (plane, xc, yc) in enumerate(wbs):
+            plane[yc:yc + hc, xc:xc + wc] = out[i]

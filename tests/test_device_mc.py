@@ -62,3 +62,49 @@ def test_mc_avg_uni_device():
         for b in range(5):
             ref = InterPredictor._uni_out(ip, s0[b].astype(np.int64), False)
             assert np.array_equal(gotu[b], ref)
+
+
+# --- decoder-side batched device MC dispatch --------------------------------
+
+@pytest.mark.parametrize("kw", [
+    dict(slice_type=1, nframes=3, width=96, height=64, seed=2),      # P
+    dict(slice_type=0, nframes=3, width=96, height=96, seed=1),      # B
+    dict(slice_type=0, nframes=3, width=64, height=64, seed=3,
+         bit_depth=10),
+    dict(slice_type=0, nframes=3, width=96, height=96, seed=5,       # mixed
+         sps_temporal_mvp_enabled_flag=1, sps_ciip_enabled_flag=1,
+         sps_bcw_enabled_flag=1, sps_mmvd_enabled_flag=1,
+         sps_affine_enabled_flag=1,
+         sps_five_minus_max_num_subblock_merge_cand=0,
+         sps_6param_affine_enabled_flag=1, sps_affine_prof_enabled_flag=1),
+])
+def test_decoder_device_mc(kw):
+    """Decode with device_mc on (simple regular blocks batched on device,
+    complex blocks host C) must equal the host decode byte-for-byte."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_inter_stream(deblock=True, **kw)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_mc=True)).decode(s))
+    assert host == dev
+
+
+def test_decoder_device_mc_dmvr_bdof():
+    """DMVR/BDOF blocks must stay host-side and TMVP collocated grids must
+    survive the split (multi-frame hier GOP)."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_hier_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_hier_stream(seed=0, width=96, height=96, ngops=2, deblock=True,
+                          sps_temporal_mvp_enabled_flag=1,
+                          sps_bdof_enabled_flag=1, sps_dmvr_enabled_flag=1)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_mc=True)).decode(s))
+    assert host == dev
