@@ -215,29 +215,42 @@ class CabacDecoder:
 class CabacEncoder:
     """H.266 9.3.4.4 arithmetic encoder (PutBit register formulation)."""
 
-    __slots__ = ("low", "range", "bits_outstanding", "first_bit", "bits",
-                 "nbits", "states")
+    __slots__ = ("low", "range", "bits_outstanding", "first_bit",
+                 "nbits", "states", "_out", "_cur", "_curn")
 
     def __init__(self, states=None):
         self.low = 0
         self.range = 510
         self.bits_outstanding = 0
         self.first_bit = True
-        self.bits = 0      # big-int bit accumulator (MSB first)
+        # chunked MSB-first accumulator: a big-int grows to megabits and
+        # makes every 1-bit append O(n) (quadratic whole-frame encode);
+        # flush 32-bit words into a bytearray instead
+        self._out = bytearray()
+        self._cur = 0
+        self._curn = 0
         self.nbits = 0
         self.states = states
+
+    def _emit(self, bits: int, n: int):
+        cur = (self._cur << n) | bits
+        curn = self._curn + n
+        while curn >= 32:
+            curn -= 32
+            self._out += ((cur >> curn) & 0xFFFFFFFF).to_bytes(4, "big")
+            cur &= (1 << curn) - 1
+        self._cur = cur
+        self._curn = curn
+        self.nbits += n
 
     def _put_bit(self, b: int):
         if self.first_bit:
             self.first_bit = False
         else:
-            self.bits = (self.bits << 1) | b
-            self.nbits += 1
+            self._emit(b, 1)
         if self.bits_outstanding:
-            inv = 1 - b
-            for _ in range(self.bits_outstanding):
-                self.bits = (self.bits << 1) | inv
-            self.nbits += self.bits_outstanding
+            n = self.bits_outstanding
+            self._emit(((1 << n) - 1) if not b else 0, n)
             self.bits_outstanding = 0
 
     def _renorm(self):
@@ -300,17 +313,17 @@ class CabacEncoder:
         self._renorm()
         self._put_bit((self.low >> 9) & 1)
         # WriteBits(((low >> 7) & 3) | 1, 2)
-        v = ((self.low >> 7) & 3) | 1
-        self.bits = (self.bits << 2) | v
-        self.nbits += 2
+        self._emit(((self.low >> 7) & 3) | 1, 2)
 
     def bytes_aligned(self) -> bytes:
         """Final bitstream, zero-padded to byte alignment (the flush's final
         1-bit doubles as rbsp_stop_one_bit)."""
         pad = (-self.nbits) % 8
-        bits = self.bits << pad
-        nbits = self.nbits + pad
-        return bits.to_bytes(nbits // 8, "big")
+        tail_n = self._curn + pad
+        tail = self._cur << pad
+        out = bytes(self._out) + tail.to_bytes((tail_n + 7) // 8, "big") \
+            if tail_n else bytes(self._out)
+        return out
 
     def truncated_binary(self, value: int, c_max: int):
         n = c_max + 1
