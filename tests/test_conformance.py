@@ -170,6 +170,9 @@ def test_l7_loop_filters(seed, tools, tmp_path):
     ("422", dict(seed=1, nframes=2, chroma=2)),
     ("444", dict(seed=2, nframes=2, chroma=3)),
     ("12bit", dict(seed=3, nframes=2, bit_depth=12)),
+    ("10bit_b", dict(seed=4, nframes=3, bit_depth=10, slice_type=0)),
+    ("10bit_422_p", dict(seed=5, nframes=3, bit_depth=10, chroma=2,
+                         slice_type=1)),
 ])
 def test_l9_formats(name, kw, tmp_path):
     from forge import forge_inter_stream
