@@ -157,6 +157,30 @@ def main():
         extra["ra_vs_baseline"] = round(
             ra_fps / ref_ra_fps if ref_ra_fps else 0.0, 4)
 
+        # --- 4K random access, full loop-filter chain (BASELINE.md row):
+        # measure-and-report config; smaller frame count bounds the cost
+        if os.environ.get("FFVVC_BENCH_4K", "1") == "1":
+            uhd = _cached_stream(
+                "uhd_ra10", lambda: forge_hier_stream(
+                    seed=0, width=3840, height=2160, qp=32, bit_depth=10,
+                    ngops=1, deblock=True, sps_sao_enabled_flag=1,
+                    sps_alf_enabled_flag=1, sps_ccalf_enabled_flag=1,
+                    sps_lmcs_enabled_flag=1,
+                    sps_temporal_mvp_enabled_flag=1,
+                    sps_bdof_enabled_flag=1, sps_dmvr_enabled_flag=1))
+            decode_parallel(uhd, workers=workers)
+            best_4k, yuvs_4k = _time_best(
+                lambda: decode_parallel(uhd, workers=workers), n=2)
+            fps_4k = len(yuvs_4k) / best_4k
+            ref_4k_fps, ref_4k = _oracle_fps(uhd, len(yuvs_4k),
+                                             tmp="/tmp/bench_4k")
+            if ref_4k is not None:
+                assert ref_4k == b"".join(yuvs_4k), \
+                    "4K bench decode NOT bit-exact vs oracle"
+            extra["uhd_ra_fps"] = round(fps_4k, 4)
+            extra["uhd_ra_vs_baseline"] = round(
+                fps_4k / ref_4k_fps if ref_4k_fps else 0.0, 4)
+
         # --- device pixel path: device SAO/ALF kernels on the chip.
         # Runs in a watchdogged subprocess: on a machine with a cold XLA
         # persistent cache, a single remote (tunneled) compile can take

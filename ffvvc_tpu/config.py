@@ -61,6 +61,9 @@ class DecoderConfig:
     # Device deblocking (ops/deblock_device.py): batched segment math, one
     # pass per direction.  LADF streams fall back to the host filter.
     device_deblock: bool = False
+    # Device LMCS inverse mapping (ops/lmcs_device.py): whole-plane LUT
+    # gather gated per CTB by the slice's sh_lmcs_used_flag.
+    device_lmcs: bool = False
     # Device inter MC (ops/mc_device.py): simple regular blocks batch as
     # device 8/4-tap puts + uni/bi finals; complex blocks (affine/GPM/
     # CIIP/DMVR/BDOF/weighted/BCW/LMCS/wraparound) stay on the host C path.

@@ -553,16 +553,20 @@ class VVCDecoder:
             # LMCS inverse mapping (stage before deblock, vvc_thread.c:44,
             # ff_vvc_lmcs_filter vvc_filter.c:1322)
             if lmcs is not None:
-                ctb = sps.ctb_size_y
-                for rec, ctus in recon_jobs:
-                    if not rec.lmcs_used:
-                        continue
-                    for rs, rx, ry in ctus:
-                        x0, y0 = rx * ctb, ry * ctb
-                        x1 = min(x0 + ctb, pps.width)
-                        y1 = min(y0 + ctb, pps.height)
-                        blk = fb.planes[0][y0:y1, x0:x1]
-                        blk[:] = lmcs.inv_lut[blk]
+                if self.config.backend == "tpu" and self.config.device_lmcs:
+                    from .ops.lmcs_device import lmcs_frame_device
+                    lmcs_frame_device(sps, pps, fb, lmcs, recon_jobs)
+                else:
+                    ctb = sps.ctb_size_y
+                    for rec, ctus in recon_jobs:
+                        if not rec.lmcs_used:
+                            continue
+                        for rs, rx, ry in ctus:
+                            x0, y0 = rx * ctb, ry * ctb
+                            x1 = min(x0 + ctb, pps.width)
+                            y1 = min(y0 + ctb, pps.height)
+                            blk = fb.planes[0][y0:y1, x0:x1]
+                            blk[:] = lmcs.inv_lut[blk]
             _stage("lmcs")
             # in-loop filters (whole-frame passes per spec 8.8)
             done = False

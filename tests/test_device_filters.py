@@ -226,3 +226,34 @@ def test_device_deblock_ladf_fallback():
     dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
         DecoderConfig(device_deblock=True)).decode(s))
     assert host == dev
+
+
+@pytest.mark.parametrize("slice_type", [2, 0])
+def test_all_device_paths_end_to_end(slice_type):
+    """Everything the device can take at once — itx dispatch forced on,
+    device SAO + ALF/CC-ALF + deblock + batched MC — must equal the host
+    decode byte-for-byte on a full-tool stream."""
+    import os
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_inter_stream(
+        slice_type=slice_type, nframes=3, width=96, height=96, seed=7,
+        deblock=True, bit_depth=10, sps_sao_enabled_flag=1,
+        sps_alf_enabled_flag=1, sps_ccalf_enabled_flag=1,
+        sps_lmcs_enabled_flag=1)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    prev = os.environ.get("FFVVC_ITX")
+    os.environ["FFVVC_ITX"] = "device"
+    try:
+        dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(DecoderConfig(
+            device_sao=True, device_alf=True, device_deblock=True,
+            device_mc=True, device_lmcs=True)).decode(s))
+    finally:
+        if prev is None:
+            del os.environ["FFVVC_ITX"]
+        else:
+            os.environ["FFVVC_ITX"] = prev
+    assert host == dev
