@@ -599,7 +599,10 @@ class VVCDecoder:
                     sao_frame_device(sps, pps, tabs, fb)
                 else:
                     from .sao import SaoFilter
-                    SaoFilter(sps, pps, tabs, fb).sao_frame()
+                    from .threads import resolve
+                    sf = SaoFilter(sps, pps, tabs, fb)
+                    sf.n_threads = resolve(self.config.stage_threads)
+                    sf.sao_frame()
                 if alf_list is not None:
                     if self.config.backend == "tpu" and \
                             self.config.device_alf:
@@ -675,6 +678,13 @@ class VVCDecoder:
             else CabacDecoder
         wpp = bool(sps.r.sps_entropy_coding_sync_enabled_flag)
         wpp_states = None  # CABAC state after first CTU of the row above
+        # tile entry points are CABAC/StatCoeff-independent (reinit at
+        # every tile start): parse them on parse_workers threads.  WPP
+        # rows hand CABAC state down and stay sequential.
+        from .threads import resolve as _resolve
+        par_eps = (not wpp and len(eps) > 1 and
+                   _resolve(self.config.parse_workers) > 1)
+        pending = []     # deferred (tree, coder, items, tmpl) per EP
         for ep_idx, (ep_range, ctus) in enumerate(zip(eps, ep_ctus)):
             engine = engine_cls(nal.rbsp, ep_range[0] * 8)
             coder = CtuCoder(engine, sps, pps, sh, tabs)
@@ -748,10 +758,13 @@ class VVCDecoder:
                 tabs.deblock_disabled[ctus] = int(sh.lf_disabled)
                 tabs.deblock_beta[ctus] = sh.beta_offset
                 tabs.deblock_tc[ctus] = sh.tc_offset
-                parse_entrypoint(coder.native_tree, coder, items, tmpl,
-                                 wpp_buf)
-                from .native.recon import make_native_recon
-                rec.native_recon = make_native_recon(coder, fb, sh.ph)
+                if par_eps:
+                    pending.append((coder, items, tmpl, wpp_buf, rec))
+                else:
+                    parse_entrypoint(coder.native_tree, coder, items, tmpl,
+                                     wpp_buf)
+                    from .native.recon import make_native_recon
+                    rec.native_recon = make_native_recon(coder, fb, sh.ph)
                 jobs.append((rec, job_ctus))
                 continue
             for i, rs in enumerate(ctus):
@@ -786,6 +799,19 @@ class VVCDecoder:
                 from .native.recon import make_native_recon
                 rec.native_recon = make_native_recon(coder, fb, sh.ph)
             jobs.append((rec, job_ctus))
+        if pending:
+            # threaded tile-entry-point parse (the C call releases the GIL;
+            # the arena pool is lock-guarded, tab writes are disjoint)
+            from .native.parse import parse_entrypoint
+            from .native.recon import make_native_recon
+            from .threads import run_parallel, resolve
+            nt = min(resolve(self.config.parse_workers), len(pending))
+            run_parallel(nt, [
+                (lambda c=c, it=it, t=t, w=w: parse_entrypoint(
+                    c.native_tree, c, it, t, w))
+                for c, it, t, w, _r in pending])
+            for c, _it, _t, _w, rec in pending:
+                rec.native_recon = make_native_recon(c, fb, sh.ph)
         return jobs
 
     def _partition_ctus(self, ctu_addrs, n_eps):

@@ -32,9 +32,15 @@ class SaoFilter:
         self.tabs = tabs
         self.fb = fb
 
+    n_threads = 1   # set by the decoder (stage threads)
+
     def sao_frame(self):
         sps, pps, tabs = self.sps, self.pps, self.tabs
-        if not any(int(t) for t in tabs.sao_type.flat):
+        if not tabs.sao_type.any():
+            return
+        from .native.sao import sao_frame_native
+        if sao_frame_native(sps, pps, tabs, self.fb,
+                            n_threads=self.n_threads):
             return
         pre = [p.copy() for p in self.fb.planes]
         for ry in range(pps.ctb_height):
