@@ -357,7 +357,16 @@ class NativeRecon:
 
     def _batch_arrays(self, ctus, with_records):
         """Flat per-CTU argument arrays for the batched C walks (one
-        ctypes call per job instead of per CTU)."""
+        ctypes call per job instead of per CTU).  Cached per ctus list —
+        the inter and recon walks share the same job lists, and records
+        are final once the slice parse completed."""
+        key = (id(ctus), with_records)
+        cache = getattr(self, "_ba_cache", None)
+        if cache is None:
+            cache = self._ba_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit[0]
         n = len(ctus)
         rxs = np.empty(n, np.int32)
         rys = np.empty(n, np.int32)
@@ -379,7 +388,9 @@ class NativeRecon:
                 tu_ps[i] = _addr(tu_p)
                 tb_ps[i] = _addr(tb_p)
                 co_ps[i] = _addr(coeff_p)
-        return rxs, rys, rss, n_cus, cu_ps, tu_ps, tb_ps, co_ps
+        out = (rxs, rys, rss, n_cus, cu_ps, tu_ps, tb_ps, co_ps)
+        cache[key] = (out, ctus)   # keep ctus alive so id() stays unique
+        return out
 
     def predict_inter_ctus(self, ctus):
         rxs, rys, rss, n_cus, cu_ps, _t, _b, _c = \
