@@ -11,6 +11,8 @@ Measured configs (BASELINE.md targets):
     GOP with DMVR/BDOF + affine (the BASELINE-named RA config).
   * extra.scaling_efficiency: 1-worker vs N-worker GOP-parallel decode of
     the multi-IDR primary stream (BASELINE target >= 0.8).
+  * extra.uhd_ra_fps: 4K random access with the full loop-filter chain
+    (deblock+SAO+ALF/CC-ALF+LMCS), the BASELINE-named 4K config.
   * extra.device_fps: single-process decode with the device pixel path on
     (batched device itx dispatch + device SAO/ALF), bit-exact vs oracle.
     On the tunneled bench chip every launch pays wire latency, so this is
@@ -72,6 +74,13 @@ def _oracle_fps(stream, n_frames, tmp="/tmp/bench"):
 
 
 def main():
+    # Pin the host itx path for every host-side measurement: forked GOP
+    # workers pin it anyway (pipeline.py), and an in-process fallback
+    # (single-segment stream) must not trigger the device-dispatch probe —
+    # on a cold tunneled chip its background XLA compile grinds the host
+    # for minutes and poisons the timings.  The device mode runs in its
+    # own subprocess with its own env.
+    os.environ.setdefault("FFVVC_ITX", "host")
     from tools.forge import forge_tools_stream, forge_hier_stream
     from ffvvc_tpu.decoder import VVCDecoder
     from ffvvc_tpu.config import DecoderConfig
@@ -235,6 +244,10 @@ def main():
                       "unit": "frames/sec/chip",
                       "vs_baseline": round(vs_baseline, 4),
                       "extra": extra}))
+    sys.stdout.flush()
+    # skip interpreter teardown: the axon runtime's daemon threads abort in
+    # atexit (terminate called ...) and would turn a good run into rc=134
+    os._exit(0)
 
 
 if __name__ == "__main__":
