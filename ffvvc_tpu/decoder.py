@@ -732,7 +732,7 @@ class VVCDecoder:
                     ctu_idx = ctu_index[rs]
                     first_in_tile = rx == pps.ctb_to_col_bd[rx] and \
                         ry == pps.ctb_to_row_bd[ry]
-                    reinit = realign = 0
+                    reinit = realign = wpp_inherit = 0
                     if ctu_idx == 0 or first_in_tile:
                         if i == 0:
                             engine.set_states(make_states(
@@ -745,6 +745,13 @@ class VVCDecoder:
                         engine.set_states([wpp_buf[k].copy()
                                            for k in range(4)])
                         coder.init_stat_coeff()
+                    elif wpp and rx == pps.ctb_to_col_bd[rx]:
+                        # WPP row start inside the same entry point (legal
+                        # when sps_entry_point_offsets_present_flag == 0):
+                        # byte-realign past the row's terminate bit, then
+                        # inherit the row-above contexts from wpp_buf
+                        realign = 1
+                        wpp_inherit = 1
                     wpp_save = int(wpp and rx == pps.ctb_to_col_bd[rx])
                     term = 0
                     if rx == pps.ctb_to_col_bd[rx + 1] - 1:
@@ -752,7 +759,7 @@ class VVCDecoder:
                                 ry == pps.ctb_to_row_bd[ry + 1] - 1 or wpp:
                             term = 1
                     items.append((ctu_idx, rs, rx, ry, reinit, realign,
-                                  wpp_save, term, slice_idx))
+                                  wpp_save, term, slice_idx, wpp_inherit))
                     job_ctus.append((rs, rx, ry))
                 # per-CTU deblock params are slice-constant: prefill
                 tabs.deblock_disabled[ctus] = int(sh.lf_disabled)
@@ -787,6 +794,16 @@ class VVCDecoder:
                 elif wpp and i == 0:
                     # WPP: inherit CABAC state saved after the first CTU of
                     # the row above (schedule_next_parse, vvc_thread.c:261)
+                    engine.set_states(tuple(list(x) for x in wpp_states))
+                    coder.init_stat_coeff()
+                elif wpp and rx == pps.ctb_to_col_bd[rx]:
+                    # WPP row start inside one entry point (offsets not
+                    # signalled): realign past the row terminate, inherit
+                    # the row-above contexts
+                    engine2 = engine_cls(
+                        nal.rbsp, engine.byte_pos_after_terminate() * 8)
+                    engine = engine2
+                    coder.e = engine
                     engine.set_states(tuple(list(x) for x in wpp_states))
                     coder.init_stat_coeff()
                 coder.coding_tree_unit(ctu_idx, rs, rx, ry, len(ctu_addrs),

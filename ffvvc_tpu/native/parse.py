@@ -798,11 +798,11 @@ def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf):
     n = len(items)
     descs = (_CtuDesc * n)()
     for i, (ctu_idx, rs, rx, ry, reinit, realign, wpp_save, term,
-            sidx) in enumerate(items):
+            sidx, wpp_inherit) in enumerate(items):
         d = descs[i]
         d.ctu_idx, d.rs, d.rx, d.ry = ctu_idx, rs, rx, ry
         d.reinit, d.realign = reinit, realign
-        d.wpp_inherit = 0
+        d.wpp_inherit = wpp_inherit
         d.wpp_save, d.term, d.slice_idx = wpp_save, term, sidx
     num_ctx = CTX.NUM
     tmpl_ptr = ctypes.c_void_p(state_tmpl.ctypes.data) \

@@ -407,3 +407,72 @@ def test_l15_wraparound_ref_bug(seed, slice_type, tools, tmp_path):
     assert unwrapped == ref, "oracle no longer matches clamped MC"
     assert nat != ref, \
         "reference now applies wraparound — compare outputs instead"
+
+
+# --- WPP without signalled entry-point offsets ------------------------------
+
+@pytest.mark.parametrize("kw", [
+    dict(seed=1, slice_type=2, nframes=2, width=96, height=96),
+    dict(seed=3, slice_type=1, nframes=3, width=96, height=96),
+])
+def test_l16_wpp_no_offsets_ref_bug(kw, tmp_path):
+    """sps_entry_point_offsets_present_flag == 0 with WPP: the subsets
+    (end_of_subset_one_bit + byte_alignment at each row end) and the row
+    context synchronization exist regardless of offset signalling (spec
+    7.3.10.1, 9.3.1); only the offsets are unsignalled.  The reference
+    only handles same-entry-point reinit for TILES (ff_vvc_cabac_init,
+    vvc_cabac.c:842-857) and silently mis-decodes such streams.  Pin:
+    our native and golden decodes agree; the oracle accepts the stream
+    but differs — a fixed reference flips the last assert."""
+    import subprocess
+    from forge import forge_inter_stream
+    from ffvvc_tpu.config import DecoderConfig
+    stream = forge_inter_stream(deblock=True,
+                                sps_entropy_coding_sync_enabled_flag=1, **kw)
+    nat = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(stream))
+    gold = b"".join(f.to_yuv_bytes() for f in VVCDecoder(DecoderConfig(
+        backend="golden", native_cabac=False,
+        native_parse=False)).decode(stream))
+    assert nat == gold
+    if have_oracle():
+        from conftest import ORACLE
+        bit = tmp_path / "t.bit"
+        bit.write_bytes(stream)
+        r = subprocess.run(
+            [ORACLE, "-hide_banner", "-loglevel", "error", "-threads", "1",
+             "-flags", "unaligned", "-f", "vvc", "-i", str(bit),
+             "-f", "rawvideo", "-y", str(tmp_path / "t.yuv")],
+            capture_output=True, timeout=120)
+        assert r.returncode == 0
+        ref = (tmp_path / "t.yuv").read_bytes()
+        assert ref != nat, \
+            "reference now syncs WPP rows without offsets — compare equal"
+
+
+# --- more oracle-differential combinations ----------------------------------
+
+@pytest.mark.parametrize("name,kw", [
+    ("lmcs_intra_tools_dualtree",
+     dict(seed=3, slice_type=2, nframes=2, width=96, height=96,
+          bit_depth=10, sps_lmcs_enabled_flag=1, sps_mip_enabled_flag=1,
+          sps_isp_enabled_flag=1, sps_lfnst_enabled_flag=1,
+          sps_qtbtt_dual_tree_intra_flag=1)),
+    ("wp_affine_10bit",
+     dict(seed=6, slice_type=0, nframes=3, width=96, height=64,
+          bit_depth=10, pps_kw=dict(pps_weighted_bipred_flag=1),
+          sps_affine_enabled_flag=1,
+          sps_five_minus_max_num_subblock_merge_cand=0,
+          sps_6param_affine_enabled_flag=1)),
+])
+def test_l17_combinations(name, kw, tmp_path):
+    from forge import forge_inter_stream
+    n = kw["nframes"]
+    _check_stream(forge_inter_stream(deblock=True, **kw), tmp_path, n)
+
+
+def test_l17_tiles_inter_filters(tmp_path):
+    from forge import forge_tiled_stream
+    _check_stream(forge_tiled_stream(seed=4, nframes=3, width=128, height=96,
+                                     slice_type=1, rows=(2,), cols=(2,),
+                                     sps_sao_enabled_flag=1,
+                                     sps_alf_enabled_flag=1), tmp_path, 3)
