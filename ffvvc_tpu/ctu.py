@@ -210,6 +210,41 @@ class FrameTabs:
         # CU lists per CTU (recon walk order)
         self.cus = [[] for _ in range(nctb)]
 
+    # --- per-process pool (utils/bufpool): page-fault cost of ~40MB of
+    # fresh per-frame planes dominates otherwise -------------------------
+
+    @staticmethod
+    def _pool_key(sps, pps):
+        return ("tabs", pps.width, pps.height, pps.ctb_width,
+                pps.ctb_height, sps.ctb_log2_size_y)
+
+    @classmethod
+    def acquire(cls, sps, pps):
+        from .utils import bufpool
+        key = cls._pool_key(sps, pps)
+        t = bufpool.acquire(key)
+        if t is None:
+            return cls(sps, pps)
+        t._reset()
+        return t
+
+    def recycle(self, sps, pps):
+        from .utils import bufpool
+        bufpool.release(self, self._pool_key(sps, pps))
+
+    def _reset(self):
+        """Zero every plane in place (matches a fresh __init__).  Walks
+        vars() so fields added to __init__ are reset automatically; any
+        non-zero-initialized field must be special-cased here."""
+        for name, v in vars(self).items():
+            if isinstance(v, np.ndarray):
+                v.fill(0)
+            elif isinstance(v, list) and v and isinstance(v[0], np.ndarray):
+                for a in v:
+                    a.fill(0)
+        self.slice_idx.fill(-1)
+        self.cus = [[] for _ in range(len(self.cus))]
+
 
 def set_grid(tab, x0, y0, w, h, v):
     tab[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2] = v

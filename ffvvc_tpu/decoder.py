@@ -43,6 +43,19 @@ class DecodedFrame:
     def to_yuv_bytes(self):
         return self.buffer.to_yuv_bytes()
 
+    def recycle(self):
+        """Return the frame's planes/tabs to the per-process pool.  Callers
+        may use this once they are done with the pixel data AND the decoder
+        that produced the frame is done decoding (e.g. after converting the
+        outputs of a completed decode); the arrays are reused by later
+        frames."""
+        if self.buffer is not None:
+            sps, pps = self.buffer.sps, self.buffer.pps
+            self.buffer.recycle()
+            self.tabs.recycle(sps, pps)
+            self.buffer = None
+            self.tabs = None
+
     # --- TMVP interface (reference ref->tab_dmvr_mvf + rpl_tab) -----------
 
     def get_mvf(self, x, y):
@@ -263,8 +276,8 @@ class VVCDecoder:
 
     def _generate_missing_ref(self, poc):
         """generate_missing_ref (vvc_refs.c:316): mid-gray synthesized."""
-        fb = FrameBuffer(self.sps, self.pps)
-        tabs = FrameTabs(self.sps, self.pps)
+        fb = FrameBuffer.acquire(self.sps, self.pps)
+        tabs = FrameTabs.acquire(self.sps, self.pps)
         tabs.slice_idx[:] = 0
         f = DecodedFrame(poc=poc, buffer=fb, tabs=tabs,
                          sequence=self.seq_decode)
@@ -378,8 +391,8 @@ class VVCDecoder:
             if not self.gdr_recovered and \
                     self.gdr_recovery_point_poc <= poc:
                 self.gdr_recovered = True
-        tabs = FrameTabs(sps, pps)
-        fb = FrameBuffer(sps, pps)
+        tabs = FrameTabs.acquire(sps, pps)
+        fb = FrameBuffer.acquire(sps, pps)
 
         # DPB admission + output/bumping (frame_start, vvcdec.c:596-628)
         frame = DecodedFrame(poc=poc, buffer=fb, tabs=tabs,

@@ -104,7 +104,11 @@ def _decode_segment(args):
     config = dataclasses.replace(config, stage_threads=1)
     from .decoder import VVCDecoder
     frames = VVCDecoder(config).decode(blob)
-    return idx, [f.to_yuv_bytes() for f in frames]
+    out = []
+    for f in frames:
+        out.append(f.to_yuv_bytes())
+        f.recycle()         # planes back to the pool for the next job
+    return idx, out
 
 
 def decode_parallel(data: bytes, workers: int = None,
@@ -118,7 +122,11 @@ def decode_parallel(data: bytes, workers: int = None,
         workers = os.cpu_count() or 1
     segments = segment_stream(data)
     if workers <= 1 or len(segments) <= 1:
-        return [f.to_yuv_bytes() for f in VVCDecoder(config).decode(data)]
+        out = []
+        for f in VVCDecoder(config).decode(data):
+            out.append(f.to_yuv_bytes())
+            f.recycle()
+        return out
     jobs = [(i, prefix + seg, config)
             for i, (prefix, seg) in enumerate(segments)]
     pool = _get_pool(min(workers, len(jobs)))

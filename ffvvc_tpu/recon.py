@@ -102,6 +102,31 @@ class FrameBuffer:
             self.planes.append(np.full((h, w), 1 << (sps.bit_depth - 1),
                                        dtype=np.int32))
 
+    # --- per-process pool (utils/bufpool): avoids per-frame first-touch
+    # page faults on the ~12MB of fresh plane memory -----------------------
+
+    @staticmethod
+    def _pool_key(sps, pps):
+        return ("fb", pps.width, pps.height, sps.chroma_format_idc,
+                sps.bit_depth)
+
+    @classmethod
+    def acquire(cls, sps, pps):
+        from .utils import bufpool
+        key = cls._pool_key(sps, pps)
+        fb = bufpool.acquire(key)
+        if fb is None:
+            return cls(sps, pps)
+        fb.sps, fb.pps = sps, pps
+        mid = 1 << (sps.bit_depth - 1)
+        for p in fb.planes:
+            p.fill(mid)
+        return fb
+
+    def recycle(self):
+        from .utils import bufpool
+        bufpool.release(self, self._pool_key(self.sps, self.pps))
+
     def to_yuv_bytes(self) -> bytes:
         bd = self.sps.bit_depth
         left, right, top, bottom = getattr(self.pps, "crop", (0, 0, 0, 0))
