@@ -68,6 +68,11 @@ class DecoderConfig:
     # device 8/4-tap puts + uni/bi finals; complex blocks (affine/GPM/
     # CIIP/DMVR/BDOF/weighted/BCW/LMCS/wraparound) stay on the host C path.
     device_mc: bool = False
+    # Device intra prediction (ops/intra_device.py): wavefront-batched
+    # planar/DC/angular/MIP/CCLM prediction + residual add on device for
+    # all-intra frames (4:2:0/mono); other frames use the native C walk.
+    # Same tunneled-chip caveat as device_sao.
+    device_intra: bool = False
 
     # Intra-frame stage threads over GIL-releasing native calls (inter MC
     # CTUs; deblock row/column shards). 0 = auto (cpu count). GOP-parallel

@@ -555,13 +555,22 @@ class VVCDecoder:
             # depends on these (TMVP reads the col MV grids written at
             # parse/inter time), so they overlap frame N+1's parse on the
             # frame pipeline (config.pipeline_frames)
-            for rec, ctus in recon_jobs:
-                nr = rec.native_recon
-                if nr is not None:
-                    nr.reconstruct_ctus(ctus)   # one C call per job
-                else:
-                    for rs, rx, ry in ctus:
-                        rec.reconstruct_ctu(rs, rx, ry)
+            did_dev_intra = False
+            if (self.config.backend == "tpu" and self.config.device_intra
+                    and not is_inter_frame):
+                # wavefront-batched device intra (ops/intra_device.py);
+                # returns False (untouched state) when ineligible
+                from .ops.intra_device import frame_device_intra
+                did_dev_intra = frame_device_intra(recon_jobs, sps, pps,
+                                                   tabs, fb)
+            if not did_dev_intra:
+                for rec, ctus in recon_jobs:
+                    nr = rec.native_recon
+                    if nr is not None:
+                        nr.reconstruct_ctus(ctus)   # one C call per job
+                    else:
+                        for rs, rx, ry in ctus:
+                            rec.reconstruct_ctu(rs, rx, ry)
             _stage("recon")
             # LMCS inverse mapping (stage before deblock, vvc_thread.c:44,
             # ff_vvc_lmcs_filter vvc_filter.c:1322)

@@ -102,6 +102,10 @@ def load_lib():
                                ctypes.POINTER(_InterParams), _I,
                                _P, _P, _P, _P, _P, _P, _P, _P]
     lib.recon_ctus.restype = _I
+    lib.recon_residual_ctus.argtypes = [ctypes.POINTER(_ReconParams), _I,
+                                        _P, _P, _P, _P, _P, _P, _P, _P,
+                                        _P, _P, _P]
+    lib.recon_residual_ctus.restype = _I
     lib.inter_ctus.argtypes = [ctypes.POINTER(_ReconParams),
                                ctypes.POINTER(_InterParams), _I,
                                _P, _P, _P, _P, _P]
@@ -430,6 +434,26 @@ class NativeRecon:
             tu_ps.ctypes.data, tb_ps.ctypes.data, co_ps.ctypes.data)
         if err:
             raise ValueError(f"native recon_ctus failed (err={err})")
+
+    def residual_ctus(self, ctus, res_planes):
+        """Device-intra support: run the record walk in residual-only mode,
+        writing raw per-TB residuals into res_planes (list of int32 arrays,
+        one per plane, same shapes as fb.planes).  Consumes the records'
+        coefficient state (BDPCM/dequant run in place) — the normal
+        reconstruct_ctus must NOT run afterwards for these CTUs."""
+        rxs, rys, rss, n_cus, cu_ps, tu_ps, tb_ps, co_ps = \
+            self._batch_arrays(ctus, True)
+        ps = [p.ctypes.data for p in res_planes] + \
+            [0] * (3 - len(res_planes))
+        err = self.lib.recon_residual_ctus(
+            self._rp_ref, len(ctus),
+            rxs.ctypes.data, rys.ctypes.data, rss.ctypes.data,
+            cu_ps.ctypes.data, n_cus.ctypes.data,
+            tu_ps.ctypes.data, tb_ps.ctypes.data, co_ps.ctypes.data,
+            ps[0], ps[1], ps[2])
+        if err:
+            raise ValueError(f"native recon_residual_ctus failed "
+                             f"(err={err})")
 
 
 def make_native_recon(coder, fb, ph_r):

@@ -1015,8 +1015,19 @@ static void add_residual(Recon *r, const int64_t *res, int x, int y, int w,
                          int h, int c_idx)
 {
     const ReconParams *rp = r->rp;
-    int32_t *plane = plane_of(rp, c_idx);
     long stride = stride_of(rp, c_idx);
+    if (r->residual_only) {
+        /* device intra path: stash the raw residual; the device kernels
+         * later compute clip(pred + res) per predict unit, which matches
+         * the sequential add exactly (TB regions are disjoint per plane) */
+        int32_t *rpn = r->res_planes[c_idx];
+        for (int yy = 0; yy < h; yy++)
+            for (int xx = 0; xx < w; xx++)
+                rpn[(long)(y + yy) * stride + x + xx] =
+                    (int32_t)res[yy * w + xx];
+        return;
+    }
+    int32_t *plane = plane_of(rp, c_idx);
     long long mx = (1 << rp->bit_depth) - 1;
     for (int yy = 0; yy < h; yy++)
         for (int xx = 0; xx < w; xx++) {
@@ -1152,9 +1163,11 @@ static void recon_cu(Recon *r, const int32_t *cu, const int32_t *tu_recs,
                     pw = 4;
                 }
                 if (do_luma) {
-                    vvcr_set_na(r, tu[TU_X0], tu[TU_Y0], pw, tu[TU_H]);
-                    vvcr_intra_pred(r, cu, tu[TU_X0], tu[TU_Y0], pw,
-                                 tu[TU_H], 0);
+                    if (!r->residual_only) {
+                        vvcr_set_na(r, tu[TU_X0], tu[TU_Y0], pw, tu[TU_H]);
+                        vvcr_intra_pred(r, cu, tu[TU_X0], tu[TU_Y0], pw,
+                                        tu[TU_H], 0);
+                    }
                     add_ra(r, 0, tu[TU_X0], tu[TU_Y0], pw, tu[TU_H]);
                 }
             }
@@ -1176,13 +1189,15 @@ static void recon_cu(Recon *r, const int32_t *cu, const int32_t *tu_recs,
                     do_pred = 0;
                 }
                 if (do_pred) {
-                    vvcr_set_na(r, px, py, pw, ph);
-                    if (cu[CU_IPM_C] >= INTRA_LT_CCLM &&
-                        cu[CU_IPM_C] <= INTRA_T_CCLM) {
-                        cclm_pred(r, cu, px, py, pw, ph);
-                    } else {
-                        vvcr_intra_pred(r, cu, px, py, pw, ph, 1);
-                        vvcr_intra_pred(r, cu, px, py, pw, ph, 2);
+                    if (!r->residual_only) {
+                        vvcr_set_na(r, px, py, pw, ph);
+                        if (cu[CU_IPM_C] >= INTRA_LT_CCLM &&
+                            cu[CU_IPM_C] <= INTRA_T_CCLM) {
+                            cclm_pred(r, cu, px, py, pw, ph);
+                        } else {
+                            vvcr_intra_pred(r, cu, px, py, pw, ph, 1);
+                            vvcr_intra_pred(r, cu, px, py, pw, ph, 2);
+                        }
                     }
                     add_ra(r, 1, px, py, pw, ph);
                 }
@@ -1207,6 +1222,7 @@ int recon_ctu(const ReconParams *rp, const InterParams *ip, int rx, int ry,
     r.n_ras[0] = r.n_ras[1] = 0;
     r.err = 0;
     r.na_cand_up_left = 0;
+    r.residual_only = 0;
     recon_neighbour(&r, rx, ry, rs);
     for (int i = 0; i < n_cu; i++) {
         recon_cu(&r, cu_recs + i * CU_STRIDE, tu_recs, tb_recs, coeff_pool);
@@ -1234,6 +1250,46 @@ int recon_ctus(const ReconParams *rp, const InterParams *ip, int n,
                             (int32_t *)(intptr_t)coeff_ps[i]);
         if (err)
             return err;
+    }
+    return 0;
+}
+
+/* residual-only walk (device intra path): same record walk as recon_ctus
+ * but skips prediction and writes every TB's raw residual into the given
+ * per-plane residual buffers (same geometry/stride as the pixel planes).
+ * The device wavefront kernels then compute clip(pred + res) per predict
+ * unit (ops/intra_device.py).  I-slices only. */
+int recon_residual_ctus(const ReconParams *rp, int n,
+                        const int32_t *rxs, const int32_t *rys,
+                        const int32_t *rss, const int64_t *cu_ps,
+                        const int32_t *n_cus, const int64_t *tu_ps,
+                        const int64_t *tb_ps, const int64_t *coeff_ps,
+                        int32_t *res0, int32_t *res1, int32_t *res2)
+{
+    static _Thread_local Recon r;
+    r.rp = rp;
+    r.ip = 0;
+    r.residual_only = 1;
+    r.res_planes[0] = res0;
+    r.res_planes[1] = res1;
+    r.res_planes[2] = res2;
+    for (int i = 0; i < n; i++) {
+        if (!n_cus[i])
+            continue;
+        const int32_t *cu_recs = (const int32_t *)(intptr_t)cu_ps[i];
+        const int32_t *tu_recs = (const int32_t *)(intptr_t)tu_ps[i];
+        const int32_t *tb_recs = (const int32_t *)(intptr_t)tb_ps[i];
+        int32_t *coeff_pool = (int32_t *)(intptr_t)coeff_ps[i];
+        r.n_ras[0] = r.n_ras[1] = 0;
+        r.err = 0;
+        r.na_cand_up_left = 0;
+        recon_neighbour(&r, rxs[i], rys[i], rss[i]);
+        for (int c = 0; c < n_cus[i]; c++) {
+            recon_cu(&r, cu_recs + c * CU_STRIDE, tu_recs, tb_recs,
+                     coeff_pool);
+            if (r.err)
+                return r.err;
+        }
     }
     return 0;
 }

@@ -97,6 +97,11 @@ typedef struct {
     /* current CU */
     const int32_t *cu;
     int err;
+    /* residual-only mode (device intra path, ops/intra_device.py): skip
+     * prediction, write raw per-TB residuals into res_planes instead of
+     * adding them to the pixel planes */
+    int residual_only;
+    int32_t *res_planes[3];
 } Recon;
 
 /* vvc_recon.c helpers shared with vvc_inter.c */
@@ -111,6 +116,12 @@ int recon_ctus(const ReconParams *rp, const InterParams *ip, int n,
                const int64_t *cu_ps, const int32_t *n_cus,
                const int64_t *tu_ps, const int64_t *tb_ps,
                const int64_t *coeff_ps);
+int recon_residual_ctus(const ReconParams *rp, int n,
+                        const int32_t *rxs, const int32_t *rys,
+                        const int32_t *rss, const int64_t *cu_ps,
+                        const int32_t *n_cus, const int64_t *tu_ps,
+                        const int64_t *tb_ps, const int64_t *coeff_ps,
+                        int32_t *res0, int32_t *res1, int32_t *res2);
 int inter_ctus(const ReconParams *rp, const InterParams *ip, int n,
                const int32_t *rxs, const int32_t *rys, const int32_t *rss,
                const int64_t *cu_ps, const int32_t *n_cus);
