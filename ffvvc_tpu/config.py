@@ -48,6 +48,10 @@ class DecoderConfig:
     # when the stream uses a tool the C core doesn't cover.
     native_parse: bool = True
 
+    # Native C whole-frame ALF/CC-ALF pass (native/vvc_alf.c); falls back
+    # to the Python golden pass when a referenced APS is unavailable.
+    native_alf: bool = True
+
     # Run whole-frame SAO on device (per-pixel parameter maps + one fused
     # XLA/Pallas pass) instead of the host per-CTB path. Off by default:
     # over a tunneled single chip the map transfer can outweigh the compute
@@ -70,8 +74,8 @@ class DecoderConfig:
     device_mc: bool = False
     # Device intra prediction (ops/intra_device.py): wavefront-batched
     # planar/DC/angular/MIP/CCLM prediction + residual add on device for
-    # all-intra frames (4:2:0/mono); other frames use the native C walk.
-    # Same tunneled-chip caveat as device_sao.
+    # all-intra frames; inter frames use the native C walk.  Same
+    # tunneled-chip caveat as device_sao.
     device_intra: bool = False
 
     # Intra-frame stage threads over GIL-releasing native calls (inter MC

@@ -632,9 +632,15 @@ class VVCDecoder:
                         alf_frame_device(sps, pps, tabs, fb, sh_list,
                                          alf_list)
                     else:
-                        from .alf import AlfFilter
-                        AlfFilter(sps, pps, tabs, fb, sh_list,
-                                  alf_list).alf_frame()
+                        done = False
+                        if self.config.native_alf:
+                            from .native.alf import alf_frame_native
+                            done = alf_frame_native(sps, pps, tabs, fb,
+                                                    sh_list, alf_list)
+                        if not done:
+                            from .alf import AlfFilter
+                            AlfFilter(sps, pps, tabs, fb, sh_list,
+                                      alf_list).alf_frame()
             _stage("sao_alf")
             # recycle native parse record arenas (everything pixel-level
             # that reads them — MC, CIIP, recon — has run; tabs keep the
