@@ -29,9 +29,9 @@ reconstructed left/top neighbours) fight batching.  The design splits it:
   (native/vvc_recon.c recon_residual_ctus).
 
 Bit-exact vs the golden model / reference oracle (integer-only math),
-pinned by tests/test_device_intra.py.  Gated to I-frames with 4:2:0/mono
-chroma (DecoderConfig.device_intra); everything else falls back to the
-native C walk.
+pinned by tests/test_device_intra.py across all chroma formats
+(mono/4:2:0/4:2:2/4:4:4) and 8/10/12-bit.  Gated to all-intra frames
+(DecoderConfig.device_intra); inter frames use the native C walk.
 """
 from __future__ import annotations
 
@@ -319,9 +319,12 @@ class IntraPlanner(Reconstructor):
                 r0 = y0 + 2 * np.arange(h)
                 rt = r0 - 1
                 rt[0] = y0 - avail_t
+        # clamp only the tap offsets a variant actually reads: the 4:2:0
+        # variants access r0+1, the subsampled-h variants access xc+1
         plan["xm1"] = np.clip(xm1, 0, Wl - 1)
-        plan["xc"] = np.clip(xc, 0, Wl - 2 if Wl > 1 else 0)
-        plan["r0"] = np.clip(r0, 0, Hl - 2 if Hl > 1 else 0)
+        plan["xc"] = np.clip(xc, 0, Wl - 1 if (not hs and not vs)
+                             else max(Wl - 2, 0))
+        plan["r0"] = np.clip(r0, 0, Hl - 1 if not vs else max(Hl - 2, 0))
         plan["rt"] = np.clip(rt, 0, Hl - 1)
         plan["luma_rects"] = [(plan["r0"][:, None], plan["xc"][None, :])]
 
@@ -819,8 +822,6 @@ def frame_device_intra(recon_jobs, sps, pps, tabs, fb):
     Returns True when the frame was reconstructed (fb.planes updated),
     False when ineligible (caller falls back to the native C walk; no
     state has been touched in that case)."""
-    if sps.chroma_format_idc not in (0, 1):
-        return False
     jobs = []
     for rec, ctus in recon_jobs:
         nr = rec.native_recon

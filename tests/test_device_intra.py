@@ -62,11 +62,18 @@ def _forge(case):
     if case == "12bit":
         return forge_tools_stream(seed=7, width=96, height=96, qp=30,
                                   bit_depth=12)
+    if case == "422":
+        return forge_tools_stream(seed=8, width=128, height=96, qp=30,
+                                  chroma=2, sps_cclm_enabled_flag=1)
+    if case == "444":
+        return forge_tools_stream(seed=9, width=128, height=96, qp=30,
+                                  chroma=3, sps_cclm_enabled_flag=1)
     raise KeyError(case)
 
 
 CASES = ["basic", "fuzz", "tools10", "cclm", "cclm_coll", "dualtree",
-         "ts_bdpcm", "tiled", "subpic", "wpp", "mono", "12bit"]
+         "ts_bdpcm", "tiled", "subpic", "wpp", "mono", "12bit",
+         "422", "444"]
 
 
 @pytest.mark.parametrize("case", CASES)
