@@ -89,3 +89,12 @@ class DecoderConfig:
     # inter MC of frame N+1 still waits for frame N's filtered pixels.
     # Disabled automatically under error_resilient (exception attribution).
     pipeline_frames: bool = True
+    # Frame-pipeline depth: how many frames' pixel stages may be queued
+    # behind the parse before it blocks (the analogue of the reference's
+    # deep frame contexts, vvcdec.c:830-841 / vvc_thread.c frame pipeline).
+    # Inter frames still drain the whole queue before MC (reference
+    # barrier); depth > 1 only runs ahead across consecutive intra frames.
+    # Bounds per-frame memory (tabs + planes per in-flight frame); on the
+    # 2-vCPU bench host depth > 1 is wall-clock neutral (GOP workers
+    # already saturate the cores) — the headroom is for many-core hosts.
+    pipeline_depth: int = 2

@@ -102,10 +102,10 @@ class VVCDecoder:
         self.gdr_recovered = True
         # per-stage wall time (seconds) accumulated when config.profile
         self.stage_times = {}
-        # frame pipeline: pixel stages of frame N run on this worker while
-        # frame N+1 parses (config.pipeline_frames)
+        # frame pipeline: pixel stages of queued frames run on this worker
+        # while later frames parse (config.pipeline_frames/pipeline_depth)
         self._pix_exec = None
-        self._pix_future = None
+        self._pix_futures = []
         # mesh-sharded filter pipeline (parallel/filters.py): frames over
         # "gop", CTU-row slabs over "tile"; drains at inter ref barriers
         self._mesh_q = None
@@ -494,11 +494,17 @@ class VVCDecoder:
 
         _stage("parse")
 
-        # inter MC needs the refs' FILTERED pixels: frame N-1's pixel
-        # stages (possibly on the worker thread) must land first — the
-        # host analogue of the reference's row-progress wait
-        # (schedule_inter, vvc_thread.c:281-296)
-        self._join_pixels()
+        # inter MC needs the refs' FILTERED pixels: every queued frame's
+        # pixel stages must land first — the host analogue of the
+        # reference's row-progress wait (schedule_inter,
+        # vvc_thread.c:281-296).  Intra frames have no pixel dependency on
+        # earlier frames, so they only trim the pixel queue to
+        # config.pipeline_depth (the reference's deep frame contexts,
+        # vvcdec.c:830-841): the parse runs ahead across intra runs.
+        if is_inter_frame or self._mesh_q is not None:
+            self._join_pixels()
+        else:
+            self._trim_pixels(max(1, self.config.pipeline_depth) - 1)
 
         if self.config.backend == "tpu":
             # batched inverse transforms on device (one launch per TB bucket);
@@ -656,16 +662,21 @@ class VVCDecoder:
                 from concurrent.futures import ThreadPoolExecutor
                 self._pix_exec = ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="ffvvc-pixels")
-            self._pix_future = self._pix_exec.submit(pixel_stages)
+            self._pix_futures.append(self._pix_exec.submit(pixel_stages))
         else:
             pixel_stages()
         return outputs
 
     def _join_pixels(self):
-        """Wait for the in-flight pixel-stage thread (frame pipeline)."""
-        fut, self._pix_future = self._pix_future, None
-        if fut is not None:
+        """Wait for every queued pixel-stage job (frame pipeline)."""
+        futs, self._pix_futures = self._pix_futures, []
+        for fut in futs:
             fut.result()
+
+    def _trim_pixels(self, depth):
+        """Block until at most `depth` pixel-stage jobs remain queued."""
+        while len(self._pix_futures) > depth:
+            self._pix_futures.pop(0).result()
 
     def _entry_point_offsets(self, nal, sh_r, sh_end_bits):
         """Byte ranges of each entry point within nal.rbsp (EPB-adjusted;
