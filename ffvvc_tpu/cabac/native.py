@@ -51,7 +51,7 @@ class _ResParams(ctypes.Structure):
 
 def _build():
     import subprocess
-    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-fPIC", "-o", _SO, _SRC],
+    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-Wl,-Bsymbolic", "-fPIC", "-o", _SO, _SRC],
                    check=True)
 
 

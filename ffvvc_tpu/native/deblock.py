@@ -55,7 +55,7 @@ class DeblockFrame(ctypes.Structure):
 
 def _build():
     import subprocess
-    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-fPIC", "-o", _SO, _SRC],
+    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-Wl,-Bsymbolic", "-fPIC", "-o", _SO, _SRC],
                    check=True)
 
 

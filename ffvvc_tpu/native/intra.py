@@ -21,7 +21,7 @@ _I32P = ctypes.POINTER(ctypes.c_int32)
 
 def _build():
     import subprocess
-    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-fPIC", "-o", _SO, _SRC],
+    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-Wl,-Bsymbolic", "-fPIC", "-o", _SO, _SRC],
                    check=True)
 
 

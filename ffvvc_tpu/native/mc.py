@@ -18,7 +18,7 @@ _L = ctypes.c_long
 
 def _build():
     import subprocess
-    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-fPIC", "-o", _SO, _SRC],
+    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-Wl,-Bsymbolic", "-fPIC", "-o", _SO, _SRC],
                    check=True)
 
 

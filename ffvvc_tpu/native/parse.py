@@ -154,7 +154,7 @@ class _ParseOut(ctypes.Structure):
 
 def _build():
     import subprocess
-    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-fPIC", "-o", _SO] + _SRCS,
+    subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-Wl,-Bsymbolic", "-fPIC", "-o", _SO] + _SRCS,
                    check=True)
 
 

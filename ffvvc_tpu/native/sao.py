@@ -36,7 +36,7 @@ def load_lib():
         if not os.path.exists(_SO) or \
                 os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             import subprocess
-            subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared",
+            subprocess.run(["gcc", "-O3", "-march=x86-64-v3", "-shared", "-Wl,-Bsymbolic",
                             "-fPIC", "-o", _SO, _SRC], check=True)
         lib = ctypes.CDLL(_SO)
     except Exception:

@@ -17,47 +17,9 @@
 
 #define MAX_TB 64
 
-static inline void refill_cache(Cabac *c)
-{
-    long p = c->pos;
-    long byte = p >> 3;
-    long nbytes = (c->nbits + 7) >> 3;
-    uint64_t v;
-    if (byte + 8 <= nbytes) {
-        memcpy(&v, c->data + byte, 8);
-        v = __builtin_bswap64(v);
-    } else {
-        v = 0;
-        for (int i = 0; i < 8; i++)
-            v = (v << 8) | (byte + i < nbytes ? c->data[byte + i] : 0);
-    }
-    int skip = (int)(p & 7);
-    c->cache = v << skip;       /* bits past nbits read as 0 */
-    c->cache_n = 64 - skip;
-}
-
-static inline int read_bit(Cabac *c)
-{
-    if (c->cache_n == 0)
-        refill_cache(c);
-    int b = (int)(c->cache >> 63);
-    c->cache <<= 1;
-    c->cache_n--;
-    c->pos++;
-    return b;
-}
-
-/* read n (1..32) MSB-first bits from the cache in one step */
-static inline uint32_t take_bits(Cabac *c, int n)
-{
-    if (c->cache_n < n)
-        refill_cache(c);       /* refill reloads from c->pos: lossless */
-    uint32_t b = (uint32_t)(c->cache >> (64 - n));
-    c->cache <<= n;
-    c->cache_n -= n;
-    c->pos += n;
-    return b;
-}
+/* The engine core lives in vvc_cabac.h as static inline (cabac_bin_ and
+ * friends) so vvc_parse.c and the residual loops below inline it; these
+ * exported wrappers serve the ctypes engine (cabac/native.py). */
 
 void cabac_init(Cabac *c, const uint8_t *data, long nbits, long bit_pos,
                 int32_t *s0, int32_t *s1, int32_t *sh0, int32_t *sh1)
@@ -69,109 +31,19 @@ void cabac_init(Cabac *c, const uint8_t *data, long nbits, long bit_pos,
     c->cache = 0;
     c->cache_n = 0;
     c->range = 510;
-    uint32_t v = 0;
-    for (int i = 0; i < 9; i++)
-        v = (v << 1) | read_bit(c);
-    c->offset = v;
+    c->offset = cabac_take_bits_(c, 9);
 }
 
-int cabac_decode_bin(Cabac *c, int idx)
-{
-    int32_t st0 = c->s0[idx];
-    int32_t st1 = c->s1[idx];
-    int32_t p = st1 + (st0 << 4);
-    int val_mps = p >> 14;
-    uint32_t lps = (((c->range >> 5) * (uint32_t)((val_mps ? 32767 - p : p) >> 9)) >> 1) + 4;
-    uint32_t rng = c->range - lps;
-    int bit;
-    if (c->offset >= rng) {
-        bit = 1 - val_mps;
-        c->offset -= rng;
-        rng = lps;
-    } else {
-        bit = val_mps;
-    }
-    if (rng < 256) {
-        /* renormalize in one step (rng >= 4 always) */
-        int s = 8 - (31 - __builtin_clz(rng));
-        rng <<= s;
-        c->offset = (c->offset << s) | take_bits(c, s);
-    }
-    c->range = rng;
-    int a = c->sh0[idx];
-    c->s0[idx] = st0 - (st0 >> a) + ((1023 * bit) >> a);
-    int b = c->sh1[idx];
-    c->s1[idx] = st1 - (st1 >> b) + ((16383 * bit) >> b);
-    return bit;
-}
-
-int cabac_decode_bypass(Cabac *c)
-{
-    uint32_t offset = (c->offset << 1) | take_bits(c, 1);
-    if (offset >= c->range) {
-        c->offset = offset - c->range;
-        return 1;
-    }
-    c->offset = offset;
-    return 0;
-}
-
+int cabac_decode_bin(Cabac *c, int idx) { return cabac_bin_(c, idx); }
+int cabac_decode_bypass(Cabac *c) { return cabac_bypass_(c); }
 int cabac_decode_bypass_bits(Cabac *c, int n)
-{
-    /* n sequential bypass bins == long division of (offset:bits) by range:
-     * each bin is offset' = 2*offset + b - bit*range with 0 <= offset' <
-     * range, i.e. successive quotient digits of ((offset << n) | bits) /
-     * range.  Chunked at 16 bins to bound the dividend. */
-    int v = 0;
-    while (n > 0) {
-        int k = n > 16 ? 16 : n;
-        uint64_t d = ((uint64_t)c->offset << k) | take_bits(c, k);
-        v = (v << k) | (int)(d / c->range);
-        c->offset = (uint32_t)(d % c->range);
-        n -= k;
-    }
-    return v;
-}
-
-int cabac_decode_terminate(Cabac *c)
-{
-    c->range -= 2;
-    if (c->offset >= c->range)
-        return 1;
-    if (c->range < 256) {
-        int s = 8 - (31 - __builtin_clz(c->range));
-        c->range <<= s;
-        c->offset = (c->offset << s) | take_bits(c, s);
-    }
-    return 0;
-}
-
+{ return cabac_bypass_bits_(c, n); }
+int cabac_decode_terminate(Cabac *c) { return cabac_terminate_(c); }
 int cabac_truncated_binary(Cabac *c, int c_max)
-{
-    int n = c_max + 1;
-    if (n <= 1)
-        return 0;
-    int k = 31 - __builtin_clz(n);
-    int u = (1 << (k + 1)) - n;
-    int v = cabac_decode_bypass_bits(c, k);
-    if (v >= u) {
-        v = (v << 1) | cabac_decode_bypass(c);
-        v -= u;
-    }
-    return v;
-}
-
+{ return cabac_truncated_binary_(c, c_max); }
 int cabac_limited_egk(Cabac *c, int k, int max_pre_ext_len,
                       int trunc_suffix_len)
-{
-    int pre = 0;
-    while (pre < max_pre_ext_len && cabac_decode_bypass(c))
-        pre++;
-    int esc = (pre == max_pre_ext_len) ? trunc_suffix_len : pre + k;
-    int val = esc > 0 ? cabac_decode_bypass_bits(c, esc) : 0;
-    val += ((1 << pre) - 1) << k;
-    return val;
-}
+{ return cabac_limited_egk_(c, k, max_pre_ext_len, trunc_suffix_len); }
 
 long cabac_pos(Cabac *c) { return c->pos; }
 void cabac_set_pos(Cabac *c, long pos) { c->pos = pos; c->cache_n = 0; }
@@ -278,13 +150,13 @@ static int sb_coded_ctx(const ResParams *pp, RC *rc, int xs, int ys)
 static int abs_coding(Cabac *c, const ResParams *pp, int c_rice)
 {
     int prefix = 0;
-    while (prefix < 6 && cabac_decode_bypass(c))
+    while (prefix < 6 && cabac_bypass_(c))
         prefix++;
     int suffix;
     if (prefix < 6)
-        suffix = c_rice ? cabac_decode_bypass_bits(c, c_rice) : 0;
+        suffix = c_rice ? cabac_bypass_bits_(c, c_rice) : 0;
     else
-        suffix = cabac_limited_egk(c, c_rice + 1,
+        suffix = cabac_limited_egk_(c, c_rice + 1,
                                    26 - pp->log2_transform_range,
                                    pp->log2_transform_range);
     return suffix + (prefix << c_rice);
@@ -316,7 +188,7 @@ static int last_sig_prefix(Cabac *c, const ResParams *pp, int log2_tb_size,
         shift = shf_c[log2_tb_size];
     }
     int i = 0;
-    while (i < cmax && cabac_decode_bin(c, base + (i >> shift) + offset))
+    while (i < cmax && cabac_bin_(c, base + (i >> shift) + offset))
         i++;
     return i;
 }
@@ -341,7 +213,7 @@ static void regular_subblock(Cabac *c, ResParams *pp, RC *rc, int i,
     int gt2[64];
 
     if (i < rc->last_sub_block && i > 0) {
-        int v = cabac_decode_bin(c, sb_coded_ctx(pp, rc, xs, ys));
+        int v = cabac_bin_(c, sb_coded_ctx(pp, rc, xs, ys));
         rc->sb_coded[ys * rc->width_in_sbs + xs] = v;
         infer_sb_dc_sig = 1;
     } else {
@@ -366,7 +238,7 @@ static void regular_subblock(Cabac *c, ResParams *pp, RC *rc, int i,
         int last = (xc == rc->last_x && yc == rc->last_y);
         int sig;
         if ((n > 0 || !infer_sb_dc_sig) && !last) {
-            sig = cabac_decode_bin(c, sig_ctx(pp, rc, xc, yc));
+            sig = cabac_bin_(c, sig_ctx(pp, rc, xc, yc));
             rc->sig[yc * w + xc] = sig;
             rc->rem_bins_pass1--;
             if (sig)
@@ -378,12 +250,12 @@ static void regular_subblock(Cabac *c, ResParams *pp, RC *rc, int i,
         int pass1 = 0;
         if (sig) {
             int inc = gtx_ctx(pp, rc, xc, yc, last);
-            int gt1 = cabac_decode_bin(c, pp->ctx_gtx + inc);
+            int gt1 = cabac_bin_(c, pp->ctx_gtx + inc);
             rc->rem_bins_pass1--;
             int par = 0;
             if (gt1) {
-                par = cabac_decode_bin(c, pp->ctx_par + inc);
-                gt2[n] = cabac_decode_bin(c, pp->ctx_gtx + inc + 32);
+                par = cabac_bin_(c, pp->ctx_par + inc);
+                gt2[n] = cabac_bin_(c, pp->ctx_gtx + inc + 32);
                 rc->rem_bins_pass1 -= 2;
             } else {
                 gt2[n] = 0;
@@ -450,7 +322,7 @@ static void regular_subblock(Cabac *c, ResParams *pp, RC *rc, int i,
         if (lvl > 0) {
             int sign = 1;
             if (!sig_hidden || n != first_sig)
-                sign = 1 - 2 * cabac_decode_bypass(c);
+                sign = 1 - 2 * cabac_bypass_(c);
             int trans;
             if (pp->dep_quant) {
                 trans = (2 * lvl - (rc->qstate > 1 ? 1 : 0)) * sign;
@@ -516,12 +388,12 @@ int decode_residual_regular(Cabac *c, ResParams *pp, int32_t *coeffs,
     int last_x = px, last_y = py;
     if (px > 3) {
         int nbits = (px >> 1) - 1;
-        int suf = cabac_decode_bypass_bits(c, nbits);
+        int suf = cabac_bypass_bits_(c, nbits);
         last_x = (1 << ((px >> 1) - 1)) * (2 + (px & 1)) + suf;
     }
     if (py > 3) {
         int nbits = (py >> 1) - 1;
-        int suf = cabac_decode_bypass_bits(c, nbits);
+        int suf = cabac_bypass_bits_(c, nbits);
         last_y = (1 << ((py >> 1) - 1)) * (2 + (py & 1)) + suf;
     }
     if (pp->reverse_last) {
@@ -593,7 +465,7 @@ static void ts_subblock(Cabac *c, ResParams *pp, TsRC *rc, int i,
         int above = ys > 0 ? rc->sb_coded[(ys - 1) * rc->width_in_sbs + xs]
                            : 0;
         rc->sb_coded[ys * rc->width_in_sbs + xs] =
-            cabac_decode_bin(c, pp->ctx_sb_coded + left + above + 4);
+            cabac_bin_(c, pp->ctx_sb_coded + left + above + 4);
     } else {
         rc->sb_coded[ys * rc->width_in_sbs + xs] = 1;
     }
@@ -614,7 +486,7 @@ static void ts_subblock(Cabac *c, ResParams *pp, TsRC *rc, int i,
             /* _sig_ctx transform-skip branch */
             int nb = (xc > 0 ? rc->sig[yc * w + xc - 1] : 0) +
                      (yc > 0 ? rc->sig[(yc - 1) * w + xc] : 0);
-            sig = cabac_decode_bin(c, pp->ctx_sig + 60 + nb);
+            sig = cabac_bin_(c, pp->ctx_sig + 60 + nb);
             rc->sig[yc * w + xc] = sig;
             rc->rem_bins_pass1--;
             if (sig)
@@ -634,7 +506,7 @@ static void ts_subblock(Cabac *c, ResParams *pp, TsRC *rc, int i,
                 inc = bdpcm ? 4 : 1;
             else
                 inc = bdpcm ? 5 : 2;
-            int s = cabac_decode_bin(c, pp->ctx_ts_sign + inc);
+            int s = cabac_bin_(c, pp->ctx_ts_sign + inc);
             csl = 1 - 2 * s;
             int inc1;
             if (bdpcm) {
@@ -644,10 +516,10 @@ static void ts_subblock(Cabac *c, ResParams *pp, TsRC *rc, int i,
                 int a = yc > 0 ? rc->sig[(yc - 1) * w + xc] : 0;
                 inc1 = 64 + a + l;
             }
-            gtx[n] = cabac_decode_bin(c, pp->ctx_gtx + inc1);
+            gtx[n] = cabac_bin_(c, pp->ctx_gtx + inc1);
             rc->rem_bins_pass1 -= 2;
             if (gtx[n]) {
-                par = cabac_decode_bin(c, pp->ctx_par + 32);
+                par = cabac_bin_(c, pp->ctx_par + 32);
                 rc->rem_bins_pass1--;
             }
         }
@@ -664,7 +536,7 @@ static void ts_subblock(Cabac *c, ResParams *pp, TsRC *rc, int i,
         pass2[n2] = rc->p1[yc * w + xc];
         int j = 1, g = gtx[n2];
         while (j < 5 && g) {
-            g = cabac_decode_bin(c, pp->ctx_gtx + 67 + j);
+            g = cabac_bin_(c, pp->ctx_gtx + 67 + j);
             pass2[n2] += g << 1;
             rc->rem_bins_pass1--;
             j++;
@@ -694,7 +566,7 @@ static void ts_subblock(Cabac *c, ResParams *pp, TsRC *rc, int i,
         } else {
             lvl = abs_rem;
             if (abs_rem)
-                rc->sgn[yc * w + xc] = 1 - 2 * cabac_decode_bypass(c);
+                rc->sgn[yc * w + xc] = 1 - 2 * cabac_bypass_(c);
         }
         rc->lvl[yc * w + xc] = lvl;
         if (!pp->bdpcm && m <= last_pass1) {

@@ -244,7 +244,7 @@ static int split_cu_flag(Parser *p, int x0, int y0, int w, int h, int chroma,
         left_top_pair(p, hts, wts, x0, y0, h, w, &left, &top);
         int inc = (left < h) + (top < w);
         inc += (a->btv + a->bth + a->ttv + a->tth + 2 * a->qt - 1) / 2 * 3;
-        return cabac_decode_bin(p->c, sp->ctx_split_cu + inc);
+        return cabac_bin_(p->c, sp->ctx_split_cu + inc);
     }
     return !is_inside;
 }
@@ -260,7 +260,7 @@ static int split_mode(Parser *p, int x0, int y0, int w, int h, int cqt_depth,
         int dl, dt;
         left_top_pair(p, cqt, cqt, x0, y0, 0, 0, &dl, &dt);
         int inc = (dl > cqt_depth) + (dt > cqt_depth) + (cqt_depth >= 2) * 3;
-        split_qt = cabac_decode_bin(p->c, sp->ctx_split_qt + inc);
+        split_qt = cabac_bin_(p->c, sp->ctx_split_qt + inc);
     } else {
         split_qt = !allow_no_qt || a->qt;
     }
@@ -292,14 +292,14 @@ static int split_mode(Parser *p, int x0, int y0, int w, int h, int cqt_depth,
             else
                 inc = 2;
         }
-        vertical = cabac_decode_bin(p->c, sp->ctx_mtt_vertical + inc);
+        vertical = cabac_bin_(p->c, sp->ctx_mtt_vertical + inc);
     } else {
         vertical = !(a->bth || a->tth);
     }
     int binary;
     if ((a->btv && a->ttv && vertical) || (a->bth && a->tth && !vertical)) {
         int inc = 2 * vertical + (mtt_depth <= 1 ? 1 : 0);
-        binary = cabac_decode_bin(p->c, sp->ctx_mtt_binary + inc);
+        binary = cabac_bin_(p->c, sp->ctx_mtt_binary + inc);
     } else {
         if (!a->btv && !a->bth)
             binary = 0;
@@ -346,7 +346,7 @@ static int mode_type_decode(Parser *p, int x0, int y0, int w, int h,
         int left, top;
         left_top_pair(p, cpm, cpm, x0, y0, 0, 0, &left, &top);
         int inc = (left != 0) || (top != 0);
-        int v = cabac_decode_bin(p->c, sp->ctx_non_inter + inc);
+        int v = cabac_bin_(p->c, sp->ctx_non_inter + inc);
         return v ? MODE_TYPE_INTRA : MODE_TYPE_INTER;
     }
     return mode_type_curr;
@@ -386,20 +386,20 @@ static int cu_qp_delta_abs(Parser *p)
 {
     Cabac *c = p->c;
     const SliceParams *sp = p->sp;
-    if (!cabac_decode_bin(c, sp->ctx_qp_delta_abs))
+    if (!cabac_bin_(c, sp->ctx_qp_delta_abs))
         return 0;
     int v = 1;
-    while (v < 5 && cabac_decode_bin(c, sp->ctx_qp_delta_abs + 1))
+    while (v < 5 && cabac_bin_(c, sp->ctx_qp_delta_abs + 1))
         v++;
     if (v < 5)
         return v;
     int k = 0;
-    while (k < 6 && cabac_decode_bypass(c))
+    while (k < 6 && cabac_bypass_(c))
         k++;
     int i = (1 << k) - 1;
     v = 0;
     for (int j = 0; j < k; j++)
-        v = (v << 1) + cabac_decode_bypass(c);
+        v = (v << 1) + cabac_bypass_(c);
     return v + i + 5;
 }
 
@@ -419,7 +419,7 @@ static void set_qp_y(Parser *p, int32_t *cu, int x0, int y0, int has_qp_delta)
         int delta_abs = cu_qp_delta_abs(p);
         int delta = 0;
         if (delta_abs)
-            delta = cabac_decode_bypass(p->c) ? -delta_abs : delta_abs;
+            delta = cabac_bypass_(p->c) ? -delta_abs : delta_abs;
         st->is_cu_qp_delta_coded = 1;
         if (delta) {
             int off = sp->qp_bd_offset;
@@ -621,7 +621,7 @@ static int tu_y_coded_flag(Parser *p, const int32_t *cu, int is_sbt_not_coded,
                 inc = 0;
             else
                 inc = 2 + st->prev_tu_cbf_y;
-            v = cabac_decode_bin(p->c, sp->ctx_tu_y + inc);
+            v = cabac_bin_(p->c, sp->ctx_tu_y + inc);
             st->prev_tu_cbf_y = v;
         } else {
             v = 1;
@@ -639,13 +639,13 @@ static void chroma_qp_offset_decode(Parser *p, int is_128,
     SliceState *st = p->st;
     if ((is_128 || is_chroma_coded) && sp->sh_cu_chroma_qp_offset_enabled &&
         !st->is_cu_chroma_qp_offset_coded) {
-        int f = cabac_decode_bin(p->c, sp->ctx_chroma_qp_offset_flag);
+        int f = cabac_bin_(p->c, sp->ctx_chroma_qp_offset_flag);
         if (f) {
             int idx = 0;
             if (sp->pps_chroma_qp_offset_list_len_minus1 > 0) {
                 /* truncated unary, ctx_step=0 */
                 while (idx < sp->pps_chroma_qp_offset_list_len_minus1 &&
-                       cabac_decode_bin(p->c, sp->ctx_chroma_qp_offset_idx))
+                       cabac_bin_(p->c, sp->ctx_chroma_qp_offset_idx))
                     idx++;
             }
             st->chroma_qp_offset[0] = sp->pps_cb_qp_offset_list[idx];
@@ -700,9 +700,9 @@ static int transform_unit(Parser *p, int32_t *cu, int x0, int y0, int tu_w,
         xc = x0; yc = y0; wc = tu_w; hc = tu_h;
     }
     if (chroma_available && !is_sbt_not_coded) {
-        tu[TU_CODED1] = cabac_decode_bin(c, sp->ctx_tu_cb + cu[CU_BDPCM1]);
+        tu[TU_CODED1] = cabac_bin_(c, sp->ctx_tu_cb + cu[CU_BDPCM1]);
         int inc = cu[CU_BDPCM1] ? 2 : tu[TU_CODED1];
-        tu[TU_CODED2] = cabac_decode_bin(c, sp->ctx_tu_cr + inc);
+        tu[TU_CODED2] = cabac_bin_(c, sp->ctx_tu_cr + inc);
     }
     int is_chroma_coded = chroma_available &&
         (tu[TU_CODED1] || tu[TU_CODED2]);
@@ -732,7 +732,7 @@ static int transform_unit(Parser *p, int32_t *cu, int x0, int y0, int tu_w,
           (tu[TU_CODED1] || tu[TU_CODED2])) ||
          (tu[TU_CODED1] && tu[TU_CODED2])) && chroma_available) {
         int inc = 2 * tu[TU_CODED1] + tu[TU_CODED2] - 1;
-        tu[TU_JCBCR] = cabac_decode_bin(c, sp->ctx_jcbcr + inc);
+        tu[TU_JCBCR] = cabac_bin_(c, sp->ctx_jcbcr + inc);
     }
     for (int t = 0; t < tu[TU_TB_COUNT]; t++) {
         int32_t *tb = o->tb + (tu[TU_TB_START] + t) * TB_STRIDE;
@@ -749,7 +749,7 @@ static int transform_unit(Parser *p, int32_t *cu, int x0, int y0, int tu_w,
             if (sp->sps_transform_skip && !bdpcm &&
                 tb[TB_W] <= sp->max_ts_size && tb[TB_H] <= sp->max_ts_size &&
                 !sbt_flag && (is_chroma || !is_isp))
-                tb[TB_TS] = cabac_decode_bin(c, sp->ctx_ts_flag + is_chroma);
+                tb[TB_TS] = cabac_bin_(c, sp->ctx_ts_flag + is_chroma);
             if (decode_tb_residual(p, tb, sbt_flag, bdpcm))
                 return -1;
             int32_t *ct = cidx == 0 ? sp->tu_coded0
@@ -890,17 +890,17 @@ static int luma_intra_pred_mode(Parser *p, const int32_t *cu,
     Cabac *c = p->c;
     int mpm_flag = 1;
     if (!cu[CU_MRL])
-        mpm_flag = cabac_decode_bin(c, sp->ctx_mpm);
+        mpm_flag = cabac_bin_(c, sp->ctx_mpm);
     int not_planar = 1, mpm_idx = 0, remainder = 0;
     if (mpm_flag) {
         if (!cu[CU_MRL])
-            not_planar = cabac_decode_bin(c, sp->ctx_not_planar +
+            not_planar = cabac_bin_(c, sp->ctx_not_planar +
                                           (isp_mode_flag ? 0 : 1));
         if (not_planar)
-            while (mpm_idx < 4 && cabac_decode_bypass(c))
+            while (mpm_idx < 4 && cabac_bypass_(c))
                 mpm_idx++;
     } else {
-        remainder = cabac_truncated_binary(c, 60);
+        remainder = cabac_truncated_binary_(c, 60);
     }
     if (!not_planar)
         return INTRA_PLANAR;
@@ -929,9 +929,9 @@ static void intra_luma_pred_modes(Parser *p, int32_t *cu)
     int x0 = cu[CU_X0], y0 = cu[CU_Y0], w = cu[CU_W], h = cu[CU_H];
     cu[CU_MRL] = 0;
     if (sp->sps_bdpcm && w <= sp->max_ts_size && h <= sp->max_ts_size)
-        cu[CU_BDPCM0] = cabac_decode_bin(c, sp->ctx_bdpcm_luma);
+        cu[CU_BDPCM0] = cabac_bin_(c, sp->ctx_bdpcm_luma);
     if (cu[CU_BDPCM0]) {
-        int d = cabac_decode_bin(c, sp->ctx_bdpcm_luma_dir);
+        int d = cabac_bin_(c, sp->ctx_bdpcm_luma_dir);
         cu[CU_IPM_Y] = d ? INTRA_VERT : INTRA_HORZ;
     } else {
         if (sp->sps_mip) {
@@ -943,13 +943,13 @@ static void intra_luma_pred_modes(Parser *p, int32_t *cu)
                 left_top_pair(p, sp->imf, sp->imf, x0, y0, 0, 0, &left, &top);
                 inc = left + top;
             }
-            cu[CU_MIP_FLAG] = cabac_decode_bin(c, sp->ctx_mip + inc);
+            cu[CU_MIP_FLAG] = cabac_bin_(c, sp->ctx_mip + inc);
         }
         if (cu[CU_MIP_FLAG]) {
-            cu[CU_MIP_T] = cabac_decode_bypass(c);
+            cu[CU_MIP_T] = cabac_bypass_(c);
             int c_max = (w == 4 && h == 4) ? 15
                 : ((w == 4 || h == 4 || (w == 8 && h == 8)) ? 7 : 5);
-            cu[CU_MIP_MODE] = cabac_truncated_binary(c, c_max);
+            cu[CU_MIP_MODE] = cabac_truncated_binary_(c, c_max);
             set_grid(sp, sp->imf, x0, y0, w, h, 1);
             set_grid(sp, sp->imtf, x0, y0, w, h, cu[CU_MIP_T]);
             set_grid(sp, sp->imm, x0, y0, w, h, cu[CU_MIP_MODE]);
@@ -959,17 +959,17 @@ static void intra_luma_pred_modes(Parser *p, int32_t *cu)
             if (sp->sps_mrl && (y0 % (1 << sp->ctb_log2)) > 0) {
                 /* truncated unary c_max=2 over INTRA_LUMA_REF_IDX ctxs */
                 int i = 0;
-                while (i < 2 && cabac_decode_bin(c, sp->ctx_mrl + i))
+                while (i < 2 && cabac_bin_(c, sp->ctx_mrl + i))
                     i++;
                 cu[CU_MRL] = i;
             }
             if (sp->sps_isp && !cu[CU_MRL] && w <= sp->max_tb_size_y &&
                 h <= sp->max_tb_size_y && w * h > 16)
-                isp_mode_flag = cabac_decode_bin(c, sp->ctx_isp_mode);
+                isp_mode_flag = cabac_bin_(c, sp->ctx_isp_mode);
             if (!(x0 & 63) && !(y0 & 63))
                 sp->ispmf[(y0 >> 6) * sp->w64 + (x0 >> 6)] = isp_mode_flag;
             if (isp_mode_flag)
-                cu[CU_ISP] = 1 + cabac_decode_bin(c, sp->ctx_isp_split);
+                cu[CU_ISP] = 1 + cabac_bin_(c, sp->ctx_isp_split);
             else
                 cu[CU_ISP] = ISP_NO_SPLIT;
             if (cu[CU_ISP] == ISP_NO_SPLIT)
@@ -1087,29 +1087,29 @@ static void intra_chroma_pred_modes(Parser *p, int32_t *cu)
     cu[CU_MIP_CHROMA_DIRECT] = 0;
     if (sp->sps_bdpcm && (cu[CU_W] >> sp->hshift1) <= sp->max_ts_size &&
         (cu[CU_H] >> sp->vshift1) <= sp->max_ts_size) {
-        int f = cabac_decode_bin(c, sp->ctx_bdpcm_chroma);
+        int f = cabac_bin_(c, sp->ctx_bdpcm_chroma);
         cu[CU_BDPCM1] = cu[CU_BDPCM2] = f;
     }
     if (cu[CU_BDPCM1]) {
-        int d = cabac_decode_bin(c, sp->ctx_bdpcm_chroma_dir);
+        int d = cabac_bin_(c, sp->ctx_bdpcm_chroma_dir);
         cu[CU_IPM_C] = d ? INTRA_VERT : INTRA_HORZ;
         return;
     }
     int cclm_enabled = get_cclm_enabled(p, cu);
     int cclm_mode_flag = 0, cclm_mode_idx = 0, chroma_mode = 0;
     if (cclm_enabled)
-        cclm_mode_flag = cabac_decode_bin(c, sp->ctx_cclm_mode_flag);
+        cclm_mode_flag = cabac_bin_(c, sp->ctx_cclm_mode_flag);
     if (cclm_mode_flag) {
-        if (!cabac_decode_bin(c, sp->ctx_cclm_mode_idx))
+        if (!cabac_bin_(c, sp->ctx_cclm_mode_idx))
             cclm_mode_idx = 0;
         else
-            cclm_mode_idx = cabac_decode_bypass(c) + 1;
+            cclm_mode_idx = cabac_bypass_(c) + 1;
     } else {
-        if (!cabac_decode_bin(c, sp->ctx_chroma_pred_mode))
+        if (!cabac_bin_(c, sp->ctx_chroma_pred_mode))
             chroma_mode = 4;
         else
-            chroma_mode = (cabac_decode_bypass(c) << 1) |
-                          cabac_decode_bypass(c);
+            chroma_mode = (cabac_bypass_(c) << 1) |
+                          cabac_bypass_(c);
     }
     derive_chroma_intra_pred_mode(p, cu, cclm_mode_flag, cclm_mode_idx,
                                   chroma_mode);
@@ -1161,8 +1161,8 @@ static int lfnst_idx_decode(Parser *p, int32_t *cu)
         if ((cu[CU_ISP] != ISP_NO_SPLIT || !p->lfnst_dc_only) &&
             p->lfnst_zero_out) {
             int inc = tree_type != SINGLE_TREE;
-            if (cabac_decode_bin(p->c, sp->ctx_lfnst + inc))
-                lfnst_idx = cabac_decode_bin(p->c, sp->ctx_lfnst + 2) ? 2 : 1;
+            if (cabac_bin_(p->c, sp->ctx_lfnst + inc))
+                lfnst_idx = cabac_bin_(p->c, sp->ctx_lfnst + 2) ? 2 : 1;
         }
     }
     if (lfnst_idx) {
@@ -1188,7 +1188,7 @@ static int mts_idx_decode(Parser *p, const int32_t *cu)
         if ((cu[CU_PRED_MODE] == MODE_INTER && sp->sps_explicit_mts_inter) ||
             (cu[CU_PRED_MODE] == MODE_INTRA && sp->sps_explicit_mts_intra)) {
             int i = 0;
-            while (i < 4 && cabac_decode_bin(p->c, sp->ctx_mts + i))
+            while (i < 4 && cabac_bin_(p->c, sp->ctx_mts + i))
                 i++;
             return i;
         }
@@ -1245,10 +1245,10 @@ void vvcp_set_neighbour_available(Parser *p, int x0, int y0, int w, int h)
 /* merge_idx_decode (ctu.py:1210) */
 static int merge_idx_decode(Parser *p, int c_max)
 {
-    if (!cabac_decode_bin(p->c, p->sp->ctx_merge_idx))
+    if (!cabac_bin_(p->c, p->sp->ctx_merge_idx))
         return 0;
     int i = 1;
-    while (i < c_max && cabac_decode_bypass(p->c))
+    while (i < c_max && cabac_bypass_(p->c))
         i++;
     return i;
 }
@@ -1258,15 +1258,15 @@ static void mmvd_offset_coding(Parser *p, int fullpel_only, int off[2])
 {
     Cabac *c = p->c;
     int dist_idx = 0;
-    if (cabac_decode_bin(c, p->sp->ctx_mmvd_distance)) {
+    if (cabac_bin_(c, p->sp->ctx_mmvd_distance)) {
         int i = 1;
-        while (i < 7 && cabac_decode_bypass(c))
+        while (i < 7 && cabac_bypass_(c))
             i++;
         dist_idx = i;
     }
     int shift = fullpel_only ? 4 : 2;
     int distance = 1 << (dist_idx + shift);
-    int dir_idx = (cabac_decode_bypass(c) << 1) | cabac_decode_bypass(c);
+    int dir_idx = (cabac_bypass_(c) << 1) | cabac_bypass_(c);
     static const int signs[4][2] = { {1, 0}, {-1, 0}, {0, 1}, {0, -1} };
     off[0] = distance * signs[dir_idx][0];
     off[1] = distance * signs[dir_idx][1];
@@ -1294,11 +1294,11 @@ static void merge_data_regular(Parser *p, int32_t *cu)
     int merge_idx = 0;
     int mmvd_offset[2] = { 0, 0 };
     if (sp->sps_mmvd)
-        pu->mmvd = cabac_decode_bin(p->c, sp->ctx_mmvd_merge);
+        pu->mmvd = cabac_bin_(p->c, sp->ctx_mmvd_merge);
     if (pu->mmvd) {
         int mmvd_cand_flag = 0;
         if (sp->max_num_merge_cand > 1)
-            mmvd_cand_flag = cabac_decode_bin(p->c, sp->ctx_mmvd_cand);
+            mmvd_cand_flag = cabac_bin_(p->c, sp->ctx_mmvd_cand);
         mmvd_offset_coding(p, sp->ph_mmvd_fullpel, mmvd_offset);
         merge_idx = mmvd_cand_flag;
     } else if (sp->max_num_merge_cand > 1) {
@@ -1339,7 +1339,7 @@ static void merge_data_gpm(Parser *p, int32_t *cu)
     pu->merge_gpm = 1;
     int idx0 = 0;
     for (int k = 0; k < 6; k++)
-        idx0 = (idx0 << 1) | cabac_decode_bypass(p->c);
+        idx0 = (idx0 << 1) | cabac_bypass_(p->c);
     pu->gpm_part = idx0;
     int merge_gpm_idx[2] = { 0, 0 };
     merge_gpm_idx[0] = merge_idx_decode(p, sp->max_num_gpm_cand - 1);
@@ -1357,9 +1357,9 @@ static void merge_data_subblock(Parser *p, int32_t *cu)
     int merge_subblock_idx = 0;
     int max_cand = sp->max_num_sb_merge_cand;
     if (max_cand > 1) {
-        if (cabac_decode_bin(p->c, sp->ctx_merge_subblock_idx)) {
+        if (cabac_bin_(p->c, sp->ctx_merge_subblock_idx)) {
             int i = 1;
-            while (i < max_cand - 1 && cabac_decode_bypass(p->c))
+            while (i < max_cand - 1 && cabac_bypass_(p->c))
                 i++;
             merge_subblock_idx = i;
         }
@@ -1381,14 +1381,14 @@ static void merge_data_block(Parser *p, int32_t *cu)
     int regular_merge_flag = 1;
     if (!is_128 && (ciip_avail || gpm_avail)) {
         int inc = !cu[CU_SKIP];
-        regular_merge_flag = cabac_decode_bin(p->c,
+        regular_merge_flag = cabac_bin_(p->c,
                                               sp->ctx_regular_merge + inc);
     }
     if (regular_merge_flag) {
         merge_data_regular(p, cu);
     } else {
         if (ciip_avail && gpm_avail)
-            pu->ciip = cabac_decode_bin(p->c, sp->ctx_ciip);
+            pu->ciip = cabac_bin_(p->c, sp->ctx_ciip);
         else
             pu->ciip = sp->sps_ciip && !cu[CU_SKIP] && !is_128 &&
                        w * h >= 64;
@@ -1413,7 +1413,7 @@ static void hls_merge_data(Parser *p, int32_t *cu)
         left_top_pair(p, sp->iaf, sp->iaf, cu[CU_X0], cu[CU_Y0], 0, 0,
                       &la, &ta);
         int inc = ((left || la) ? 1 : 0) + ((top || ta) ? 1 : 0);
-        pu->merge_subblock = cabac_decode_bin(p->c,
+        pu->merge_subblock = cabac_bin_(p->c,
                                               sp->ctx_merge_subblock + inc);
     }
     if (pu->merge_subblock)
@@ -1428,15 +1428,15 @@ static void mvd_coding(Parser *p, int mv[2])
     Cabac *c = p->c;
     const SliceParams *sp = p->sp;
     for (int i = 0; i < 2; i++)
-        mv[i] = cabac_decode_bin(c, sp->ctx_mvd_gt0);
+        mv[i] = cabac_bin_(c, sp->ctx_mvd_gt0);
     for (int i = 0; i < 2; i++)
         if (mv[i])
-            mv[i] += cabac_decode_bin(c, sp->ctx_mvd_gt1);
+            mv[i] += cabac_bin_(c, sp->ctx_mvd_gt1);
     for (int i = 0; i < 2; i++) {
         if (mv[i] > 0) {
             if (mv[i] == 2)
-                mv[i] += cabac_limited_egk(c, 1, 15, 17);
-            int sign = cabac_decode_bypass(c);
+                mv[i] += cabac_limited_egk_(c, 1, 15, 17);
+            int sign = cabac_bypass_(c);
             mv[i] = (1 - 2 * sign) * mv[i];
         }
     }
@@ -1452,10 +1452,10 @@ static int pred_flag_decode(Parser *p, const int32_t *cu, int is_b)
     if (w + h > 12) {
         int log2 = ilog2u(w) + ilog2u(h);
         int inc = 7 - ((1 + log2) >> 1);
-        if (cabac_decode_bin(p->c, sp->ctx_inter_pred_idc + inc))
+        if (cabac_bin_(p->c, sp->ctx_inter_pred_idc + inc))
             return PF_BI;
     }
-    return PF_L0 + cabac_decode_bin(p->c, sp->ctx_inter_pred_idc + 5);
+    return PF_L0 + cabac_bin_(p->c, sp->ctx_inter_pred_idc + 5);
 }
 
 /* ref_idx_decode (ctu.py:1415) */
@@ -1466,10 +1466,10 @@ static int ref_idx_decode(Parser *p, int lx, int sym_mvd_flag)
         int c_max = sp->num_ref_idx_active[lx] - 1;
         int max_ctx = imin(c_max, 2);
         int i = 0;
-        while (i < max_ctx && cabac_decode_bin(p->c, sp->ctx_ref_idx + i))
+        while (i < max_ctx && cabac_bin_(p->c, sp->ctx_ref_idx + i))
             i++;
         if (i == 2) {
-            while (i < c_max && cabac_decode_bypass(p->c))
+            while (i < c_max && cabac_bypass_(p->c))
                 i++;
         }
         return i;
@@ -1483,10 +1483,10 @@ static int ref_idx_decode(Parser *p, int lx, int sym_mvd_flag)
 static int amvr_precision_idx(Parser *p, int inc, int c_max)
 {
     const SliceParams *sp = p->sp;
-    if (!cabac_decode_bin(p->c, sp->ctx_amvr_precision + inc))
+    if (!cabac_bin_(p->c, sp->ctx_amvr_precision + inc))
         return 0;
     int i = 1;
-    if (i < c_max && cabac_decode_bin(p->c, sp->ctx_amvr_precision + 1))
+    if (i < c_max && cabac_bin_(p->c, sp->ctx_amvr_precision + 1))
         i++;
     return i;
 }
@@ -1496,7 +1496,7 @@ static int amvr_shift_decode(Parser *p, int inter_affine_flag, int enabled)
     const SliceParams *sp = p->sp;
     int amvr_shift = 2;
     if (enabled) {
-        if (cabac_decode_bin(p->c, sp->ctx_amvr_flag + inter_affine_flag)) {
+        if (cabac_bin_(p->c, sp->ctx_amvr_flag + inter_affine_flag)) {
             if (inter_affine_flag) {
                 amvr_shift = amvr_precision_idx(p, 2, 1) * 4;
             } else {
@@ -1520,10 +1520,10 @@ static int bcw_idx_decode(Parser *p, const int32_t *cu)
         !sp->wp_flag[1][1][pu->mi_ref[1]] &&
         cu[CU_W] * cu[CU_H] >= 256) {
         int c_max = mvs_no_backward_pred_flag(sp) ? 4 : 2;
-        if (!cabac_decode_bin(p->c, sp->ctx_bcw))
+        if (!cabac_bin_(p->c, sp->ctx_bcw))
             return 0;
         int i = 1;
-        while (i < c_max && cabac_decode_bypass(p->c))
+        while (i < c_max && cabac_bypass_(p->c))
             i++;
         return i;
     }
@@ -1550,12 +1550,12 @@ static void mvp_data(Parser *p, int32_t *cu)
         left_top_pair(p, sp->iaf, sp->iaf, cu[CU_X0], cu[CU_Y0], 0, 0,
                       &lb, &tb);
         int inc = ((la || lb) ? 1 : 0) + ((ta || tb) ? 1 : 0);
-        pu->inter_affine = cabac_decode_bin(p->c,
+        pu->inter_affine = cabac_bin_(p->c,
                                             sp->ctx_inter_affine + inc);
         set_grid(sp, sp->iaf, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H],
                  pu->inter_affine);
         if (sp->sps_6param_affine && pu->inter_affine)
-            cu_affine_type_flag = cabac_decode_bin(p->c,
+            cu_affine_type_flag = cabac_bin_(p->c,
                                                    sp->ctx_affine_type);
     }
     pu->mi_mmi = pu->inter_affine + cu_affine_type_flag;
@@ -1564,7 +1564,7 @@ static void mvp_data(Parser *p, int32_t *cu)
     if (sp->sps_smvd && !sp->ph_mvd_l1_zero && pu->mi_pf == PF_BI &&
         !pu->inter_affine && sp->ref_idx_sym[0] > -1 &&
         sp->ref_idx_sym[1] > -1)
-        pu->sym_mvd = cabac_decode_bin(p->c, sp->ctx_sym_mvd);
+        pu->sym_mvd = cabac_bin_(p->c, sp->ctx_sym_mvd);
 
     for (int i = 0; i < 2; i++) {
         int pf = PF_L0 + (1 - i);
@@ -1596,7 +1596,7 @@ static void mvp_data(Parser *p, int32_t *cu)
                         has_no_zero_mvd = 1;
                 }
             }
-            mvp_lx_flag[i] = cabac_decode_bin(p->c, sp->ctx_mvp_lx);
+            mvp_lx_flag[i] = cabac_bin_(p->c, sp->ctx_mvp_lx);
         }
     }
 
@@ -1677,7 +1677,7 @@ static void inter_data(Parser *p, int32_t *cu)
     pu->nsbx = pu->nsby = 1;
     pu->general_merge = 1;
     if (!cu[CU_SKIP])
-        pu->general_merge = cabac_decode_bin(p->c, sp->ctx_general_merge);
+        pu->general_merge = cabac_bin_(p->c, sp->ctx_general_merge);
     if (pu->general_merge)
         hls_merge_data(p, cu);
     else
@@ -1735,7 +1735,7 @@ static void sbt_info(Parser *p, int32_t *cu)
     int sbt_flag = 0;
     if (sbt_ver_h || sbt_hor_h) {
         int inc = w * h <= 256;
-        sbt_flag = cabac_decode_bin(p->c, sp->ctx_sbt_flag + inc);
+        sbt_flag = cabac_bin_(p->c, sp->ctx_sbt_flag + inc);
     }
     if (sbt_flag) {
         int sbt_ver_q = w >= 16;
@@ -1743,23 +1743,23 @@ static void sbt_info(Parser *p, int32_t *cu)
         int quad = 0;
         int horizontal;
         if ((sbt_ver_h || sbt_hor_h) && (sbt_ver_q || sbt_hor_q))
-            quad = cabac_decode_bin(p->c, sp->ctx_sbt_quad);
+            quad = cabac_bin_(p->c, sp->ctx_sbt_quad);
         if (quad) {
             horizontal = sbt_hor_q;
             if (sbt_ver_q && sbt_hor_q) {
                 int inc = w == h ? 0 : (w < h ? 1 : 2);
-                horizontal = cabac_decode_bin(p->c,
+                horizontal = cabac_bin_(p->c,
                                               sp->ctx_sbt_horizontal + inc);
             }
         } else {
             horizontal = sbt_hor_h;
             if (sbt_ver_h && sbt_hor_h) {
                 int inc = w == h ? 0 : (w < h ? 1 : 2);
-                horizontal = cabac_decode_bin(p->c,
+                horizontal = cabac_bin_(p->c,
                                               sp->ctx_sbt_horizontal + inc);
             }
         }
-        int pos = cabac_decode_bin(p->c, sp->ctx_sbt_pos);
+        int pos = cabac_bin_(p->c, sp->ctx_sbt_pos);
         int sbt_min = quad ? 1 : 2;
         p->sbt_num_fourths_tb0 = pos ? (4 - sbt_min) : sbt_min;
         cu[CU_SBT] = 1 | (horizontal << 1) | (pos << 2);
@@ -1785,7 +1785,7 @@ static int pred_mode_decode(Parser *p, int32_t *cu, int tree_type,
             int left, top;
             left_top_pair(p, sp->skip, sp->skip, cu[CU_X0], cu[CU_Y0], 0, 0,
                           &left, &top);
-            cu[CU_SKIP] = cabac_decode_bin(p->c,
+            cu[CU_SKIP] = cabac_bin_(p->c,
                                            sp->ctx_cu_skip + left + top);
         }
         int pred_mode_flag;
@@ -1799,7 +1799,7 @@ static int pred_mode_decode(Parser *p, int32_t *cu, int tree_type,
             left_top_pair(p, cpm, cpm, cu[CU_X0], cu[CU_Y0], 0, 0,
                           &left, &top);
             int inc = (left != 0) || (top != 0);
-            pred_mode_flag = cabac_decode_bin(p->c, sp->ctx_pred_mode + inc);
+            pred_mode_flag = cabac_bin_(p->c, sp->ctx_pred_mode + inc);
         }
         pred_mode = pred_mode_flag ? MODE_INTRA : MODE_INTER;
         if (sp->sps_ibc) { p->out->err = 3; return MODE_INTRA; }
@@ -1909,7 +1909,7 @@ static int coding_unit(Parser *p, int x0, int y0, int w, int h,
             return -1;
     }
     if (cu[CU_PRED_MODE] != MODE_INTRA && !p->pu.general_merge)
-        cu[CU_CODED] = cabac_decode_bin(p->c, sp->ctx_cu_coded);
+        cu[CU_CODED] = cabac_bin_(p->c, sp->ctx_cu_coded);
     else
         cu[CU_CODED] = !cu[CU_SKIP];
     if (cu[CU_CODED]) {
@@ -2113,9 +2113,9 @@ static void sao_params_c(Parser *p, int rx, int ry, int rs)
     int merge_left = 0, merge_up = 0;
     if (sp->sao_luma_used || sp->sao_chroma_used) {
         if (rx > 0 && p->ctb_left_flag)
-            merge_left = cabac_decode_bin(c, sp->ctx_sao_merge);
+            merge_left = cabac_bin_(c, sp->ctx_sao_merge);
         if (ry > 0 && !merge_left && p->ctb_up_flag)
-            merge_up = cabac_decode_bin(c, sp->ctx_sao_merge);
+            merge_up = cabac_bin_(c, sp->ctx_sao_merge);
     }
     int merged_src = merge_left ? rs - 1
                    : (merge_up ? rs - sp->ctb_width : -1);
@@ -2145,10 +2145,10 @@ static void sao_params_c(Parser *p, int rx, int ry, int rs)
             sp->sao_eo_class[rs * 3 + 2] = sp->sao_eo_class[rs * 3 + 1];
         } else {
             int t;
-            if (!cabac_decode_bin(c, sp->ctx_sao_type))
+            if (!cabac_bin_(c, sp->ctx_sao_type))
                 t = SAO_NOT_APPLIED;
             else
-                t = cabac_decode_bypass(c) ? SAO_EDGE : SAO_BAND;
+                t = cabac_bypass_(c) ? SAO_EDGE : SAO_BAND;
             sp->sao_type_tab[rs * 3 + ci] = t;
         }
         int typ = sp->sao_type_tab[rs * 3 + ci];
@@ -2158,17 +2158,17 @@ static void sao_params_c(Parser *p, int rx, int ry, int rs)
         int offset_abs[4], offset_sign[4] = {0, 0, 0, 0};
         for (int i = 0; i < 4; i++) {
             int v = 0;
-            while (v < length && cabac_decode_bypass(c))
+            while (v < length && cabac_bypass_(c))
                 v++;
             offset_abs[i] = v;
         }
         if (typ == SAO_BAND) {
             for (int i = 0; i < 4; i++)
                 if (offset_abs[i])
-                    offset_sign[i] = cabac_decode_bypass(c);
-            sp->sao_band_pos[rs * 3 + ci] = cabac_decode_bypass_bits(c, 5);
+                    offset_sign[i] = cabac_bypass_(c);
+            sp->sao_band_pos[rs * 3 + ci] = cabac_bypass_bits_(c, 5);
         } else if (ci != 2) {
-            int eo = (cabac_decode_bypass(c) << 1) | cabac_decode_bypass(c);
+            int eo = (cabac_bypass_(c) << 1) | cabac_bypass_(c);
             sp->sao_eo_class[rs * 3 + ci] = eo;
         }
         sp->sao_offset[(rs * 3 + ci) * 5 + 0] = 0;
@@ -2206,29 +2206,29 @@ static void alf_params_c(Parser *p, int rx, int ry, int rs)
                 inc += sp->alf_ctb_flag[(rs - 1) * 3 + ci] != 0;
             if (p->ctb_up_flag)
                 inc += sp->alf_ctb_flag[(rs - sp->ctb_width) * 3 + ci] != 0;
-            int flag = cabac_decode_bin(c, sp->ctx_alf_ctb_flag + inc);
+            int flag = cabac_bin_(c, sp->ctx_alf_ctb_flag + inc);
             sp->alf_ctb_flag[rs * 3 + ci] = flag;
             if (ci == 0 && flag) {
                 int use_aps = 0;
                 if (sp->num_alf_aps_ids_luma > 0)
-                    use_aps = cabac_decode_bin(c, sp->ctx_alf_use_aps);
+                    use_aps = cabac_bin_(c, sp->ctx_alf_use_aps);
                 sp->alf_fixed[rs] = !use_aps;
                 if (use_aps) {
                     int idx = 0;
                     if (sp->num_alf_aps_ids_luma > 1)
-                        idx = cabac_truncated_binary(
+                        idx = cabac_truncated_binary_(
                             c, sp->num_alf_aps_ids_luma - 1);
                     sp->alf_filt_idx[rs] = idx;
                     sp->alf_aps_id[rs * 3 + 0] = sp->alf_aps_id_luma[idx];
                 } else {
-                    sp->alf_filt_idx[rs] = cabac_truncated_binary(c, 15);
+                    sp->alf_filt_idx[rs] = cabac_truncated_binary_(c, 15);
                 }
             } else if (ci && flag) {
                 sp->alf_aps_id[rs * 3 + ci] = sp->alf_aps_id_chroma;
                 int num_alts = sp->num_chroma_alt_filters;
                 int alt = 0;
                 while (alt < num_alts - 1 &&
-                       cabac_decode_bin(c, sp->ctx_alf_alt_idx + ci - 1))
+                       cabac_bin_(c, sp->ctx_alf_alt_idx + ci - 1))
                     alt++;
                 sp->alf_alt_idx[rs * 2 + ci - 1] = alt;
             }
@@ -2246,11 +2246,11 @@ static void alf_params_c(Parser *p, int rx, int ry, int rs)
                 inc += sp->alf_cc_idc[(rs - 1) * 2 + i] != 0;
             if (p->ctb_up_flag)
                 inc += sp->alf_cc_idc[(rs - sp->ctb_width) * 2 + i] != 0;
-            int v = cabac_decode_bin(c, base + inc);
+            int v = cabac_bin_(c, base + inc);
             if (v) {
                 int idc = 1;
                 int nf = sp->num_cc_filters[i];
-                while (idc < nf && cabac_decode_bypass(c))
+                while (idc < nf && cabac_bypass_(c))
                     idc++;
                 v = idc;
             }
@@ -2393,7 +2393,7 @@ int parse_ctus(Cabac *c, const SliceParams *sp, SliceState *st,
             }
         }
         if (d->term) {
-            if (cabac_decode_terminate(c) != 1) {
+            if (cabac_terminate_(c) != 1) {
                 out->err = 5;
                 return -1;
             }

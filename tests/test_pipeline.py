@@ -32,6 +32,23 @@ def test_parallel_matches_sequential():
     assert par == seq
 
 
+def test_pipeline_depth_matches():
+    """Depth-N frame pipeline (parse running ahead of queued pixel
+    stages) must be byte-identical to the unpipelined decode, for both
+    all-intra (runs ahead) and inter (drains at every MC barrier)."""
+    from forge import forge_hier_stream
+    from ffvvc_tpu.config import DecoderConfig
+    for stream in (_intra_stream(6),
+                   forge_hier_stream(seed=1, width=96, height=64, qp=30,
+                                     deblock=True)):
+        ref = [f.to_yuv_bytes() for f in VVCDecoder(
+            DecoderConfig(pipeline_frames=False)).decode(stream)]
+        for depth in (1, 4):
+            got = [f.to_yuv_bytes() for f in VVCDecoder(
+                DecoderConfig(pipeline_depth=depth)).decode(stream)]
+            assert got == ref, depth
+
+
 def test_single_segment_fallback():
     from forge import forge_inter_stream
     stream = forge_inter_stream(seed=0, nframes=3, slice_type=1,
