@@ -805,10 +805,11 @@ class VVCDecoder:
                 tabs.deblock_beta[ctus] = sh.beta_offset
                 tabs.deblock_tc[ctus] = sh.tc_offset
                 if par_eps:
-                    pending.append((coder, items, tmpl, wpp_buf, rec))
+                    pending.append((coder, items, tmpl, wpp_buf, rec,
+                                    job_ctus))
                 else:
                     parse_entrypoint(coder.native_tree, coder, items, tmpl,
-                                     wpp_buf)
+                                     wpp_buf, job_ctus)
                     from .native.recon import make_native_recon
                     rec.native_recon = make_native_recon(coder, fb, sh.ph)
                 jobs.append((rec, job_ctus))
@@ -863,10 +864,10 @@ class VVCDecoder:
             from .threads import run_parallel, resolve
             nt = min(resolve(self.config.parse_workers), len(pending))
             run_parallel(nt, [
-                (lambda c=c, it=it, t=t, w=w: parse_entrypoint(
-                    c.native_tree, c, it, t, w))
-                for c, it, t, w, _r in pending])
-            for c, _it, _t, _w, rec in pending:
+                (lambda c=c, it=it, t=t, w=w, jc=jc: parse_entrypoint(
+                    c.native_tree, c, it, t, w, jc))
+                for c, it, t, w, _r, jc in pending])
+            for c, _it, _t, _w, rec, _jc in pending:
                 rec.native_recon = make_native_recon(c, fb, sh.ph)
         return jobs
 

@@ -534,6 +534,8 @@ class NativeTreeParser:
         # per-CTU copy and skip building Python CU objects entirely
         self.keep_records = False
         self.records = {}   # rs -> (n_cu, ptrs..., arrays) per CTU
+        self.flat = None    # per-job flat record arrays (parse_entrypoint)
+        self.flat_ctus = None
         self._sp_ref = ctypes.byref(self.sp)
         self._st_ref = ctypes.byref(self.st)
         self._out_ref = ctypes.byref(self.out)
@@ -551,6 +553,8 @@ class NativeTreeParser:
                 seen.add(id(a))
                 _release_arena(a)
         self.records.clear()
+        self.flat = None        # raw arena pointers die with the records
+        self.flat_ctus = None
 
     def __call__(self, coder, ctu_idx, rs, rx, ry):
         """Parse one CTU's coding tree; appends CUs to coder.cur_cus.
@@ -783,12 +787,16 @@ def _release_arena(a):
             _ARENA_POOL.append(a)
 
 
-def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf):
+def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf,
+                     job_ctus=None):
     """Batched whole-entry-point parse (native/vvc_parse.c parse_ctus).
 
     items: [(ctu_idx, rs, rx, ry, reinit, realign, wpp_save, term,
     slice_idx)].  Fills tree.records with zero-copy views into per-call
-    arenas.  Returns nothing; raises on parse error."""
+    arenas.  With job_ctus (the recon-job [(rs, rx, ry)] list, same order
+    as items) the per-job flat record arrays for the batched C walks are
+    emitted vectorized here (NativeRecon._batch_arrays shortcut).
+    Returns nothing; raises on parse error."""
     from ..cabac.engine import CTX
     lib = tree.lib
     st = tree.st
@@ -809,6 +817,7 @@ def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf):
         if state_tmpl is not None else None
     wpp_ptr = ctypes.c_void_p(wpp_buf.ctypes.data)
     done = 0
+    parts = []          # (idx[:k] copy, arena) per arena chunk, in order
     while done < n:
         arena = acquire_arena(coder.sps.ctb_log2_size_y, n - done)
         idx = np.empty((n - done, 8), np.int32)
@@ -830,5 +839,29 @@ def parse_entrypoint(tree, coder, items, state_tmpl, wpp_buf):
                 ctypes.c_void_p(arena.cu_base +
                                 cu_start * CU_STRIDE * 4),
                 arena.tu_ptr, arena.tb_ptr, arena.coeff_ptr, arena)
+        parts.append((idx[:k].copy(), arena))
         done += k
     coder.stat_coeff = [st.stat_coeff[i] for i in range(3)]
+    if job_ctus is not None:
+        it = np.asarray(items, np.int32)
+
+        def pv(p):
+            return p.value if hasattr(p, "value") else p
+
+        n_cus = np.concatenate([p[:, 2] for p, _ in parts])
+        cu_ps = np.concatenate(
+            [a.cu_base + p[:, 1].astype(np.int64) * (CU_STRIDE * 4)
+             for p, a in parts])
+        tu_ps = np.concatenate(
+            [np.full(len(p), pv(a.tu_ptr), np.int64) for p, a in parts])
+        tb_ps = np.concatenate(
+            [np.full(len(p), pv(a.tb_ptr), np.int64) for p, a in parts])
+        co_ps = np.concatenate(
+            [np.full(len(p), pv(a.coeff_ptr), np.int64)
+             for p, a in parts])
+        tree.flat = (np.ascontiguousarray(it[:, 2]),          # rx
+                     np.ascontiguousarray(it[:, 3]),          # ry
+                     np.ascontiguousarray(it[:, 1]),          # rs
+                     np.ascontiguousarray(n_cus), cu_ps, tu_ps, tb_ps,
+                     co_ps)
+        tree.flat_ctus = job_ctus

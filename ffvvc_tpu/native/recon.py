@@ -215,6 +215,7 @@ class NativeRecon:
         self.rpl = coder.rpl
         self.lib = lib
         self.records = tree_parser.records
+        self._tree = tree_parser
         sps, pps = coder.sps, coder.pps
         tabs = coder.tabs
         t = _tables()
@@ -364,6 +365,12 @@ class NativeRecon:
         ctypes call per job instead of per CTU).  Cached per ctus list —
         the inter and recon walks share the same job lists, and records
         are final once the slice parse completed."""
+        # fast path: the parse emitted these arrays vectorized for exactly
+        # this job list (parse_entrypoint job_ctus)
+        tree = getattr(self, "_tree", None)
+        if tree is not None and tree.flat is not None and \
+                tree.flat_ctus is ctus:
+            return tree.flat
         key = (id(ctus), with_records)
         cache = getattr(self, "_ba_cache", None)
         if cache is None:

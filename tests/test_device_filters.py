@@ -231,8 +231,9 @@ def test_device_deblock_ladf_fallback():
 @pytest.mark.parametrize("slice_type", [2, 0])
 def test_all_device_paths_end_to_end(slice_type):
     """Everything the device can take at once — itx dispatch forced on,
-    device SAO + ALF/CC-ALF + deblock + batched MC — must equal the host
-    decode byte-for-byte on a full-tool stream."""
+    device SAO + ALF/CC-ALF + deblock + batched MC + wavefront intra (on
+    the I-frames) — must equal the host decode byte-for-byte on a
+    full-tool stream."""
     import os
     import sys as _s, os as _o
     _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
@@ -250,7 +251,8 @@ def test_all_device_paths_end_to_end(slice_type):
     try:
         dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(DecoderConfig(
             device_sao=True, device_alf=True, device_deblock=True,
-            device_mc=True, device_lmcs=True)).decode(s))
+            device_mc=True, device_lmcs=True,
+            device_intra=True)).decode(s))
     finally:
         if prev is None:
             del os.environ["FFVVC_ITX"]
