@@ -641,8 +641,10 @@ class VVCDecoder:
                         done = False
                         if self.config.native_alf:
                             from .native.alf import alf_frame_native
-                            done = alf_frame_native(sps, pps, tabs, fb,
-                                                    sh_list, alf_list)
+                            from .threads import resolve
+                            done = alf_frame_native(
+                                sps, pps, tabs, fb, sh_list, alf_list,
+                                resolve(self.config.stage_threads))
                         if not done:
                             from .alf import AlfFilter
                             AlfFilter(sps, pps, tabs, fb, sh_list,

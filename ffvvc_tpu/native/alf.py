@@ -55,6 +55,8 @@ def load_lib():
         return None
     lib.alf_frame_c.argtypes = [ctypes.POINTER(_AlfParams)]
     lib.alf_frame_c.restype = _I
+    lib.alf_frame_rows.argtypes = [ctypes.POINTER(_AlfParams), _I, _I]
+    lib.alf_frame_rows.restype = _I
     assert lib.alf_sizeof_params() == ctypes.sizeof(_AlfParams), \
         (lib.alf_sizeof_params(), ctypes.sizeof(_AlfParams))
     return lib
@@ -71,9 +73,11 @@ def _const_tables():
                 t["alf_aps_class_to_filt_map"].astype(np.int32)))
 
 
-def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list) -> bool:
-    """Run the whole-frame ALF/CC-ALF pass in C.  Returns True on success,
-    False (planes untouched) when ineligible."""
+def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
+                     stage_threads=1) -> bool:
+    """Run the whole-frame ALF/CC-ALF pass in C, sharding CTB rows across
+    stage_threads (rows are independent given the pre-ALF snapshot).
+    Returns True on success, False (planes untouched) when ineligible."""
     if not sps.r.sps_alf_enabled_flag:
         return True
     if not tabs.alf_ctb_flag.any() and not tabs.alf_cc_idc.any():
@@ -179,7 +183,21 @@ def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list) -> bool:
     ap.fix_coeff = cp(fixc)
     ap.class_to_filt = cp(c2f)
     ap.aps_class_to_filt = cp(aps_c2f)
-    err = lib.alf_frame_c(ctypes.byref(ap))
-    if err:
-        raise ValueError(f"native alf_frame_c failed (err={err})")
+    nt = min(int(stage_threads) or 1, pps.ctb_height)
+    if nt <= 1:
+        err = lib.alf_frame_c(ctypes.byref(ap))
+        if err:
+            raise ValueError(f"native alf_frame_c failed (err={err})")
+        return True
+    from ..threads import run_parallel, split_ranges
+    errs = [0] * nt
+
+    def shard(i, lo, hi):
+        errs[i] = lib.alf_frame_rows(ctypes.byref(ap), lo, hi)
+
+    run_parallel(nt, [
+        (lambda i=i, lo=lo, hi=hi: shard(i, lo, hi))
+        for i, (lo, hi) in enumerate(split_ranges(pps.ctb_height, nt))])
+    if any(errs):
+        raise ValueError(f"native alf_frame_rows failed (errs={errs})")
     return True

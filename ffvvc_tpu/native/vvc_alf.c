@@ -358,7 +358,19 @@ static void filter_cc(const AlfParams *ap, int32_t *dst, long dstride,
     }
 }
 
+int alf_frame_rows(const AlfParams *ap, int ry0, int ry1);
+
+/* whole frame */
 int alf_frame_c(const AlfParams *ap)
+{
+    return alf_frame_rows(ap, 0, ap->ctb_height);
+}
+
+/* CTB rows [ry0, ry1): rows are mutually independent given the pre-ALF
+ * snapshot (every CTB reads `pre` + writes only its own dst region), so
+ * the binding shards rows across stage threads (the deblock row-shard
+ * pattern, decoder.py) */
+int alf_frame_rows(const AlfParams *ap, int ry0, int ry1)
 {
     static _Thread_local int32_t luma_win[WIN * WIN];
     static _Thread_local int32_t cwin[WIN * WIN];
@@ -373,7 +385,7 @@ int alf_frame_c(const AlfParams *ap)
     const int32_t *pres[3] = {ap->pre0, ap->pre1, ap->pre2};
     int clip_set[4] = {1 << ap->bit_depth, 1 << (ap->bit_depth - 3),
                        1 << (ap->bit_depth - 5), 1 << (ap->bit_depth - 7)};
-    for (int ry = 0; ry < ap->ctb_height; ry++)
+    for (int ry = ry0; ry < ry1; ry++)
         for (int rx = 0; rx < ap->ctb_width; rx++) {
             int rs = ry * ap->ctb_width + rx;
             int sidx = ap->slice_idx[rs];
