@@ -43,12 +43,20 @@ class DecodedFrame:
     def to_yuv_bytes(self):
         return self.buffer.to_yuv_bytes()
 
+    # True while the producing decoder still holds this frame in its DPB
+    # (it may serve as a prediction reference); recycle() is a no-op then.
+    _dpb_held: bool = False
+
     def recycle(self):
         """Return the frame's planes/tabs to the per-process pool.  Callers
         may use this once they are done with the pixel data AND the decoder
         that produced the frame is done decoding (e.g. after converting the
         outputs of a completed decode); the arrays are reused by later
-        frames."""
+        frames.  A frame the decoder still references (in-DPB) is left
+        intact — recycling it would let a later frame overwrite live
+        reference pixels."""
+        if self._dpb_held:
+            return
         if self.buffer is not None:
             sps, pps = self.buffer.sps, self.buffer.pps
             self.buffer.recycle()
@@ -204,6 +212,8 @@ class VVCDecoder:
             # frames reference live buffers; deferred mesh filters must
             # land before the caller reads pixels
             self._mesh_q.drain()
+        if flush:
+            self._release_dpb()
         return out
 
     def flush(self):
@@ -212,7 +222,16 @@ class VVCDecoder:
         out = self._output_frames(flush=True)
         if self._mesh_q is not None:
             self._mesh_q.drain()
+        self._release_dpb()
         return out
+
+    def _release_dpb(self):
+        """End of stream: drop remaining reference holds so output frames
+        become recyclable (the analogue of avcodec_flush_buffers clearing
+        the DPB)."""
+        for f in list(self.dpb):
+            f.flags = 0
+            self._unref_check(f)
 
     # --- DPB / output order (vvc_refs.c:196-292) ---------------------------
 
@@ -229,6 +248,7 @@ class VVCDecoder:
     def _unref_check(self, f):
         if not f.flags and f in self.dpb:
             self.dpb.remove(f)
+            f._dpb_held = False
 
     def _output_frames(self, flush=False, cur_poc=None):
         out = []
@@ -283,6 +303,7 @@ class VVCDecoder:
                          sequence=self.seq_decode)
         f._ctb_log2 = self.sps.ctb_log2_size_y
         f.slice_rpls = [[derived.RefPicList(), derived.RefPicList()]]
+        f._dpb_held = True
         self.dpb.append(f)
         return f
 
@@ -402,6 +423,7 @@ class VVCDecoder:
             self.gdr_recovered
         frame.flags = FLAG_SHORT_REF | \
             (FLAG_OUTPUT if ph.ph_pic_output_flag and not suppressed else 0)
+        frame._dpb_held = True
         self.dpb.append(frame)
         outputs = self._output_frames()
         self._bump_frame(poc)
@@ -556,6 +578,17 @@ class VVCDecoder:
                 for lo, hi in split_ranges(len(native_mc), nt)])
         _stage("inter")
 
+        # snapshot ALF state on THIS thread: pixel_stages may run on the
+        # frame-pipeline worker while the main thread's handle(PREFIX_APS)
+        # mutates self.ps.aps_alf for a later AU — a frame must be filtered
+        # with the APS contents active when its slices arrived
+        alf_list = sh_list = None
+        if sps.r.sps_alf_enabled_flag:
+            from .alf import VVCALF
+            alf_list = {i: VVCALF(a) for i, a in self.ps.aps_alf.items()}
+            sh_list = [sh_by_slice.get(i) for i in
+                       range(max(sh_by_slice) + 1)]
+
         def pixel_stages():
             # recon / LMCS / deblock / SAO / ALF: no later frame's PARSE
             # depends on these (TMVP reads the col MV grids written at
@@ -610,12 +643,6 @@ class VVCDecoder:
                 db.n_threads = resolve(self.config.stage_threads)
                 db.deblock_frame()
             _stage("deblock")
-            alf_list = sh_list = None
-            if sps.r.sps_alf_enabled_flag:
-                from .alf import VVCALF
-                alf_list = {i: VVCALF(a) for i, a in self.ps.aps_alf.items()}
-                sh_list = [sh_by_slice.get(i) for i in
-                           range(max(sh_by_slice) + 1)]
             if self._mesh_q is not None:
                 # mesh-sharded SAO/ALF/CC-ALF (parallel/filters.py):
                 # deferred until an inter ref barrier or end of the decode

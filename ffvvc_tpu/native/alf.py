@@ -114,6 +114,11 @@ def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
             aid = getattr(r, name, 0)
             if aid in slots:
                 sl_cc[s, i] = slots[aid]
+            elif np.any(ccidc[si_of_ctb == s][:, i]):
+                # CC-ALF signalled but its APS is missing: the C pass
+                # would silently skip filtering (slot < 0 guard) where the
+                # golden raises — fall back so behavior stays identical
+                return False
 
     n_slots = max(1, len(slots))
     luma_coeff = np.zeros((n_slots, 25, 12), np.int32)
