@@ -31,7 +31,7 @@ from .config import DecoderConfig
 FLAG_OUTPUT, FLAG_SHORT_REF, FLAG_LONG_REF, FLAG_BUMPING = 1, 2, 4, 8
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)       # identity eq/hash: DPB membership
 class DecodedFrame:
     poc: int
     buffer: FrameBuffer
@@ -46,6 +46,10 @@ class DecodedFrame:
     # True while the producing decoder still holds this frame in its DPB
     # (it may serve as a prediction reference); recycle() is a no-op then.
     _dpb_held: bool = False
+    # pending pixel-stage future (frame pipeline); None once landed or when
+    # the frame ran synchronously.  Inter frames wait on their REFERENCE
+    # frames' futures only (RPL-aware progress gating).
+    _pix_future = None
 
     def recycle(self):
         """Return the frame's planes/tabs to the per-process pool.  Callers
@@ -455,6 +459,7 @@ class VVCDecoder:
         recon_jobs = []
         inter_jobs = []
         sh_by_slice = {}
+        ref_frames = set()      # DPB frames this frame predicts from
         for slice_idx_in_frame, (nal, sh_r, sh_end_bits) in enumerate(slices):
             sh = derived.SH(sh_r, ph, sps, pps)
             sh_by_slice[sh.slice_idx] = sh
@@ -462,6 +467,8 @@ class VVCDecoder:
                 rpl, collocated = self._build_slice_rpl(frame, sh, poc)
                 if sps.r.sps_smvd_enabled_flag:
                     derived.smvd_ref_idx(sh, rpl, poc)
+                for lst in rpl:
+                    ref_frames.update(lst.frames)
             else:
                 rpl, collocated = [derived.RefPicList(),
                                    derived.RefPicList()], None
@@ -516,16 +523,25 @@ class VVCDecoder:
 
         _stage("parse")
 
-        # inter MC needs the refs' FILTERED pixels: every queued frame's
-        # pixel stages must land first — the host analogue of the
-        # reference's row-progress wait (schedule_inter,
-        # vvc_thread.c:281-296).  Intra frames have no pixel dependency on
-        # earlier frames, so they only trim the pixel queue to
-        # config.pipeline_depth (the reference's deep frame contexts,
-        # vvcdec.c:830-841): the parse runs ahead across intra runs.
-        if is_inter_frame or self._mesh_q is not None:
-            self._join_pixels()
+        # inter MC needs its REFERENCE frames' filtered pixels — and only
+        # those: the host analogue of the reference's per-frame progress
+        # wait (schedule_inter, vvc_thread.c:281-296).  Frames this frame
+        # does not predict from (e.g. non-referenced B leaves of a
+        # hierarchical GOP) keep their pixel stages in flight, overlapping
+        # this frame's MC and the next frames' parse.  The queue is then
+        # trimmed to config.pipeline_depth to bound in-flight memory (the
+        # reference's deep frame contexts, vvcdec.c:830-841).
+        if self._mesh_q is not None:
+            if is_inter_frame:
+                self._join_pixels()
         else:
+            if is_inter_frame:
+                if os.environ.get("FFVVC_RPL_GATE", "1") == "0":  # A/B toggle
+                    self._join_pixels()
+                for rf in ref_frames:
+                    fut = rf._pix_future
+                    if fut is not None:
+                        fut.result()
             self._trim_pixels(max(1, self.config.pipeline_depth) - 1)
 
         if self.config.backend == "tpu":
@@ -691,7 +707,9 @@ class VVCDecoder:
                 from concurrent.futures import ThreadPoolExecutor
                 self._pix_exec = ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="ffvvc-pixels")
-            self._pix_futures.append(self._pix_exec.submit(pixel_stages))
+            fut = self._pix_exec.submit(pixel_stages)
+            frame._pix_future = fut
+            self._pix_futures.append(fut)
         else:
             pixel_stages()
         return outputs

@@ -104,11 +104,41 @@ def _decode_segment(args):
     config = dataclasses.replace(config, stage_threads=1)
     from .decoder import VVCDecoder
     frames = VVCDecoder(config).decode(blob)
-    out = []
-    for f in frames:
-        out.append(f.to_yuv_bytes())
-        f.recycle()         # planes back to the pool for the next job
-    return idx, out
+    # ship pixels via tmpfs, not the pool result pipe: a 1080p10 frame is
+    # ~6 MB and pickling tens of MB through the queue costs ~20% of a
+    # short decode's wall clock
+    path = f"/dev/shm/ffvvc_seg_{os.getpid()}_{idx}.yuv"
+    try:
+        sizes = []
+        with open(path, "wb") as fh:
+            for f in frames:
+                b = f.to_yuv_bytes()
+                sizes.append(len(b))
+                fh.write(b)
+                f.recycle()     # planes back to the pool for the next job
+        return idx, (path, sizes)
+    except OSError:
+        out = []
+        for f in frames:
+            out.append(f.to_yuv_bytes())
+            f.recycle()
+        return idx, out
+
+
+def _collect_yuvs(result):
+    """Worker result -> list of per-frame YUV bytes."""
+    if isinstance(result, tuple):
+        path, sizes = result
+        with open(path, "rb") as fh:
+            data = fh.read()
+        os.unlink(path)
+        out = []
+        pos = 0
+        for n in sizes:
+            out.append(data[pos:pos + n])
+            pos += n
+        return out
+    return result
 
 
 def decode_parallel(data: bytes, workers: int = None,
@@ -132,8 +162,8 @@ def decode_parallel(data: bytes, workers: int = None,
     pool = _get_pool(min(workers, len(jobs)))
     results = pool.map(_decode_segment, jobs, chunksize=1)
     out = []
-    for _idx, yuvs in sorted(results):
-        out.extend(yuvs)
+    for _idx, res in sorted(results):
+        out.extend(_collect_yuvs(res))
     return out
 
 
