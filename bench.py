@@ -119,22 +119,33 @@ def main():
         # each worker owns its cores); with pipelining on, a 1-worker run
         # already uses 2 threads and the N-worker run can't show the
         # cross-host headroom on this single oversubscribed box.
+        # stage_threads=1 on BOTH legs: forked workers pin it (pipeline.py)
+        # and the 1-worker run decodes in-process, where auto stage threads
+        # would otherwise use every core — the metric is per-core GOP-axis
+        # scaling, not intra-frame threading
+        # The bench host load swings +/-40%: measure the legs as
+        # INTERLEAVED (t1, tn) pairs and report the median per-pair ratio
+        # — matched measurement windows cancel common-mode load, and the
+        # median resists outlier draws in either direction.
         if workers > 1:
-            nopipe = DecoderConfig(pipeline_frames=False)
+            import statistics
+            nopipe = DecoderConfig(pipeline_frames=False, stage_threads=1)
             prev_itx = os.environ.get("FFVVC_ITX")
             os.environ["FFVVC_ITX"] = "host"
             try:
-                t1, _ = _time_best(
-                    lambda: decode_parallel(stream, workers=1,
-                                            config=nopipe), n=2)
+                ratios = []
+                for _ in range(5):
+                    d1, _o = _time_best(lambda: decode_parallel(
+                        stream, workers=1, config=nopipe), n=1)
+                    dn, _o = _time_best(lambda: decode_parallel(
+                        stream, workers=workers, config=nopipe), n=1)
+                    ratios.append(d1 / (workers * dn))
             finally:
                 if prev_itx is None:
                     del os.environ["FFVVC_ITX"]
                 else:
                     os.environ["FFVVC_ITX"] = prev_itx
-            tn, _ = _time_best(lambda: decode_parallel(
-                stream, workers=workers, config=nopipe), n=2)
-            extra["scaling_efficiency"] = round(t1 / (workers * tn), 4)
+            extra["scaling_efficiency"] = round(statistics.median(ratios), 4)
             extra["scaling_workers"] = workers
 
         # --- random access: hier-GOP 10-bit DMVR/BDOF + affine.  Two
