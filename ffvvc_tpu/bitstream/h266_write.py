@@ -65,6 +65,7 @@ def write_ref_pic_list_struct(w: BitWriter, sps: SyntaxObj, rpl: SyntaxObj,
     if sps.sps_long_term_ref_pics_flag and \
             rpls_idx < sps.sps_num_ref_pic_lists[list_idx] and rpl.num_ref_entries > 0:
         w.u(rpl.ltrp_in_header_flag, 1)
+    j = 0
     for i in range(rpl.num_ref_entries):
         if sps.sps_inter_layer_prediction_enabled_flag:
             w.u(rpl.inter_layer_ref_pic_flag[i], 1)
@@ -80,7 +81,10 @@ def write_ref_pic_list_struct(w: BitWriter, sps: SyntaxObj, rpl: SyntaxObj,
                 if abs_delta > 0:
                     w.u(rpl.strp_entry_sign_flag[i], 1)
             else:
-                raise NotImplementedError("LT ref write")
+                if not rpl.ltrp_in_header_flag:
+                    bits = sps.sps_log2_max_pic_order_cnt_lsb_minus4 + 4
+                    w.u(rpl.rpls_poc_lsb_lt[j], bits)
+                    j += 1
         else:
             raise NotImplementedError("inter-layer ref write")
 
@@ -141,9 +145,15 @@ def write_ref_pic_lists(w: BitWriter, sps: SyntaxObj, pps: SyntaxObj, rpls: Synt
             write_ref_pic_list_struct(w, sps, rpls.rpl_ref_list[i], i,
                                       sps.sps_num_ref_pic_lists[i])
         from .h266 import num_ltrp_entries
-        n_lt = num_ltrp_entries(rpls.rpl_ref_list[i])
-        if n_lt:
-            raise NotImplementedError("LT entries write")
+        ref_list = rpls.rpl_ref_list[i]
+        n_lt = num_ltrp_entries(ref_list)
+        for j in range(n_lt):
+            if ref_list.ltrp_in_header_flag:
+                w.u(rpls.poc_lsb_lt[i][j],
+                    sps.sps_log2_max_pic_order_cnt_lsb_minus4 + 4)
+            w.u(rpls.delta_poc_msb_cycle_present_flag[i][j], 1)
+            if rpls.delta_poc_msb_cycle_present_flag[i][j]:
+                w.ue(rpls.delta_poc_msb_cycle_lt[i][j])
 
 
 

@@ -123,6 +123,37 @@ def test_l5_weighted_pred(tmp_path):
         pps_kw=dict(pps_weighted_bipred_flag=1)), tmp_path, 3)
 
 
+def test_l4_long_term_refs(tmp_path):
+    """Long-term reference pictures, LSB-only and explicit-MSB-cycle
+    entries (decoder.py LT branch; reference ff_vvc_slice_rpl LT/MSB
+    handling, vvc_refs.c:415-466)."""
+    from forge import (build_sps, build_pps, forge_frame, FuzzPolicy,
+                       write_nal, write_sps, write_pps, NalType)
+    SLICE_B, SLICE_P = 0, 1
+    sps_r = build_sps(64, 64, bit_depth=10, min_qt_log2=2, max_mtt_depth=2,
+                      sps_long_term_ref_pics_flag=1)
+    pps_r = build_pps(sps_r)
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    policy = FuzzPolicy(11)
+    nal, _ = forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True)
+    stream += nal
+    nal, _ = forge_frame(sps_r, pps_r, policy, qp=32, poc=2, idr=False,
+                         slice_type=SLICE_P, ref_deltas=([-2], []))
+    stream += nal
+    # ST ref to POC 2 + LSB-only LT ref to POC 0 in one list
+    nal, _ = forge_frame(sps_r, pps_r, policy, qp=32, poc=4, idr=False,
+                         slice_type=SLICE_P,
+                         ref_deltas=([-2, ("lt", 0)], []))
+    stream += nal
+    # B frame whose L1 is a future LT ref with an explicit MSB cycle
+    nal, _ = forge_frame(sps_r, pps_r, policy, qp=32, poc=3, idr=False,
+                         slice_type=SLICE_B,
+                         ref_deltas=([-1], [("ltmsb", 4)]))
+    stream += nal
+    _check_stream(stream, tmp_path, 4)
+
+
 def test_l6_hier_dmvr_bdof(tmp_path):
     """Hierarchical GOP with future refs: DMVR + BDOF + POC reorder."""
     from forge import forge_hier_stream
@@ -476,3 +507,103 @@ def test_l17_tiles_inter_filters(tmp_path):
                                      slice_type=1, rows=(2,), cols=(2,),
                                      sps_sao_enabled_flag=1,
                                      sps_alf_enabled_flag=1), tmp_path, 3)
+
+
+# --- large CTU sizes (sps_log2_ctu_size_minus5 = 1, 2) ----------------------
+
+@pytest.mark.parametrize("ctu_log2", [6, 7])
+def test_l18_large_ctu_tools(ctu_log2, tmp_path):
+    """CTU-64 / CTU-128 all-intra with the full intra toolset and 64-pt
+    transforms (sps_max_luma_transform_size_64_flag=1: 64-point DCT-2
+    zero-out, deep QT/MTT trees)."""
+    from forge import forge_tools_stream
+    _check_stream(forge_tools_stream(seed=3, width=256, height=192, qp=30,
+                                     bit_depth=10, nframes=1,
+                                     ctu_log2=ctu_log2), tmp_path, 1)
+
+
+@pytest.mark.parametrize("ctu_log2", [6, 7])
+def test_l18_large_ctu_alf(ctu_log2, tmp_path):
+    """ALF/CC-ALF virtual boundaries at 64/128 CTBs (the VB sits 4 rows
+    above the CTB bottom — CTB-size-dependent geometry)."""
+    from forge import forge_tools_stream
+    _check_stream(forge_tools_stream(seed=4, width=256, height=192, qp=30,
+                                     bit_depth=10, nframes=1,
+                                     ctu_log2=ctu_log2,
+                                     sps_sao_enabled_flag=1,
+                                     sps_alf_enabled_flag=1,
+                                     sps_ccalf_enabled_flag=1),
+                  tmp_path, 1)
+
+
+@pytest.mark.parametrize("ctu_log2", [6, 7])
+def test_l18_large_ctu_ra(ctu_log2, tmp_path):
+    """Random-access hierarchical GOP at CTU-64/128: inter TB splits of
+    128-wide CUs, DMVR/BDOF, SAO+ALF, 64-pt transforms."""
+    from forge import forge_hier_stream
+    _check_stream(forge_hier_stream(
+        seed=2, width=192, height=128, qp=32, bit_depth=10, ngops=2,
+        deblock=True, ctu_log2=ctu_log2,
+        sps_max_luma_transform_size_64_flag=1,
+        sps_temporal_mvp_enabled_flag=1, sps_bdof_enabled_flag=1,
+        sps_dmvr_enabled_flag=1, sps_alf_enabled_flag=1,
+        sps_sao_enabled_flag=1), tmp_path, 5)
+
+
+def test_l18_mip_multi_tb_ref_bug(tmp_path):
+    """MIP CU wider than MaxTbSize (64x64 MIP, maxTB=32 -> four 32x32
+    TBs).  The spec predicts every TB with the CU's signalled MIP
+    mode/transpose (IntraPredModeY covers the whole CB).  The reference
+    stores imm/imtf only in the FIRST min-CB column of each CU row
+    (vvc_ctu.c:976-978 - single assignment, not memset) but samples them
+    at each TB's origin (vvc_intra_template.c:630-631), so right-column
+    TBs read stale (zero) cells and mis-predict.  Pin: our native and
+    golden decodes agree; the oracle accepts the stream but differs — a
+    fixed reference flips the last assert."""
+    import subprocess
+    import forge as F
+    from ffvvc_tpu.config import DecoderConfig
+
+    class MipPolicy(F.FuzzPolicy):
+        """Row-0 CTU: planar + random residual (noisy boundary).  Row-1
+        CTU: one 64x64 MIP CU (mode 2, transposed), zero residual."""
+        def __call__(self, tag, **ctx):
+            y0 = ctx.get("y0", 0)
+            if tag == "mip_flag":
+                return int(y0 >= 64)
+            if tag == "mip_transposed":
+                return 1
+            if tag == "mip_mode":
+                return 2
+            if tag in ("intra_luma_mode", "intra_chroma_mode"):
+                return 0
+            if tag in ("tu_y_coded", "tu_cb_coded", "tu_cr_coded"):
+                return super().__call__(tag, **ctx) if y0 < 64 else 0
+            return 0
+
+    sps_r = F.build_sps(64, 128, bit_depth=10, ctu_log2=6, min_qt_log2=6,
+                        max_mtt_depth=0, sps_mip_enabled_flag=1)
+    pps_r = F.build_pps(sps_r)
+    stream = F.write_nal(F.NalType.SPS, F.write_sps(sps_r))
+    stream += F.write_nal(F.NalType.PPS, F.write_pps(pps_r, sps_r))
+    nal, _ = F.forge_frame(sps_r, pps_r, MipPolicy(5), qp=30, poc=0,
+                           idr=True)
+    stream += nal
+    nat = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(stream))
+    gold = b"".join(f.to_yuv_bytes() for f in VVCDecoder(DecoderConfig(
+        backend="golden", native_cabac=False,
+        native_parse=False)).decode(stream))
+    assert nat == gold
+    if have_oracle():
+        from conftest import ORACLE
+        bit = tmp_path / "t.bit"
+        bit.write_bytes(stream)
+        r = subprocess.run(
+            [ORACLE, "-hide_banner", "-loglevel", "error", "-threads", "1",
+             "-flags", "unaligned", "-f", "vvc", "-i", str(bit),
+             "-f", "rawvideo", "-y", str(tmp_path / "t.yuv")],
+            capture_output=True, timeout=120)
+        assert r.returncode == 0
+        ref = (tmp_path / "t.yuv").read_bytes()
+        assert ref != nat, \
+            "reference now predicts multi-TB MIP per spec — compare equal"

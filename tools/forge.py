@@ -223,8 +223,11 @@ class FuzzPolicy:
             h >>= 1
         n = max(1, int(w * h * self.density * self.rng.random()))
         c = np.zeros((h, w), dtype=np.int32)
-        xs = self.nrng.integers(0, w, n)
-        ys = self.nrng.integers(0, h, n)
+        # confine to the coded region: 64-pt transforms zero out
+        # coefficients beyond 32 (they are never coded), and an all-zero
+        # trimmed TB cannot be signalled with cbf=1
+        xs = self.nrng.integers(0, min(w, 32), n)
+        ys = self.nrng.integers(0, min(h, 32), n)
         vals = self.nrng.integers(-self.max_level, self.max_level + 1, n)
         c[ys, xs] = vals
         if not c.any():
@@ -433,35 +436,49 @@ def make_pwt(rng, sps_raw, n0, n1, bipred):
     return pwt
 
 
-def make_explicit_rpl(deltas0, deltas1, weighted=False):
-    """Slice-header-explicit ref pic lists.  deltasN: signed per-entry POC
-    deltas (relative to the previous entry's POC; negative = past)."""
+def make_explicit_rpl(deltas0, deltas1, weighted=False, max_poc_lsb=256):
+    """Slice-header-explicit ref pic lists.  deltasN entries: a signed int
+    is a short-term POC delta (relative to the previous ST entry's POC;
+    negative = past); a tuple ("lt", poc) / ("ltmsb", poc) is a long-term
+    reference to absolute POC `poc`, signalled by LSB only or with an
+    explicit delta_poc_msb_cycle (which must then be 0, i.e. poc within
+    the current LSB window).  With SH-explicit RPLs the decoder infers
+    ltrp_in_header_flag=1, so LT POC LSBs land in ref_pic_lists()
+    (h266.py:241-245 / decoder.py _build_slice_rpl)."""
     rls = SyntaxObj()
-
-    def mk(deltas):
-        st = SyntaxObj()
-        n = len(deltas)
-        st.num_ref_entries = n
-        st.ltrp_in_header_flag = 0
-        st.inter_layer_ref_pic_flag = [0] * n
-        st.st_ref_pic_flag = [1] * n
-        st.abs_delta_poc_st = []
-        st.strp_entry_sign_flag = []
-        for i, d in enumerate(deltas):
-            ad = abs(d)
-            # derived |delta| = raw + 1 unless (weighted && i != 0)
-            st.abs_delta_poc_st.append(ad if (weighted and i != 0)
-                                       else ad - 1)
-            st.strp_entry_sign_flag.append(1 if d < 0 else 0)
-        st.rpls_poc_lsb_lt = []
-        st.ilrp_idx = []
-        return st
-    rls.rpl_sps_flag = [0, 0]
-    rls.rpl_idx = [0, 0]
-    rls.rpl_ref_list = [mk(deltas0), mk(deltas1)]
     rls.poc_lsb_lt = [[], []]
     rls.delta_poc_msb_cycle_present_flag = [[], []]
     rls.delta_poc_msb_cycle_lt = [[], []]
+
+    def mk(lx, deltas):
+        st = SyntaxObj()
+        n = len(deltas)
+        st.num_ref_entries = n
+        st.ltrp_in_header_flag = 1 if any(
+            isinstance(d, tuple) for d in deltas) else 0
+        st.inter_layer_ref_pic_flag = [0] * n
+        st.st_ref_pic_flag = [1] * n
+        st.abs_delta_poc_st = [0] * n
+        st.strp_entry_sign_flag = [0] * n
+        st.rpls_poc_lsb_lt = [0] * n
+        st.ilrp_idx = []
+        for i, d in enumerate(deltas):
+            if isinstance(d, tuple):
+                kind, p = d
+                st.st_ref_pic_flag[i] = 0
+                rls.poc_lsb_lt[lx].append(p & (max_poc_lsb - 1))
+                rls.delta_poc_msb_cycle_present_flag[lx].append(
+                    1 if kind == "ltmsb" else 0)
+                rls.delta_poc_msb_cycle_lt[lx].append(0)
+                continue
+            ad = abs(d)
+            # derived |delta| = raw + 1 unless (weighted && i != 0)
+            st.abs_delta_poc_st[i] = ad if (weighted and i != 0) else ad - 1
+            st.strp_entry_sign_flag[i] = 1 if d < 0 else 0
+        return st
+    rls.rpl_sps_flag = [0, 0]
+    rls.rpl_idx = [0, 0]
+    rls.rpl_ref_list = [mk(0, deltas0), mk(1, deltas1)]
     return rls
 
 
@@ -685,6 +702,9 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                 rp = derived.RefPicList()
                 base = poc
                 for d in ref_deltas[lx]:
+                    if isinstance(d, tuple):   # ("lt"/"ltmsb", abs poc)
+                        rp.add(d[1], True, None)
+                        continue
                     base += d
                     rp.add(base, False, None)
                 rpl.append(rp)
@@ -799,6 +819,13 @@ def forge_tools_stream(seed=0, width=128, height=128, qp=30, bit_depth=10,
     sps_kw.setdefault("sps_mip_enabled_flag", 1)
     sps_kw.setdefault("sps_isp_enabled_flag", 1)
     sps_kw.setdefault("sps_mrl_enabled_flag", 1)
+    if sps_kw.get("ctu_log2", 5) >= 6:
+        # 64-pt transforms at large CTUs, and keep MIP CUs single-TB: the
+        # reference mis-decodes MIP CUs wider than MaxTbSize (it stores
+        # imm/imtf only in the first min-CB column of the CU,
+        # vvc_ctu.c:976-978, but samples them at each TB origin,
+        # vvc_intra_template.c:630-631) — see PARITY.md
+        sps_kw.setdefault("sps_max_luma_transform_size_64_flag", 1)
     if lfnst:
         sps_kw.setdefault("sps_lfnst_enabled_flag", 1)
     if mts:
