@@ -78,6 +78,13 @@ class DecoderConfig:
     # tunneled-chip caveat as device_sao.
     device_intra: bool = False
 
+    # Verify decoded pictures against decoded-picture-hash suffix SEI
+    # (payload type 132, MD5) when present: a free end-to-end self-check
+    # on streams that carry it.  Raises ValueError on mismatch.  Off by
+    # default (costs an MD5 per frame; the reference decoder does not
+    # verify it either).
+    verify_picture_hash: bool = False
+
     # Intra-frame stage threads over GIL-releasing native calls (inter MC
     # CTUs; deblock row/column shards). 0 = auto (cpu count). GOP-parallel
     # worker processes force 1 to avoid oversubscription (pipeline.py).

@@ -109,6 +109,8 @@ class VVCDecoder:
         self.seq_output = 0
         # GDR recovery state (decode_recovery_flag/poc, vvc_ps.c:745-761)
         self.last_eos = 1
+        # decoded-picture-hash suffix SEI pending for the in-flight AU
+        self._pending_dph = None
         self.no_output_before_recovery = 0
         self.gdr_recovery_point_poc = 0
         self.gdr_recovered = True
@@ -193,6 +195,16 @@ class VVCDecoder:
                     self.last_sei = read_sei(r, t == NalType.PREFIX_SEI)
                 except Exception:
                     self.last_sei = []
+                if t == NalType.SUFFIX_SEI and cur_slices:
+                    # decoded-picture-hash (H.274: suffix SEI) applies to
+                    # the access unit it follows
+                    for ptype, payload in self.last_sei:
+                        if ptype == 132:
+                            from .bitstream.h266 import parse_dph
+                            try:
+                                self._pending_dph = parse_dph(payload)
+                            except Exception:
+                                self._pending_dph = None
             elif t in (NalType.EOS, NalType.EOB):
                 flush_frame()
                 self.last_eos = 1
@@ -594,6 +606,8 @@ class VVCDecoder:
                 for lo, hi in split_ranges(len(native_mc), nt)])
         _stage("inter")
 
+        dph, self._pending_dph = self._pending_dph, None
+
         # snapshot ALF state on THIS thread: pixel_stages may run on the
         # frame-pipeline worker while the main thread's handle(PREFIX_APS)
         # mutates self.ps.aps_alf for a later AU — a frame must be filtered
@@ -693,6 +707,8 @@ class VVCDecoder:
                             AlfFilter(sps, pps, tabs, fb, sh_list,
                                       alf_list).alf_frame()
             _stage("sao_alf")
+            if dph is not None and self.config.verify_picture_hash:
+                self._check_picture_hash(frame, dph)
             # recycle native parse record arenas (everything pixel-level
             # that reads them — MC, CIIP, recon — has run; tabs keep the
             # MV grids).  The pool is lock-guarded against the next
@@ -713,6 +729,27 @@ class VVCDecoder:
         else:
             pixel_stages()
         return outputs
+
+    def _check_picture_hash(self, frame, dph):
+        """Verify decoded planes against a decoded-picture-hash SEI
+        (payload type 132, H.274).  MD5 only — each sample little-endian
+        (bitDepth+7)//8 bytes, raster order, over the full (pre-crop)
+        decoded picture."""
+        hash_type, single, hashes = dph
+        if hash_type != 0:          # CRC/checksum: not verified
+            return
+        import hashlib
+        bd = frame.buffer.sps.bit_depth   # not self.sps: may run on the
+        # pixel worker while a later frame's parse re-activates params
+        planes = frame.buffer.planes[:1] if single else frame.buffer.planes
+        for c, (p, want) in enumerate(zip(planes, hashes)):
+            data = (p.astype(np.uint8) if bd == 8 else
+                    p.astype("<u2")).tobytes()
+            got = hashlib.md5(data).digest()
+            if got != want:
+                raise ValueError(
+                    f"decoded picture hash mismatch (poc={frame.poc}, "
+                    f"component={c}): {got.hex()} != {want.hex()}")
 
     def _join_pixels(self):
         """Wait for every queued pixel-stage job (frame pipeline)."""

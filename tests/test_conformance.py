@@ -607,3 +607,30 @@ def test_l18_mip_multi_tb_ref_bug(tmp_path):
         ref = (tmp_path / "t.yuv").read_bytes()
         assert ref != nat, \
             "reference now predicts multi-TB MIP per spec — compare equal"
+
+
+def test_l19_picture_hash_sei(tmp_path):
+    """Decoded-picture-hash suffix SEI (type 132, MD5): with
+    config.verify_picture_hash the decoder checks every decoded picture
+    against the stream-carried hash and raises on mismatch.  (The
+    reference parses but never verifies it - h266_metadata.c.)"""
+    from forge import forge_tools_stream, insert_picture_hashes
+    from ffvvc_tpu.config import DecoderConfig
+    stream = forge_tools_stream(seed=9, width=96, height=96, qp=30,
+                                bit_depth=10, nframes=2)
+    yuvs = [f.to_yuv_bytes() for f in VVCDecoder().decode(stream)]
+    ref = oracle_decode(stream, tmp_path)
+    assert b"".join(yuvs) == ref
+    hashed = insert_picture_hashes(stream, yuvs, 10)
+    # oracle still decodes the SEI-carrying stream identically
+    assert oracle_decode(hashed, tmp_path) == ref
+    cfg = DecoderConfig(verify_picture_hash=True)
+    out = b"".join(f.to_yuv_bytes()
+                   for f in VVCDecoder(cfg).decode(hashed))
+    assert out == ref
+    # corrupt one hash byte -> the decoder flags the mismatch
+    bad = bytearray(hashed)
+    idx = hashed.rindex(b"\x84\x32")       # payload type 132, size 50
+    bad[idx + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="picture hash mismatch"):
+        VVCDecoder(cfg).decode(bytes(bad))

@@ -786,6 +786,46 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     return out, shim
 
 
+def insert_picture_hashes(stream: bytes, yuvs, bit_depth: int) -> bytes:
+    """Append a decoded-picture-hash suffix SEI (payload type 132, MD5,
+    H.274) after each access unit's slices.  `yuvs`: per-frame YUV bytes
+    in DECODE order (full pre-crop pictures); plane boundaries are taken
+    from the luma/chroma byte split of each frame blob (4:2:0 or
+    monochrome assumed when it divides evenly, else 4:4:4/4:2:2 by
+    ratio).  Single-slice AUs assumed (forge output)."""
+    import hashlib
+    from ffvvc_tpu.pipeline import _iter_units
+    from ffvvc_tpu.bitstream.nal import is_vcl
+
+    def sei_nal(yuv):
+        n = len(yuv)
+        # split planes: luma is 2/3 of a 4:2:0 frame, 1/2 of 4:2:2,
+        # 1/3 of 4:4:4, all of monochrome
+        for luma_frac in ((2, 3), (1, 2), (1, 3), (1, 1)):
+            ly = n * luma_frac[0] // luma_frac[1]
+            if n * luma_frac[0] % luma_frac[1] == 0 and \
+                    (luma_frac == (1, 1) or (n - ly) % 2 == 0):
+                break
+        planes = [yuv[:ly]] if luma_frac == (1, 1) else \
+            [yuv[:ly], yuv[ly:ly + (n - ly) // 2], yuv[ly + (n - ly) // 2:]]
+        payload = bytes([0, 0])          # dph_hash_type=0 (MD5), flags
+        for p in planes:
+            payload += hashlib.md5(p).digest()
+        rbsp = bytes([132, len(payload)]) + payload + b"\x80"
+        return write_nal(NalType.SUFFIX_SEI, rbsp)
+
+    out = bytearray()
+    fi = 0
+    units = list(_iter_units(stream))
+    for i, (chunk, t, _fb) in enumerate(units):
+        out.extend(chunk)
+        if is_vcl(t):
+            out.extend(sei_nal(yuvs[fi]))
+            fi += 1
+    assert fi == len(yuvs), (fi, len(yuvs))
+    return bytes(out)
+
+
 def forge_stream(level=0, seed=0, width=64, height=64, qp=32, bit_depth=8,
                  nframes=1):
     """Returns Annex-B bytes for the given forge level."""
