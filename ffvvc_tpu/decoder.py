@@ -109,8 +109,10 @@ class VVCDecoder:
         self.seq_output = 0
         # GDR recovery state (decode_recovery_flag/poc, vvc_ps.c:745-761)
         self.last_eos = 1
-        # decoded-picture-hash suffix SEI pending for the in-flight AU
+        # decoded-picture-hash suffix SEI pending for the in-flight AU;
+        # mesh mode verifies after the deferred filters drain
         self._pending_dph = None
+        self._dph_pending = []
         self.no_output_before_recovery = 0
         self.gdr_recovery_point_poc = 0
         self.gdr_recovered = True
@@ -228,6 +230,7 @@ class VVCDecoder:
             # frames reference live buffers; deferred mesh filters must
             # land before the caller reads pixels
             self._mesh_q.drain()
+        self._check_pending_dph()
         if flush:
             self._release_dpb()
         return out
@@ -238,8 +241,14 @@ class VVCDecoder:
         out = self._output_frames(flush=True)
         if self._mesh_q is not None:
             self._mesh_q.drain()
+        self._check_pending_dph()
         self._release_dpb()
         return out
+
+    def _check_pending_dph(self):
+        pend, self._dph_pending = self._dph_pending, []
+        for fr, d in pend:
+            self._check_picture_hash(fr, d)
 
     def _release_dpb(self):
         """End of stream: drop remaining reference holds so output frames
@@ -445,12 +454,6 @@ class VVCDecoder:
         self._bump_frame(poc)
 
         is_inter_frame = any(s[1].sh_slice_type != SLICE_I for s in slices)
-        if is_inter_frame and self._mesh_q is not None:
-            # inter reference barrier: MC below reads DPB pixels, so all
-            # deferred mesh filter work must land first (the mesh analogue
-            # of the reference's row-progress wait, vvc_thread.c:281-296)
-            self._join_pixels()
-            self._mesh_q.drain()
         if is_inter_frame:
             # clear ref marks of all other frames; slice RPLs re-mark
             # (ff_vvc_frame_rpl, vvc_refs.c:468)
@@ -545,7 +548,13 @@ class VVCDecoder:
         # reference's deep frame contexts, vvcdec.c:830-841).
         if self._mesh_q is not None:
             if is_inter_frame:
+                # reference barrier: MC below reads DPB pixels — land the
+                # deferred mesh passes of the frames this frame actually
+                # references; non-referenced frames stay queued so the
+                # gop axis stays >1-deep on inter content (the collective
+                # form of the row-progress wait, vvc_thread.c:281-296)
                 self._join_pixels()
+                self._mesh_q.drain(needed={rf.buffer for rf in ref_frames})
         else:
             if is_inter_frame:
                 if os.environ.get("FFVVC_RPL_GATE", "1") == "0":  # A/B toggle
@@ -624,15 +633,21 @@ class VVCDecoder:
             # depends on these (TMVP reads the col MV grids written at
             # parse/inter time), so they overlap frame N+1's parse on the
             # frame pipeline (config.pipeline_frames)
+            mesh = self._mesh_q
+            # mesh: defer recon's residual add for inter-only frames (no
+            # intra/CIIP CUs — those need the sequential neighbour walk)
+            # so the add runs as a sharded pass batched over the gop axis
+            defer_res = self._deferred_residuals(recon_jobs, fb) \
+                if (mesh is not None and is_inter_frame) else None
             did_dev_intra = False
-            if (self.config.backend == "tpu" and self.config.device_intra
-                    and not is_inter_frame):
+            if (defer_res is None and self.config.backend == "tpu" and
+                    self.config.device_intra and not is_inter_frame):
                 # wavefront-batched device intra (ops/intra_device.py);
                 # returns False (untouched state) when ineligible
                 from .ops.intra_device import frame_device_intra
                 did_dev_intra = frame_device_intra(recon_jobs, sps, pps,
                                                    tabs, fb)
-            if not did_dev_intra:
+            if defer_res is None and not did_dev_intra:
                 for rec, ctus in recon_jobs:
                     nr = rec.native_recon
                     if nr is not None:
@@ -643,8 +658,21 @@ class VVCDecoder:
             _stage("recon")
             # LMCS inverse mapping (stage before deblock, vvc_thread.c:44,
             # ff_vvc_lmcs_filter vvc_filter.c:1322)
+            lmcs_ctx = None
             if lmcs is not None:
-                if self.config.backend == "tpu" and self.config.device_lmcs:
+                if mesh is not None:
+                    mask = np.zeros(fb.planes[0].shape, np.bool_)
+                    ctb = sps.ctb_size_y
+                    for rec, ctus in recon_jobs:
+                        if not rec.lmcs_used:
+                            continue
+                        for rs, rx, ry in ctus:
+                            mask[ry * ctb:(ry + 1) * ctb,
+                                 rx * ctb:(rx + 1) * ctb] = True
+                    if mask.any():
+                        lmcs_ctx = (lmcs.inv_lut, mask)
+                elif self.config.backend == "tpu" and \
+                        self.config.device_lmcs:
                     from .ops.lmcs_device import lmcs_frame_device
                     lmcs_frame_device(sps, pps, fb, lmcs, recon_jobs)
                 else:
@@ -660,8 +688,11 @@ class VVCDecoder:
                             blk[:] = lmcs.inv_lut[blk]
             _stage("lmcs")
             # in-loop filters (whole-frame passes per spec 8.8)
-            done = False
-            if self.config.backend == "tpu" and self.config.device_deblock:
+            defer_deblock = mesh is not None and \
+                not getattr(sps, "num_ladf_intervals", 0)
+            done = defer_deblock
+            if not done and self.config.backend == "tpu" and \
+                    self.config.device_deblock:
                 from .ops.deblock_device import deblock_frame_device
                 done = deblock_frame_device(sps, pps, tabs, fb,
                                             frame.slice_rpls)
@@ -673,11 +704,17 @@ class VVCDecoder:
                 db.n_threads = resolve(self.config.stage_threads)
                 db.deblock_frame()
             _stage("deblock")
-            if self._mesh_q is not None:
-                # mesh-sharded SAO/ALF/CC-ALF (parallel/filters.py):
-                # deferred until an inter ref barrier or end of the decode
-                # call, so independent frames batch over the "gop" axis
-                self._mesh_q.add(sps, pps, tabs, fb, sh_list, alf_list)
+            if mesh is not None:
+                # mesh-sharded residual-add/LMCS/deblock/SAO/ALF/CC-ALF
+                # (parallel/filters.py): deferred until a reference
+                # barrier needs this frame or the decode call ends, so
+                # independent frames batch over the "gop" axis
+                mesh.add(sps, pps, tabs, fb, sh_list, alf_list,
+                         slice_rpls=frame.slice_rpls if defer_deblock
+                         else None,
+                         res_planes=defer_res, lmcs_ctx=lmcs_ctx)
+                if dph is not None and self.config.verify_picture_hash:
+                    self._dph_pending.append((frame, dph))
             else:
                 if self.config.backend == "tpu" and self.config.device_sao:
                     from .ops.sao_device import sao_frame_device
@@ -707,7 +744,8 @@ class VVCDecoder:
                             AlfFilter(sps, pps, tabs, fb, sh_list,
                                       alf_list).alf_frame()
             _stage("sao_alf")
-            if dph is not None and self.config.verify_picture_hash:
+            if dph is not None and self.config.verify_picture_hash and \
+                    mesh is None:
                 self._check_picture_hash(frame, dph)
             # recycle native parse record arenas (everything pixel-level
             # that reads them — MC, CIIP, recon — has run; tabs keep the
@@ -729,6 +767,28 @@ class VVCDecoder:
         else:
             pixel_stages()
         return outputs
+
+    def _deferred_residuals(self, recon_jobs, fb):
+        """Mesh mode: when every CU of an inter frame is inter-predicted
+        (no intra/CIIP — those recon with the sequential neighbour walk)
+        and every job has the native record walk, produce whole-frame
+        residual planes (native residual-only mode) for the sharded
+        clip(pred + residual) pass at mesh drain.  Returns the per-plane
+        int32 residual list, or None when ineligible."""
+        from .ctu import MODE_INTRA
+        if not recon_jobs:
+            return None
+        tabs = recon_jobs[0][0].tabs
+        for rec, _ in recon_jobs:
+            if rec.native_recon is None:
+                return None
+        if (tabs.cpm[0] == MODE_INTRA).any() or \
+                (tabs.cpm[1] == MODE_INTRA).any() or tabs.mvf_ciip.any():
+            return None
+        res = [np.zeros(p.shape, np.int32) for p in fb.planes]
+        for rec, ctus in recon_jobs:
+            rec.native_recon.residual_ctus(ctus, res)
+        return res
 
     def _check_picture_hash(self, frame, dph):
         """Verify decoded planes against a decoded-picture-hash SEI

@@ -1127,9 +1127,14 @@ static void recon_cu(Recon *r, const int32_t *cu, const int32_t *tu_recs,
         /* inter CU: MC already ran in the inter pass; CIIP blends here,
          * then recon adds residuals + marks reconstructed areas
          * (recon.py reconstruct_cu :213-227) */
-        if (cu[CU_PRED_MODE] == MODE_PLT || !r->ip) { r->err = 3; return; }
-        if (cu[CU_IFLAGS] & IF_CIIP)
+        /* residual-only mode touches no prediction: inter CUs just emit
+         * their TB residuals (the caller guarantees no CIIP there) */
+        if (cu[CU_PRED_MODE] == MODE_PLT ||
+            (!r->ip && !r->residual_only)) { r->err = 3; return; }
+        if (cu[CU_IFLAGS] & IF_CIIP) {
+            if (!r->ip) { r->err = 3; return; }
             vvci_predict_ciip(r, cu);
+        }
         if (!cu[CU_CODED]) {
             add_ra(r, 0, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H]);
             add_ra(r, 1, cu[CU_X0], cu[CU_Y0], cu[CU_W], cu[CU_H]);

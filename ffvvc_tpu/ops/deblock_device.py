@@ -102,9 +102,16 @@ def _pad_pow2(n):
 # ---- luma pass --------------------------------------------------------------
 
 def _luma_math(plane, px, py, tc, beta, mlp, mlq, hce, vertical: bool,
-               pix_max: int):
+               pix_max: int, row0=0, own_h=None):
     """One whole-frame luma deblock direction: [B] segment params ->
-    scatter-added deltas.  Mirrors Deblocker._filter_luma exactly."""
+    scatter-added deltas.  Mirrors Deblocker._filter_luma exactly.
+
+    Sharded (row-slab) mode: `plane` is a slab WITH halo rows attached
+    above and below, `row0` the frame row of plane[halo-implicit] origin —
+    i.e. plane row r holds frame row row0 + r — and `own_h` the number of
+    rows this shard owns starting at frame row row0 + halo (deltas outside
+    the owned range are masked off; the caller slices the owned rows back
+    out).  Defaults keep the single-device whole-frame behaviour."""
     H, W = plane.shape
     B = px.shape[0]
     lines = jnp.arange(4)
@@ -115,6 +122,7 @@ def _luma_math(plane, px, py, tc, beta, mlp, mlq, hce, vertical: bool,
     else:
         rows = py[:, None, None] - 8 + taps[None, None, :]
         cols = px[:, None, None] + lines[None, :, None]
+    rows = rows - row0
     rows_c = jnp.clip(rows, 0, H - 1)
     cols_c = jnp.clip(cols, 0, W - 1)
     # rows/cols broadcast so dim 1 is the line and dim 2 the tap for both
@@ -306,6 +314,13 @@ def _luma_math(plane, px, py, tc, beta, mlp, mlq, hce, vertical: bool,
         scols = px[:, None, None] + lines[None, None, :]
         srows = jnp.broadcast_to(srows, delta.shape)
         scols = jnp.broadcast_to(scols, delta.shape)
+    srows = srows - row0
+    if own_h is not None:
+        # mask deltas outside the owned row range (halo rows and other
+        # shards' segments write nothing here; they own those rows)
+        halo = (H - own_h) // 2
+        delta = jnp.where((srows >= halo) & (srows < halo + own_h),
+                          delta, 0)
     srows = jnp.clip(srows, 0, H - 1)
     scols = jnp.clip(scols, 0, W - 1)
     return plane.at[srows, scols].add(delta)
@@ -314,9 +329,10 @@ def _luma_math(plane, px, py, tc, beta, mlp, mlq, hce, vertical: bool,
 # ---- chroma pass ------------------------------------------------------------
 
 def _chroma_math(plane, px, py, tc, beta, mlp, mlq, size, vertical: bool,
-                 pix_max: int):
+                 pix_max: int, row0=0, own_h=None):
     """One whole-frame chroma deblock direction.  Mirrors
-    Deblocker._filter_chroma (+_chroma_strong/_one_side/_weak)."""
+    Deblocker._filter_chroma (+_chroma_strong/_one_side/_weak).
+    row0/own_h: slab-local mode, see _luma_math."""
     H, W = plane.shape
     lines = jnp.arange(4)                  # padded; mask lines >= size
     taps = jnp.arange(8)                   # P(3..0), Q(0..3)
@@ -326,6 +342,7 @@ def _chroma_math(plane, px, py, tc, beta, mlp, mlq, size, vertical: bool,
     else:
         rows = py[:, None, None] - 4 + taps[None, None, :]
         cols = px[:, None, None] + lines[None, :, None]
+    rows = rows - row0
     win = plane[jnp.clip(rows, 0, H - 1), jnp.clip(cols, 0, W - 1)]
 
     ml1 = (mlp == 1)[:, None]
@@ -430,6 +447,11 @@ def _chroma_math(plane, px, py, tc, beta, mlp, mlq, size, vertical: bool,
                                  wtap[None, :, None], delta.shape)
         scols = jnp.broadcast_to(px[:, None, None] + lines[None, None, :],
                                  delta.shape)
+    srows = srows - row0
+    if own_h is not None:
+        halo = (H - own_h) // 2
+        delta = jnp.where((srows >= halo) & (srows < halo + own_h),
+                          delta, 0)
     srows = jnp.clip(srows, 0, H - 1)
     scols = jnp.clip(scols, 0, W - 1)
     return plane.at[srows, scols].add(delta)
@@ -458,6 +480,18 @@ def _seg_arrays(segs, n_fields):
     return [jnp.asarray(row) for row in a]
 
 
+def rasterize_deblock(sps, pps, tabs, fb, slice_rpls, vertical):
+    """Host pass: per-segment deblock parameters for one direction
+    (pixel-independent — BS/tc/beta/max-len come from the tab planes).
+    Returns the populated _Rasterizer."""
+    ras = _Rasterizer(sps, pps, tabs, fb)
+    ras.slice_rpls = slice_rpls
+    for ry in range(pps.ctb_height):
+        for rx in range(pps.ctb_width):
+            ras.deblock_ctb(rx, ry, vertical)
+    return ras
+
+
 def deblock_frame_device(sps, pps, tabs, fb, slice_rpls):
     """Whole-frame device deblock (both directions, all planes), in place.
     Returns False when the stream needs the host path (LADF)."""
@@ -465,12 +499,7 @@ def deblock_frame_device(sps, pps, tabs, fb, slice_rpls):
         return False
     pix_max = (1 << sps.bit_depth) - 1
     for vertical in (True, False):
-        ras = _Rasterizer(sps, pps, tabs, fb)
-        ras.slice_rpls = slice_rpls
-        ctb = sps.ctb_size_y
-        for ry in range(pps.ctb_height):
-            for rx in range(pps.ctb_width):
-                ras.deblock_ctb(rx, ry, vertical)
+        ras = rasterize_deblock(sps, pps, tabs, fb, slice_rpls, vertical)
         if ras.luma_segs:
             px, py, tc, beta, mlp, mlq, hce = _seg_arrays(ras.luma_segs, 7)
             out = _luma_jit(jnp.asarray(fb.planes[0]), px, py, tc, beta,

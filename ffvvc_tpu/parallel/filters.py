@@ -32,6 +32,8 @@ from jax.experimental.shard_map import shard_map
 from .mesh import exchange_row_halo
 from ..ops.sao_device import _sao_math
 from ..ops.alf_device import _alf_math, _cc_math
+from ..ops.deblock_device import (_luma_math, _chroma_math, _pad_pow2,
+                                  rasterize_deblock)
 
 
 def make_mesh_exact(shape, devices=None) -> Mesh:
@@ -149,6 +151,132 @@ def _cc_fn(mesh, F, H, W, half, pix_max):
     return fn
 
 
+_DB_HALO = 8      # deblock windows/writes reach <=8 rows past a segment
+
+
+def _deblock_fn(mesh, kind, F, B, Hp, W, vertical, pix_max):
+    key = (id(mesh), "db", kind, F, B, Hp, W, vertical, pix_max)
+    fn = _CACHE.get(key)
+    if fn is not None:
+        return fn
+    t = mesh.shape["tile"]
+    hs = Hp // t
+    math = _luma_math if kind == "luma" else _chroma_math
+
+    def local(slab, px, py, tc, beta, mlp, mlq, x7):
+        # slab [F_loc, hs, W]; segment params [F_loc, B] replicated over
+        # "tile" — each shard evaluates every segment but keeps only the
+        # deltas landing in its own rows (edge shards replicate border
+        # rows into the halo, matching the whole-frame clip-gather)
+        above, below = exchange_row_halo(slab, _DB_HALO, t)
+        i = jax.lax.axis_index("tile")
+        top = jnp.where(i == 0,
+                        jnp.repeat(slab[:, :1], _DB_HALO, axis=1), above)
+        bot = jnp.where(i == t - 1,
+                        jnp.repeat(slab[:, -1:], _DB_HALO, axis=1), below)
+        tall = jnp.concatenate([top, slab, bot], axis=1)
+        row0 = i * hs - _DB_HALO
+        out = jax.vmap(lambda p, a, b, c, d, e, f, g: math(
+            p, a, b, c, d, e, f, g, vertical, pix_max, row0, hs))(
+            tall, px, py, tc, beta, mlp, mlq, x7)
+        return out[:, _DB_HALO:_DB_HALO + hs]
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("gop", "tile", None),) + (P("gop", None),) * 7,
+        out_specs=P("gop", "tile", None)))
+    _CACHE[key] = fn
+    return fn
+
+
+def deblock_batch_sharded(mesh, planes, segs_per_frame, kind, vertical,
+                          pix_max):
+    """One deblock direction for a batch of frames: planes [F, H, W]
+    np.int32, segs_per_frame a list of per-frame segment tuples (see
+    ops/deblock_device._Rasterizer).  Frames shard over "gop", row slabs
+    over "tile" with an 8-row ppermute halo; padded segments (tc=0,
+    ml=0) are exact no-ops."""
+    g, t = mesh.shape["gop"], mesh.shape["tile"]
+    # every slab must be at least one halo tall (the halo exchange reaches
+    # one neighbour only): pad rows up to t * max(halo, ceil(H/t))
+    H = planes.shape[1]
+    hs = max(_DB_HALO, -(-H // t))
+    ph = hs * t - H
+    if ph:
+        planes = np.pad(planes, [(0, 0), (0, ph), (0, 0)], mode="edge")
+    B = _pad_pow2(max(max((len(s) for s in segs_per_frame), default=1), 1))
+    F0 = planes.shape[0]
+    seg = np.zeros((F0, 7, B), np.int32)
+    for f, s in enumerate(segs_per_frame):
+        if s:
+            seg[f, :, :len(s)] = np.asarray(s, np.int32).T
+    (planes, seg), F = _pad_frames([planes, seg], g)
+    fn = _deblock_fn(mesh, kind, planes.shape[0], B, planes.shape[1],
+                     planes.shape[2], vertical, pix_max)
+    out = fn(jnp.asarray(planes), *(jnp.asarray(seg[:, i])
+                                    for i in range(7)))
+    return np.asarray(out)[:F, :H]
+
+
+def _add_fn(mesh, F, H, W, pix_max):
+    key = (id(mesh), "add", F, H, W, pix_max)
+    fn = _CACHE.get(key)
+    if fn is None:
+        def local(slab, res):
+            return jnp.clip(slab + res, 0, pix_max)
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P("gop", "tile", None), P("gop", "tile", None)),
+            out_specs=P("gop", "tile", None)))
+        _CACHE[key] = fn
+    return fn
+
+
+def residual_add_sharded(mesh, planes, res, pix_max):
+    """Sharded recon residual add: planes/res [F, H, W] np.int32 ->
+    clip(planes + res).  Elementwise — no halo."""
+    g, t = mesh.shape["gop"], mesh.shape["tile"]
+    planes, H = _pad_rows(planes, t, "constant")
+    res, _ = _pad_rows(res, t, "constant")
+    (planes, res), F = _pad_frames([planes, res], g)
+    fn = _add_fn(mesh, planes.shape[0], planes.shape[1], planes.shape[2],
+                 pix_max)
+    return np.asarray(fn(jnp.asarray(planes), jnp.asarray(res)))[:F, :H]
+
+
+def _lmcs_fn(mesh, F, H, W, L):
+    key = (id(mesh), "lmcs", F, H, W, L)
+    fn = _CACHE.get(key)
+    if fn is None:
+        def local(slab, lut, mask):
+            return jax.vmap(lambda s, l, m: jnp.where(m, l[s], s))(
+                slab, lut, mask)
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P("gop", "tile", None), P("gop", None),
+                      P("gop", "tile", None)),
+            out_specs=P("gop", "tile", None)))
+        _CACHE[key] = fn
+    return fn
+
+
+def lmcs_batch_sharded(mesh, planes, luts, masks):
+    """Sharded LMCS inverse mapping: planes [F, H, W] int32, luts [F, L],
+    masks [F, H, W] bool (per-CTB sh_lmcs_used gating)."""
+    g, t = mesh.shape["gop"], mesh.shape["tile"]
+    planes, H = _pad_rows(planes, t, "constant")
+    masks, _ = _pad_rows(masks, t, "constant")
+    (planes, masks), F = _pad_frames([planes, masks], g)
+    luts = np.concatenate(
+        [luts, np.zeros((planes.shape[0] - luts.shape[0], luts.shape[1]),
+                        luts.dtype)]) if planes.shape[0] != luts.shape[0] \
+        else luts
+    fn = _lmcs_fn(mesh, planes.shape[0], planes.shape[1], planes.shape[2],
+                  luts.shape[1])
+    out = fn(jnp.asarray(planes), jnp.asarray(luts), jnp.asarray(masks))
+    return np.asarray(out)[:F, :H]
+
+
 def sao_batch_sharded(mesh, src, typ, m1, offs, keep, shift, pix_max):
     """Batched sharded SAO: src/typ/m1/keep [F, H, W] np.int32, offs
     [F, 5, H, W].  Frames shard over "gop", row slabs over "tile"; the
@@ -203,35 +331,107 @@ def cc_batch_sharded(mesh, dst, curl, v, cf, half, pix_max):
 
 
 class MeshFilterQueue:
-    """Deferred mesh filtering of decoded frames.
+    """Deferred mesh pixel pipeline for decoded frames.
 
-    Frames enqueue after deblock (their SAO/ALF params live in the frame's
-    tabs); `drain()` runs the batched sharded SAO pass for all queued
-    frames, rasterizes ALF on the post-SAO pixels (classification is
-    host-sequential by design, see ops/alf_device.py), then the batched
-    sharded ALF and CC-ALF passes.  The decoder drains at inter reference
-    barriers, so all-intra runs batch the full "gop" axis while inter
-    frames degrade to per-frame tile sharding — the mesh analogue of the
-    reference's frame-pipeline-with-row-progress (vvc_thread.c:281-296)."""
+    Frames enqueue after recon/MC with their remaining pixel passes
+    described per entry: an optional sharded residual add (inter-only
+    frames), optional LMCS inverse mapping, optional deblocking (host
+    segment raster, sharded filter math), then SAO / ALF / CC-ALF — all
+    batched over the "gop" axis and row-slab sharded over "tile" with
+    ppermute halos.  `drain(needed=...)` lands only the frames a
+    subsequent inter frame actually references (the collective form of
+    the reference's row-progress gating, vvc_thread.c:281-296), keeping
+    non-referenced frames queued so the gop axis stays >1-deep on inter
+    content."""
 
     def __init__(self, mesh):
         self.mesh = mesh
         self.q = []
         self._shape_key = None
 
-    def add(self, sps, pps, tabs, fb, sh_list, alf_list):
+    def add(self, sps, pps, tabs, fb, sh_list, alf_list, slice_rpls=None,
+            res_planes=None, lmcs_ctx=None):
+        """slice_rpls: run deblock on the mesh (host raster at drain);
+        res_planes: per-plane int32 residual arrays to add (recon was
+        deferred); lmcs_ctx: (inv_lut np[int32], mask np[bool HxW])."""
         key = (pps.width, pps.height, sps.bit_depth,
                sps.chroma_format_idc)
         if self.q and key != self._shape_key:
             self.drain()
         self._shape_key = key
-        self.q.append((sps, pps, tabs, fb, sh_list, alf_list))
+        self.q.append({"sps": sps, "pps": pps, "tabs": tabs, "fb": fb,
+                       "sh_list": sh_list, "alf_list": alf_list,
+                       "rpls": slice_rpls, "res": res_planes,
+                       "lmcs": lmcs_ctx})
 
-    def drain(self):
+    def drain(self, needed=None):
+        """Run the deferred passes.  With `needed` (a set of FrameBuffer
+        objects) only those frames land; the rest stay queued."""
         if not self.q:
             return
-        q, self.q = self.q, []
-        sps = q[0][0]
+        if needed is None:
+            q, self.q = self.q, []
+        else:
+            q = [e for e in self.q if e["fb"] in needed]
+            if not q:
+                return
+            self.q = [e for e in self.q if e["fb"] not in needed]
+        sps = q[0]["sps"]
+        pix_max0 = (1 << sps.bit_depth) - 1
+        nc0 = 3 if sps.chroma_format_idc else 1
+
+        # --- sharded residual add (deferred recon of inter-only frames) --
+        for c in range(nc0):
+            batch = [e for e in q if e["res"] is not None]
+            if not batch:
+                break
+            planes = np.stack([np.asarray(e["fb"].planes[c], np.int32)
+                               for e in batch])
+            res = np.stack([e["res"][c] for e in batch])
+            out = residual_add_sharded(self.mesh, planes, res, pix_max0)
+            for k, e in enumerate(batch):
+                e["fb"].planes[c][:] = out[k]
+
+        # --- sharded LMCS inverse mapping (luma) -------------------------
+        batch = [e for e in q if e["lmcs"] is not None]
+        if batch:
+            planes = np.stack([np.asarray(e["fb"].planes[0], np.int32)
+                               for e in batch])
+            luts = np.stack([np.asarray(e["lmcs"][0], np.int32)
+                             for e in batch])
+            masks = np.stack([e["lmcs"][1] for e in batch])
+            out = lmcs_batch_sharded(self.mesh, planes, luts, masks)
+            for k, e in enumerate(batch):
+                e["fb"].planes[0][:] = out[k]
+
+        # --- sharded deblocking (host segment raster, device math) ------
+        batch = [e for e in q if e["rpls"] is not None]
+        for vertical in (True, False):
+            if not batch:
+                break
+            rasters = [rasterize_deblock(e["sps"], e["pps"], e["tabs"],
+                                         e["fb"], e["rpls"], vertical)
+                       for e in batch]
+            if any(r.luma_segs for r in rasters):
+                planes = np.stack([np.asarray(e["fb"].planes[0], np.int32)
+                                   for e in batch])
+                out = deblock_batch_sharded(
+                    self.mesh, planes, [r.luma_segs for r in rasters],
+                    "luma", vertical, pix_max0)
+                for k, e in enumerate(batch):
+                    e["fb"].planes[0][:] = out[k]
+            for c in (1, 2):
+                if nc0 == 1 or not any(r.chroma_segs.get(c)
+                                       for r in rasters):
+                    continue
+                planes = np.stack([np.asarray(e["fb"].planes[c], np.int32)
+                                   for e in batch])
+                out = deblock_batch_sharded(
+                    self.mesh, planes,
+                    [r.chroma_segs.get(c) or [] for r in rasters],
+                    "chroma", vertical, pix_max0)
+                for k, e in enumerate(batch):
+                    e["fb"].planes[c][:] = out[k]
         shift = sps.bit_depth - 5
         pix_max = (1 << sps.bit_depth) - 1
         half = 1 << (sps.bit_depth - 1)
@@ -240,39 +440,41 @@ class MeshFilterQueue:
         from ..ops.sao_device import _rasterize_plane
         from ..sao import SaoFilter
         for c in range(nc):
-            batch = []      # (frame idx, maps)
-            for i, (sps_i, pps_i, tabs, fb, _, _) in enumerate(q):
-                if not any(int(t) for t in tabs.sao_type[:, c]):
+            batch = []      # (entry, maps)
+            for e in q:
+                if not any(int(t) for t in e["tabs"].sao_type[:, c]):
                     continue
-                sf = SaoFilter(sps_i, pps_i, tabs, fb)
-                maps = _rasterize_plane(sf, c, fb.planes[c])
+                sf = SaoFilter(e["sps"], e["pps"], e["tabs"], e["fb"])
+                maps = _rasterize_plane(sf, c, e["fb"].planes[c])
                 if maps is not None:
-                    batch.append((i, maps))
+                    batch.append((e, maps))
             if not batch:
                 continue
-            src = np.stack([np.asarray(q[i][3].planes[c], np.int32)
-                            for i, _ in batch])
+            src = np.stack([np.asarray(e["fb"].planes[c], np.int32)
+                            for e, _ in batch])
             typ = np.stack([m[0] for _, m in batch])
             m1 = np.stack([m[1] for _, m in batch])
             offs = np.stack([m[2] for _, m in batch])
             keep = np.stack([m[3] for _, m in batch])
             out = sao_batch_sharded(self.mesh, src, typ, m1, offs, keep,
                                     shift, pix_max)
-            for k, (i, _) in enumerate(batch):
-                q[i][3].planes[c][:] = out[k]
+            for k, (e, _) in enumerate(batch):
+                e["fb"].planes[c][:] = out[k]
         # --- ALF: rasterize on post-SAO pixels, then batched passes ------
         from ..ops.alf_device import _AlfRasterizer
         per_frame = []
-        for sps_i, pps_i, tabs, fb, sh_list, alf_list in q:
-            if (not sps_i.r.sps_alf_enabled_flag or sh_list is None or
-                    (not tabs.alf_ctb_flag.any()
-                     and not tabs.alf_cc_idc.any())):
+        for e in q:
+            if (not e["sps"].r.sps_alf_enabled_flag or
+                    e["sh_list"] is None or
+                    (not e["tabs"].alf_ctb_flag.any()
+                     and not e["tabs"].alf_cc_idc.any())):
                 per_frame.append(None)
                 continue
-            ras = _AlfRasterizer(sps_i, pps_i, tabs, fb, sh_list, alf_list)
+            ras = _AlfRasterizer(e["sps"], e["pps"], e["tabs"], e["fb"],
+                                 e["sh_list"], e["alf_list"])
             per_frame.append(ras.rasterize())
         for c in range(nc):
-            batch = [(i, m[c]) for i, m in enumerate(per_frame)
+            batch = [(q[i], m[c]) for i, m in enumerate(per_frame)
                      if m is not None and m.get(c) is not None]
             if batch:
                 out = alf_batch_sharded(
@@ -283,19 +485,19 @@ class MeshFilterQueue:
                     np.stack([m["cf"] for _, m in batch]),
                     np.stack([m["cl"] for _, m in batch]),
                     np.stack([m["vb"] for _, m in batch]), pix_max)
-                for k, (i, _) in enumerate(batch):
-                    q[i][3].planes[c][:] = out[k]
+                for k, (e, _) in enumerate(batch):
+                    e["fb"].planes[c][:] = out[k]
         for c in (1, 2):
-            batch = [(i, m[("cc", c)]) for i, m in enumerate(per_frame)
+            batch = [(q[i], m[("cc", c)]) for i, m in enumerate(per_frame)
                      if m is not None and m.get(("cc", c)) is not None]
             if not batch:
                 continue
             out = cc_batch_sharded(
                 self.mesh,
-                np.stack([q[i][3].planes[c].astype(np.int32)
-                          for i, _ in batch]),
+                np.stack([e["fb"].planes[c].astype(np.int32)
+                          for e, _ in batch]),
                 np.stack([m["curl"] for _, m in batch]),
                 np.stack([m["v"] for _, m in batch]),
                 np.stack([m["cf"] for _, m in batch]), half, pix_max)
-            for k, (i, _) in enumerate(batch):
-                q[i][3].planes[c][:] = out[k]
+            for k, (e, _) in enumerate(batch):
+                e["fb"].planes[c][:] = out[k]

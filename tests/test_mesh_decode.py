@@ -65,3 +65,75 @@ def test_odd_height_mesh():
     s = forge_inter_stream(slice_type=2, nframes=2, width=64, height=80,
                            seed=2, deblock=True, **FILTER_TOOLS)
     _decode_both(s, (1, 8))
+
+
+def test_inter_only_defer_and_gop_depth():
+    """Sharded recon residual-add + deblock for inter-only frames, and the
+    RPL-aware selective drain: non-referenced B frames stay queued across
+    inter reference barriers, so the final drain batches >1 frame over the
+    gop axis (the collective analogue of the reference's row-progress
+    gating, vvc_thread.c:281-296)."""
+    import numpy as np
+    import forge as F
+    from ffvvc_tpu.parallel import filters as PF
+
+    class InterOnly(F.FuzzPolicy):
+        """No intra / CIIP CUs in inter frames -> residual-add defers."""
+        def __call__(self, tag, **ctx):
+            if tag in ("pred_mode_flag", "ciip_flag"):
+                return 0
+            return super().__call__(tag, **ctx)
+
+    SLICE_B, SLICE_P = 0, 1
+    # min CU 8x8 / one MTT level: 4x4 CUs are forced intra by the spec
+    # (no inter 4x4), which would disqualify the frame from deferral
+    sps_r = F.build_sps(96, 96, bit_depth=10, min_qt_log2=3,
+                        max_mtt_depth=1, sps_sao_enabled_flag=1)
+    pps_r = F.build_pps(sps_r)
+    stream = F.write_nal(F.NalType.SPS, F.write_sps(sps_r))
+    stream += F.write_nal(F.NalType.PPS, F.write_pps(pps_r, sps_r))
+    policy = InterOnly(7)
+    for poc, st, rd in ((0, None, None), (2, SLICE_P, ([-2], [])),
+                        (1, SLICE_B, ([-1], [1])), (4, SLICE_P, ([-2], [])),
+                        (3, SLICE_B, ([-1], [1]))):
+        nal, _ = F.forge_frame(sps_r, pps_r, policy, qp=32, poc=poc,
+                               idr=st is None,
+                               slice_type=2 if st is None else st,
+                               ref_deltas=rd)
+        stream += nal
+
+    host = VVCDecoder(DecoderConfig()).decode(stream)
+
+    log = {"res_adds": 0, "final_batch": 0, "drains": []}
+    orig_add = PF.MeshFilterQueue.add
+    orig_drain = PF.MeshFilterQueue.drain
+
+    def spy_add(self, *a, **kw):
+        if kw.get("res_planes") is not None:
+            log["res_adds"] += 1
+        return orig_add(self, *a, **kw)
+
+    def spy_drain(self, needed=None):
+        log["drains"].append((len(self.q), None if needed is None
+                              else len(needed)))
+        if needed is None and self.q:
+            log["final_batch"] = max(log["final_batch"], len(self.q))
+        return orig_drain(self, needed)
+
+    PF.MeshFilterQueue.add = spy_add
+    PF.MeshFilterQueue.drain = spy_drain
+    try:
+        sharded = VVCDecoder(DecoderConfig(mesh_shape=(2, 4))) \
+            .decode(stream)
+    finally:
+        PF.MeshFilterQueue.add = orig_add
+        PF.MeshFilterQueue.drain = orig_drain
+
+    a = b"".join(f.to_yuv_bytes() for f in host)
+    b = b"".join(f.to_yuv_bytes() for f in sharded)
+    assert a == b, "mesh decode differs from single-device"
+    # all 4 inter frames ran the deferred (sharded) residual add
+    assert log["res_adds"] == 4, log
+    # the end-of-decode drain batched >1 frame over the gop axis: the
+    # non-referenced B frames were never forced out at a barrier
+    assert log["final_batch"] >= 2, log
