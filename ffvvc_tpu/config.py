@@ -68,9 +68,11 @@ class DecoderConfig:
     # Device LMCS inverse mapping (ops/lmcs_device.py): whole-plane LUT
     # gather gated per CTB by the slice's sh_lmcs_used_flag.
     device_lmcs: bool = False
-    # Device inter MC (ops/mc_device.py): simple regular blocks batch as
-    # device 8/4-tap puts + uni/bi finals; complex blocks (affine/GPM/
-    # CIIP/DMVR/BDOF/weighted/BCW/LMCS/wraparound) stay on the host C path.
+    # Device inter MC (ops/mc_device.py): regular (non-subblock) blocks
+    # batch as device 8/4-tap puts + uni/bi/weighted finals, including
+    # explicit weighted prediction, BCW, LMCS forward mapping and
+    # horizontal wraparound; subblock tools (affine/GPM/CIIP/DMVR/BDOF)
+    # stay on the host C path.
     device_mc: bool = False
     # Device intra prediction (ops/intra_device.py): wavefront-batched
     # planar/DC/angular/MIP/CCLM prediction + residual add on device for

@@ -330,9 +330,11 @@ class NativeRecon:
         if fwd_lut is None:
             self.ip.lmcs_fwd = None
             self.ip.lmcs_used = 0
+            self.lmcs_fwd_np = None
             return
         lut = np.ascontiguousarray(np.asarray(fwd_lut, dtype=np.int32))
         self._keep.append(lut)
+        self.lmcs_fwd_np = lut         # device-MC dispatch applies it too
         self.ip.lmcs_fwd = lut.ctypes.data
         self.ip.lmcs_used = 1
 
@@ -416,11 +418,12 @@ class NativeRecon:
     def predict_inter_ctus_dev(self, ctus, tag):
         """Host MC for complex blocks + descriptor emission for simple
         regular blocks (device-MC dispatch, ops/mc_device.py).  Returns
-        the [nd, 13] descriptor array (may be empty)."""
+        the [nd, 31] descriptor array (layout in vvc_inter.c
+        inter_ctus_dev; may be empty)."""
         rxs, rys, rss, n_cus, cu_ps, _t, _b, _c = \
             self._batch_arrays(ctus, False)
         cap = max(int(n_cus.sum()), 1)
-        desc = np.zeros((cap, 13), np.int32)
+        desc = np.zeros((cap, 31), np.int32)
         nd = np.zeros(1, np.int32)
         err = self.lib.inter_ctus_dev(
             self._rp_ref, self._ip_ref, len(ctus),

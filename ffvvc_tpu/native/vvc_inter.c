@@ -877,21 +877,46 @@ int inter_ctus_dev(const ReconParams *rp, const InterParams *ip, int n,
             int flags = cu[CU_IFLAGS];
             int simple = !(flags & (IF_MERGE_GPM | IF_AFFINE | IF_CIIP |
                                     IF_DMVR | IF_BDOF)) &&
-                cu[CU_NSBX] == 1 && cu[CU_NSBY] == 1 &&
-                !ip->weighted_pred && !ip->lmcs_fwd && !ip->wrap;
+                cu[CU_NSBX] == 1 && cu[CU_NSBY] == 1;
             MvF f;
-            if (simple) {
+            if (simple)
                 ip_get_mvf(ip, cu[CU_X0], cu[CU_Y0], &f);
-                simple = f.bcw == 0;
-            }
             if (simple && nd < desc_cap) {
-                int32_t *d = desc + (long)nd * 13;
+                /* DESC_N = 31 int32 per block:
+                 * [0..12] geometry/mv as before; [13] flags2 (bit0 lmcs
+                 * fwd on luma); [14] luma wrap offset; [15] weight kind
+                 * (0 none / 1 weighted); [16..20] luma (denom,w0,w1,
+                 * o0,o1), [21..25] cb, [26..30] cr — uni blocks carry
+                 * the active list's weight in the w0/o0 slots. */
+                int32_t *d = desc + (long)nd * 31;
                 d[0] = cu[CU_X0]; d[1] = cu[CU_Y0];
                 d[2] = cu[CU_W]; d[3] = cu[CU_H];
                 d[4] = f.pf; d[5] = f.ref[0]; d[6] = f.ref[1];
                 d[7] = f.mv[0][0]; d[8] = f.mv[0][1];
                 d[9] = f.mv[1][0]; d[10] = f.mv[1][1];
                 d[11] = f.hpel; d[12] = job_tag;
+                d[13] = ip->lmcs_fwd ? 1 : 0;
+                d[14] = ip->wrap;
+                d[15] = 0;          /* bit c: component c weighted */
+                for (int cc = 0; cc < 15; cc++)
+                    d[16 + cc] = 0;
+                for (int c_idx = 0; c_idx < 3; c_idx++) {
+                    int32_t *wd = d + 16 + 5 * c_idx;
+                    if (f.pf == PF_BI) {
+                        int wg[5];
+                        if (derive_weight(ip, &f, c_idx, 0, 0, wg)) {
+                            d[15] |= 1 << c_idx;
+                            wd[0] = wg[0]; wd[1] = wg[1]; wd[2] = wg[2];
+                            wd[3] = wg[3]; wd[4] = wg[4];
+                        }
+                    } else {
+                        int wg[3];
+                        if (derive_weight_uni(ip, &f, c_idx, wg)) {
+                            d[15] |= 1 << c_idx;
+                            wd[0] = wg[0]; wd[1] = wg[1]; wd[3] = wg[2];
+                        }
+                    }
+                }
                 nd++;
                 continue;
             }

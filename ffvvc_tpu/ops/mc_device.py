@@ -30,20 +30,26 @@ def _filter_banks():
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w", "h", "is_luma", "bd", "fclass"))
+                   static_argnames=("w", "h", "is_luma", "bd", "fclass",
+                                    "wrap"))
 def _mc_put_batch(ref, xs, ys, hf, vf, w: int, h: int, is_luma: bool,
-                  bd: int, fclass: int):
+                  bd: int, fclass: int, wrap: int = 0):
     """Batched put: ref [H, W] int32; xs/ys [B] block origins (integer-pel,
     already including mv>>4); hf/vf [B, taps] filter rows.  fclass selects
     the put variant (0: copy, 1: h only, 2: v only, 3: hv) — the
-    put[..][!!my][!!mx] grid of vvcdsp.h:49.  Returns [B, h, w] int32 in the
-    14-bit intermediate domain."""
+    put[..][!!my][!!mx] grid of vvcdsp.h:49.  wrap: horizontal wraparound
+    offset (spec 8.5.6.3.2 ClipH; 0 = clamp).  Returns [B, h, w] int32 in
+    the 14-bit intermediate domain."""
     H, W = ref.shape
     taps = 8 if is_luma else 4
     eb = 3 if is_luma else 1
 
     def gather(x0s, y0s, gw, gh):
-        gx = jnp.clip(x0s[:, None] + jnp.arange(gw)[None, :], 0, W - 1)
+        gx = x0s[:, None] + jnp.arange(gw)[None, :]
+        if wrap:
+            gx = jnp.where(gx < 0, gx + wrap,
+                           jnp.where(gx > W - 1, gx - wrap, gx))
+        gx = jnp.clip(gx, 0, W - 1)
         gy = jnp.clip(y0s[:, None] + jnp.arange(gh)[None, :], 0, H - 1)
         return ref[gy[:, :, None], gx[:, None, :]]   # [B, gh, gw]
 
@@ -87,8 +93,31 @@ def _mc_uni_batch(val, bd: int):
     return jnp.clip((val + off) >> shift, 0, (1 << bd) - 1)
 
 
+@functools.partial(jax.jit, static_argnames=("bd",))
+def _mc_w_avg_batch(s0, s1, denom, w0, w1, o0, o1, bd: int):
+    """Weighted bi-prediction (explicit WP / BCW): per-block params
+    [B]; mirrors native mc_w_avg (vvc_mc.c)."""
+    shift = (denom + max(3, 15 - bd))[:, None, None].astype(jnp.int64)
+    off = ((((o0 + o1) << (bd - 8)) + 1).astype(jnp.int64)
+           [:, None, None]) << (shift - 1)
+    v = (s0.astype(jnp.int64) * w0[:, None, None] +
+         s1.astype(jnp.int64) * w1[:, None, None] + off) >> shift
+    return jnp.clip(v, 0, (1 << bd) - 1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bd",))
+def _mc_uni_w_batch(val, denom, wx, ox, bd: int):
+    """Weighted uni-prediction: per-block params [B]; mirrors native
+    mc_uni_out weighted branch (vvc_mc.c)."""
+    shift = (denom + 14 - bd)[:, None, None].astype(jnp.int64)
+    off = jnp.int64(1) << (shift - 1)        # shift >= 2 for bd <= 12
+    v = ((val.astype(jnp.int64) * wx[:, None, None] + off) >> shift) + \
+        (ox.astype(jnp.int64) << (bd - 8))[:, None, None]
+    return jnp.clip(v, 0, (1 << bd) - 1).astype(jnp.int32)
+
+
 def mc_put_batch(ref_plane, xs, ys, frac_x, frac_y, w, h, is_luma, bd,
-                 hf_idx=0, vf_idx=0):
+                 hf_idx=0, vf_idx=0, wrap=0):
     """Host-facing batched put for one (w, h, frac-class) bucket.
 
     ref_plane: np.int32 [H, W]; xs/ys/frac_x/frac_y: np arrays [B].
@@ -103,7 +132,7 @@ def mc_put_batch(ref_plane, xs, ys, frac_x, frac_y, w, h, is_luma, bd,
     vf = bankv[jnp.asarray(frac_y)]
     out = _mc_put_batch(jnp.asarray(ref_plane), jnp.asarray(xs),
                         jnp.asarray(ys), hf, vf, int(w), int(h),
-                        bool(is_luma), int(bd), int(fclass))
+                        bool(is_luma), int(bd), int(fclass), int(wrap))
     return np.asarray(out)
 
 
@@ -122,13 +151,15 @@ PF_L0, PF_L1, PF_BI = 1, 2, 3
 
 
 def frame_device_mc(native_jobs, sps, bd):
-    """Whole-frame batched device MC for the simple regular blocks of every
-    native inter job; complex blocks (affine/GPM/CIIP/DMVR/BDOF, weighted,
-    BCW, LMCS, wraparound) run the host C path inside the same collect call
-    (native/vvc_inter.c inter_ctus_dev).
+    """Whole-frame batched device MC for the regular (non-subblock) blocks
+    of every native inter job, including explicit-weighted-prediction /
+    BCW finals, LMCS forward mapping, and horizontal wraparound; complex
+    blocks (affine/GPM/CIIP/DMVR/BDOF) run the host C path inside the same
+    collect call (native/vvc_inter.c inter_ctus_dev; descriptor layout
+    documented there).
 
     native_jobs: [(NativeRecon, ctus)].  Puts batch per (ref plane, size,
-    filter class); the uni/bi finals batch per size."""
+    filter class); the uni/bi/weighted finals batch per size."""
     descs = []
     rpls = []
     for tag, (nr, ctus) in enumerate(native_jobs):
@@ -143,18 +174,17 @@ def frame_device_mc(native_jobs, sps, bd):
     hs, vs = (sps.hshift[1], sps.vshift[1]) if nc > 1 else (0, 0)
 
     put_buckets = {}      # key -> dict(plane, xs, ys, fx, fy, out slots)
-    entries = []          # (desc_i, c_idx, hyps=[(bucket_key, idx)], dst)
+    entries = []          # (tag, c, xc, yc, wc, hc, slots, wparams, lmcs)
 
-    def add_put(plane, xi, yi, fx, fy, w, h, is_luma, hf_idx):
-        key = (id(plane), w, h, is_luma, hf_idx, fx != 0 or None,
-               fy != 0 or None)
+    def add_put(plane, xi, yi, fx, fy, w, h, is_luma, hf_idx, wrap):
         # bucket by actual frac class so fclass is uniform per launch
-        key = (id(plane), w, h, is_luma, hf_idx, bool(fx), bool(fy))
+        key = (id(plane), w, h, is_luma, hf_idx, bool(fx), bool(fy), wrap)
         b = put_buckets.get(key)
         if b is None:
             b = put_buckets[key] = {"plane": plane, "xs": [], "ys": [],
                                     "fx": [], "fy": [], "w": w, "h": h,
-                                    "is_luma": is_luma, "hf": hf_idx}
+                                    "is_luma": is_luma, "hf": hf_idx,
+                                    "wrap": wrap}
         b["xs"].append(xi)
         b["ys"].append(yi)
         b["fx"].append(fx)
@@ -162,8 +192,8 @@ def frame_device_mc(native_jobs, sps, bd):
         return (key, len(b["xs"]) - 1)
 
     for di in range(len(D)):
-        x0, y0, w, h, pf, r0, r1, mx0, my0, mx1, my1, hpel, tag = \
-            (int(v) for v in D[di])
+        (x0, y0, w, h, pf, r0, r1, mx0, my0, mx1, my1, hpel, tag,
+         flags2, wrap, wmask) = (int(v) for v in D[di, :16])
         rpl = rpls[tag]
         hyps = [0] if pf == PF_L0 else [1] if pf == PF_L1 else [0, 1]
         for c in range(nc):
@@ -185,8 +215,12 @@ def frame_device_mc(native_jobs, sps, bd):
                     yi = (y0 >> cvs) + (mvy >> (4 + cvs))
                     hf_idx = 0
                 slots.append(add_put(ref, xi, yi, fx, fy, wc, hc,
-                                     c == 0, hf_idx))
-            entries.append((tag, c, x0 >> chs, y0 >> cvs, wc, hc, slots))
+                                     c == 0, hf_idx, wrap >> chs))
+            wparams = tuple(int(v) for v in D[di, 16 + 5 * c:21 + 5 * c]) \
+                if (wmask >> c) & 1 else None
+            lm = (flags2 & 1) and c == 0
+            entries.append((tag, c, x0 >> chs, y0 >> cvs, wc, hc, slots,
+                            wparams, lm))
 
     vals = {}
     for key, b in put_buckets.items():
@@ -194,27 +228,49 @@ def frame_device_mc(native_jobs, sps, bd):
             b["plane"], np.asarray(b["xs"], np.int32),
             np.asarray(b["ys"], np.int32), np.asarray(b["fx"], np.int32),
             np.asarray(b["fy"], np.int32), b["w"], b["h"], b["is_luma"],
-            bd, b["hf"], b["hf"])
+            bd, b["hf"], b["hf"], b["wrap"])
 
-    # finals: batch uni/bi combines per block size
-    finals = {}           # (w, h, is_bi) -> ([s0], [s1]|None, [writeback])
-    for tag, c, xc, yc, wc, hc, slots in entries:
+    # finals: batch uni/bi/weighted combines per (size, kind)
+    finals = {}   # (w, h, kind) -> (s0, s1, wparams, writebacks)
+    for tag, c, xc, yc, wc, hc, slots, wp, lm in entries:
         dstplane = native_jobs[tag][0].fb.planes[c]
+        wb = (dstplane, xc, yc,
+              getattr(native_jobs[tag][0], "lmcs_fwd_np", None)
+              if lm else None)
         if len(slots) == 1:
             k, i = slots[0]
-            f = finals.setdefault((wc, hc, False), ([], None, []))
+            kind = "uni_w" if wp else "uni"
+            f = finals.setdefault((wc, hc, kind), ([], None, [], []))
             f[0].append(vals[k][i])
-            f[2].append((dstplane, xc, yc))
+            f[2].append(wp)
+            f[3].append(wb)
         else:
             (k0, i0), (k1, i1) = slots
-            f = finals.setdefault((wc, hc, True), ([], [], []))
+            kind = "bi_w" if wp else "bi"
+            f = finals.setdefault((wc, hc, kind), ([], [], [], []))
             f[0].append(vals[k0][i0])
             f[1].append(vals[k1][i1])
-            f[2].append((dstplane, xc, yc))
-    for (wc, hc, is_bi), (s0, s1, wbs) in finals.items():
-        if is_bi:
+            f[2].append(wp)
+            f[3].append(wb)
+    for (wc, hc, kind), (s0, s1, wps, wbs) in finals.items():
+        if kind == "bi":
             out = mc_avg_batch(np.stack(s0), np.stack(s1), bd)
-        else:
+        elif kind == "uni":
             out = mc_uni_batch(np.stack(s0), bd)
-        for i, (plane, xc, yc) in enumerate(wbs):
-            plane[yc:yc + hc, xc:xc + wc] = out[i]
+        elif kind == "bi_w":
+            wa = np.asarray(wps, np.int32)
+            out = np.asarray(_mc_w_avg_batch(
+                jnp.asarray(np.stack(s0)), jnp.asarray(np.stack(s1)),
+                *(jnp.asarray(wa[:, i]) for i in range(5)), int(bd)))
+        else:                          # uni_w: (denom, w0, _, o0, _)
+            wa = np.asarray(wps, np.int32)
+            out = np.asarray(_mc_uni_w_batch(
+                jnp.asarray(np.stack(s0)), jnp.asarray(wa[:, 0]),
+                jnp.asarray(wa[:, 1]), jnp.asarray(wa[:, 3]), int(bd)))
+        for i, (plane, xc, yc, lut) in enumerate(wbs):
+            blk = out[i]
+            if lut is not None:
+                # LMCS forward mapping on the inter luma prediction
+                # (predict_inter, vvc_inter.c:888-891)
+                blk = lut[blk]
+            plane[yc:yc + hc, xc:xc + wc] = blk

@@ -108,3 +108,38 @@ def test_decoder_device_mc_dmvr_bdof():
     dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
         DecoderConfig(device_mc=True)).decode(s))
     assert host == dev
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("weighted_p", dict(slice_type=1, nframes=3, width=96, height=64,
+                        seed=2, sps_weighted_pred_flag=1,
+                        pps_kw=dict(pps_weighted_pred_flag=1))),
+    ("weighted_bi", dict(slice_type=0, nframes=3, width=96, height=96,
+                         seed=1, bit_depth=10, sps_weighted_bipred_flag=1,
+                         pps_kw=dict(pps_weighted_bipred_flag=1))),
+    ("bcw", dict(slice_type=0, nframes=3, width=128, height=128, seed=4,
+                 sps_bcw_enabled_flag=1)),          # bcw needs >=256 CUs
+    ("lmcs", dict(slice_type=1, nframes=3, width=96, height=64, seed=3,
+                  bit_depth=10, sps_lmcs_enabled_flag=1, chroma=0)),
+    # (4:2:0 lmcs streams carry chroma residual scaling, which gates the
+    #  whole slice off the native path — mono exercises the device path)
+    ("wraparound", dict(slice_type=1, nframes=3, width=128, height=64,
+                        seed=5, sps_ref_wraparound_enabled_flag=1,
+                        pps_kw=dict(
+                            pps_ref_wraparound_enabled_flag=1,
+                            pps_pic_width_minus_wraparound_offset=0))),
+])
+def test_decoder_device_mc_extended(name, kw):
+    """Weighted pred / BCW finals, LMCS forward mapping and horizontal
+    wraparound now batch on device (descriptor layout, vvc_inter.c
+    inter_ctus_dev); output must equal the host decode byte-for-byte."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_inter_stream(deblock=True, **kw)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_mc=True)).decode(s))
+    assert host == dev
