@@ -201,53 +201,94 @@ def main():
             extra["uhd_ra_vs_baseline"] = round(
                 fps_4k / ref_4k_fps if ref_4k_fps else 0.0, 4)
 
-        # --- device pixel path: device SAO/ALF kernels on the chip.
-        # Runs in a watchdogged subprocess: on a machine with a cold XLA
-        # persistent cache, a single remote (tunneled) compile can take
-        # minutes — record device_error instead of blowing the budget.
-        # FFVVC_ITX=host keeps the itx bucket shapes (dozens of compiles)
-        # off the cold path; SAO/ALF are a handful of shapes.
+        # --- device pixel path: ALL batched device filter stages
+        # (deblock + SAO + ALF/CC-ALF + LMCS) on a filter-heavy 1080p
+        # all-intra stream, bit-exact vs the oracle.  Runs in a
+        # watchdogged subprocess (cold tunneled XLA compiles can take
+        # minutes).  The leg also measures the tunnel itself: on a
+        # shared/tunneled chip the downlink (~10-30 MB/s observed, with
+        # multi-second stalls) is below 1080p pixel rate, so device_fps
+        # is wire-bound, not compute-bound — device_wire_* make the
+        # number interpretable (a locally-attached chip removes that
+        # wall entirely).
         dev_timeout = int(os.environ.get("FFVVC_BENCH_DEVICE_TIMEOUT",
-                                         "420"))
+                                         "900"))
+        devstream = _cached_stream(
+            f"toolsf10:{w}x{h}:4:{qp}",
+            lambda: forge_tools_stream(seed=0, width=w, height=h, qp=qp,
+                                       bit_depth=10, nframes=4,
+                                       sps_sao_enabled_flag=1,
+                                       sps_alf_enabled_flag=1,
+                                       sps_ccalf_enabled_flag=1,
+                                       sps_lmcs_enabled_flag=1))
+        ref_dev_fps, ref_dev_yuv = _oracle_fps(devstream, 4,
+                                               tmp="/tmp/bench_dev")
         prog = (
             "import sys, time, os, json\n"
             "sys.path.insert(0, %r)\n"
             "os.environ['FFVVC_ITX'] = 'host'\n"
+            "import numpy as np, jax, jax.numpy as jnp\n"
             "from ffvvc_tpu.decoder import VVCDecoder\n"
             "from ffvvc_tpu.config import DecoderConfig\n"
+            # wire microbench FIRST: on a cold-cache timeout the parent
+            # still salvages this line from the captured stdout
+            "big = np.zeros((1024, 1920), np.int32)\n"
+            "f2 = jax.jit(lambda x: x * 2)\n"
+            "t0 = time.monotonic(); d = jax.device_put(big)\n"
+            "d.block_until_ready(); up = time.monotonic() - t0\n"
+            "r = f2(d); r.block_until_ready()\n"
+            "t0 = time.monotonic(); np.asarray(r)\n"
+            "down = time.monotonic() - t0\n"
+            "print(json.dumps({'wire': 1,\n"
+            "                  'up_MBps': round(big.nbytes/1e6/up, 1),\n"
+            "                  'down_MBps': round(big.nbytes/1e6/down, 1),\n"
+            "                  'backend': jax.default_backend()}),\n"
+            "      flush=True)\n"
             "s = open(sys.argv[1], 'rb').read()\n"
-            "cfg = DecoderConfig(device_sao=True, device_alf=True)\n"
+            "cfg = DecoderConfig(device_deblock=True, device_sao=True,\n"
+            "                    device_alf=True, device_lmcs=True)\n"
             "VVCDecoder(cfg).decode(s)\n"          # warm compiles
-            "best = None\n"
-            "for _ in range(2):\n"
-            "    t0 = time.monotonic()\n"
-            "    frames = VVCDecoder(cfg).decode(s)\n"
-            "    dt = time.monotonic() - t0\n"
-            "    best = dt if best is None or dt < best else best\n"
-            "import hashlib, jax\n"
+            "t0 = time.monotonic()\n"
+            "frames = VVCDecoder(cfg).decode(s)\n"
+            "best = time.monotonic() - t0\n"
+            "import hashlib\n"
             "yuv = b''.join(f.to_yuv_bytes() for f in frames)\n"
             "print(json.dumps({'fps': len(frames) / best,\n"
-            "                  'md5': hashlib.md5(yuv).hexdigest(),\n"
-            "                  'backend': jax.default_backend()}))\n"
+            "                  'md5': hashlib.md5(yuv).hexdigest()}))\n"
         ) % os.path.dirname(os.path.abspath(__file__))
+
+        def _wire_from(out):
+            for ln in (out or "").splitlines():
+                try:
+                    j = json.loads(ln)
+                except Exception:
+                    continue
+                if j.get("wire"):
+                    extra["device_wire_up_MBps"] = j["up_MBps"]
+                    extra["device_wire_down_MBps"] = j["down_MBps"]
+                    extra["device_backend"] = j["backend"]
         try:
             with open("/tmp/bench.bit", "wb") as f:
-                f.write(stream)
+                f.write(devstream)
             r = subprocess.run([sys.executable, "-c", prog,
                                 "/tmp/bench.bit"],
                                capture_output=True, text=True,
                                timeout=dev_timeout)
+            _wire_from(r.stdout)
             line = r.stdout.strip().splitlines()[-1] if r.stdout else ""
             dev = json.loads(line)
             import hashlib
-            if ref_yuv is not None:
-                assert dev["md5"] == hashlib.md5(ref_yuv).hexdigest(), \
+            if ref_dev_yuv is not None:
+                assert dev["md5"] == hashlib.md5(ref_dev_yuv).hexdigest(), \
                     "device-path decode NOT bit-exact vs oracle"
             extra["device_fps"] = round(dev["fps"], 4)
-            extra["device_backend"] = dev["backend"]
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            _wire_from(out)
             extra["device_error"] = \
-                f"timeout {dev_timeout}s (cold XLA cache on this host?)"
+                f"timeout {dev_timeout}s (cold tunneled-XLA compiles)"
         except Exception as e:
             extra["device_error"] = f"{type(e).__name__}: {e}"[:120]
 

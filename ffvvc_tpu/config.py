@@ -98,6 +98,14 @@ class DecoderConfig:
     # inter MC of frame N+1 still waits for frame N's filtered pixels.
     # Disabled automatically under error_resilient (exception attribution).
     pipeline_frames: bool = True
+    # Row-granular cross-frame progress (the host analogue of the
+    # reference's row-progress listeners, vvc_thread.c:281-296): eligible
+    # frames run their pixel stages as a rolling per-CTB-row pipeline
+    # publishing filter-final rows, and a consumer frame's inter MC waits
+    # per CTU row on just the reference rows it needs instead of the
+    # whole reference frame.  Requires the native recon/deblock/SAO/ALF
+    # row drivers; ineligible frames fall back to whole-frame passes.
+    row_progress: bool = True
     # Frame-pipeline depth: how many frames' pixel stages may be queued
     # behind the parse before it blocks (the analogue of the reference's
     # deep frame contexts, vvcdec.c:830-841 / vvc_thread.c frame pipeline).

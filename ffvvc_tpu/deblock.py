@@ -179,9 +179,49 @@ class Deblocker:
                     if not self.tabs.deblock_disabled[rs]:
                         self.deblock_ctb(rx, ry, vertical)
 
+    def frame_ctx(self):
+        """Build the C frame contexts for row-range driving (deblock_rows);
+        returns False when ineligible (non-contiguous planes / no lib)."""
+        if self.lib is None:
+            return False
+        self._bs_ctx = self._build_bs_ctx()
+        if self._bs_ctx is None:
+            return False
+        return self._build_frame_ctx()
+
+    def deblock_rows(self, vertical, lo, hi):
+        """One deblock direction over CTB rows [lo, hi) — the row-pipeline
+        form of deblock_frame (the H pass of row r writes into row r-1's
+        bottom taps, so callers sequence V(r) before H(r) and treat row
+        r-1 as final only after H(r))."""
+        self.lib.deblock_frame_range(
+            ctypes.byref(self._bs_ctx), ctypes.byref(self._f),
+            int(vertical), lo, hi, 0, self.pps.ctb_width)
+
     def _frame_driver(self):
         """Whole-frame C deblock (deblock_frame_c); False when a plane is
         not int32-contiguous (golden/odd layouts) so the per-CTB path runs."""
+        if not self._build_frame_ctx():
+            return False
+        pps = self.pps
+        cref, fref = ctypes.byref(self._bs_ctx), ctypes.byref(self._f)
+        nt = getattr(self, "n_threads", 1)
+        if nt > 1 and pps.ctb_width * pps.ctb_height >= 4:
+            # vertical-edge pass shards by CTB rows, horizontal-edge pass by
+            # CTB columns (each only writes pixels of its own rows/columns)
+            from .threads import run_parallel, split_ranges
+            part = self.lib.deblock_frame_part
+            run_parallel(nt, [
+                (lambda lo=lo, hi=hi: part(cref, fref, 1, lo, hi))
+                for lo, hi in split_ranges(pps.ctb_height, nt)])
+            run_parallel(nt, [
+                (lambda lo=lo, hi=hi: part(cref, fref, 0, lo, hi))
+                for lo, hi in split_ranges(pps.ctb_width, nt)])
+        else:
+            self.lib.deblock_frame_c(cref, fref)
+        return True
+
+    def _build_frame_ctx(self):
         sps, pps, tabs = self.sps, self.pps, self.tabs
         ptr = self._ptr
         if any(p is None for p in
@@ -210,21 +250,7 @@ class Deblocker:
         f.ladf_lowest = int(getattr(
             sps.r, "sps_ladf_lowest_interval_qp_offset", 0) or 0)
         f.ladf_off, f.ladf_bnd = ptr["ladf_off"], ptr["ladf_bnd"]
-        cref, fref = ctypes.byref(self._bs_ctx), ctypes.byref(f)
-        nt = getattr(self, "n_threads", 1)
-        if nt > 1 and pps.ctb_width * pps.ctb_height >= 4:
-            # vertical-edge pass shards by CTB rows, horizontal-edge pass by
-            # CTB columns (each only writes pixels of its own rows/columns)
-            from .threads import run_parallel, split_ranges
-            part = self.lib.deblock_frame_part
-            run_parallel(nt, [
-                (lambda lo=lo, hi=hi: part(cref, fref, 1, lo, hi))
-                for lo, hi in split_ranges(pps.ctb_height, nt)])
-            run_parallel(nt, [
-                (lambda lo=lo, hi=hi: part(cref, fref, 0, lo, hi))
-                for lo, hi in split_ranges(pps.ctb_width, nt)])
-        else:
-            self.lib.deblock_frame_c(cref, fref)
+        self._f = f
         return True
 
     def _boundary_flags(self, rx, ry):

@@ -50,6 +50,38 @@ class DecodedFrame:
     # the frame ran synchronously.  Inter frames wait on their REFERENCE
     # frames' futures only (RPL-aware progress gating).
     _pix_future = None
+    # row-granular pixel progress (the host analogue of the reference's
+    # per-frame FrameProgress rows, vvc_refs.c:532-565): luma rows
+    # [0, _rows_final) are filter-final.  _row_cond is created when the
+    # frame is submitted to the pixel worker; publish/wait synchronize
+    # a consumer frame's MC with this frame's rolling filter pipeline.
+    _row_cond = None
+    _rows_final = 0
+
+    def publish_rows(self, y):
+        cond = self._row_cond
+        if cond is None:
+            self._rows_final = y
+            return
+        with cond:
+            if y > self._rows_final:
+                self._rows_final = y
+            cond.notify_all()
+
+    def wait_rows(self, y):
+        """Block until luma rows [0, y) of this frame are filter-final.
+        Falls through immediately when the frame has no pending pixel
+        work (synchronous decode / already landed)."""
+        fut = self._pix_future
+        if fut is None or fut.done():
+            return
+        cond = self._row_cond
+        if cond is None:
+            fut.result()
+            return
+        with cond:
+            while self._rows_final < y:
+                cond.wait()
 
     def recycle(self):
         """Return the frame's planes/tabs to the per-process pool.  Callers
@@ -113,6 +145,9 @@ class VVCDecoder:
         # mesh mode verifies after the deferred filters drain
         self._pending_dph = None
         self._dph_pending = []
+        # True once an inter frame was decoded: gates the rolling row
+        # pipeline (all-intra streams have no cross-frame pixel waits)
+        self._seen_inter = False
         self.no_output_before_recovery = 0
         self.gdr_recovery_point_poc = 0
         self.gdr_recovered = True
@@ -455,6 +490,8 @@ class VVCDecoder:
 
         is_inter_frame = any(s[1].sh_slice_type != SLICE_I for s in slices)
         if is_inter_frame:
+            self._seen_inter = True
+        if is_inter_frame:
             # clear ref marks of all other frames; slice RPLs re-mark
             # (ff_vvc_frame_rpl, vvc_refs.c:468)
             for f in self.dpb:
@@ -546,6 +583,7 @@ class VVCDecoder:
         # this frame's MC and the next frames' parse.  The queue is then
         # trimmed to config.pipeline_depth to bound in-flight memory (the
         # reference's deep frame contexts, vvcdec.c:830-841).
+        row_wait_refs = None
         if self._mesh_q is not None:
             if is_inter_frame:
                 # reference barrier: MC below reads DPB pixels — land the
@@ -559,11 +597,29 @@ class VVCDecoder:
             if is_inter_frame:
                 if os.environ.get("FFVVC_RPL_GATE", "1") == "0":  # A/B toggle
                     self._join_pixels()
-                for rf in ref_frames:
-                    fut = rf._pix_future
-                    if fut is not None:
-                        fut.result()
-            self._trim_pixels(max(1, self.config.pipeline_depth) - 1)
+                all_native = all(not hasattr(ip, "c")
+                                 for ip, _ in inter_jobs)
+                if (self.config.row_progress and all_native and
+                        not (self.config.backend == "tpu" and
+                             self.config.device_mc)):
+                    # row-granular gating: MC below waits per CTU row on
+                    # just the reference rows it needs (wait_rows);
+                    # references that can't publish rows degrade to a
+                    # whole-frame wait inside wait_rows
+                    row_wait_refs = [
+                        rf for rf in ref_frames
+                        if rf._pix_future is not None
+                        and not rf._pix_future.done()]
+                else:
+                    for rf in ref_frames:
+                        fut = rf._pix_future
+                        if fut is not None:
+                            fut.result()
+            # with row gating the reference frames stay in flight: keep
+            # one extra pixel job queued so their rolling filters overlap
+            # this frame's MC (memory still bounded by pipeline_depth)
+            self._trim_pixels(max(1, self.config.pipeline_depth) -
+                              (0 if row_wait_refs else 1))
 
         if self.config.backend == "tpu":
             # batched inverse transforms on device (one launch per TB bucket);
@@ -583,6 +639,31 @@ class VVCDecoder:
                     ip.predict_inter_ctu(rs)
             else:                     # NativeRecon (native/vvc_inter.c)
                 native_mc.extend((ip, rs, rx, ry) for rs, rx, ry in ctus)
+        if native_mc and row_wait_refs:
+            # row-granular MC: walk CTU rows in order, waiting on just the
+            # reference rows this row's MVs reach (+ filter/refinement
+            # margin) — the reference's schedule_inter row gating
+            # (vvc_thread.c:281-296, max-y per CU from cu_get_max_y)
+            needy = self._mc_row_needs(tabs, sps, pps)
+            from collections import defaultdict
+            by_row = defaultdict(list)
+            for item in native_mc:
+                by_row[item[3]].append(item)
+            for ry in sorted(by_row):
+                need = needy[ry]
+                for rf in row_wait_refs:
+                    rf.wait_rows(need)
+                items = by_row[ry]
+                i = 0
+                while i < len(items):
+                    ip = items[i][0]
+                    j = i
+                    while j < len(items) and items[j][0] is ip:
+                        j += 1
+                    ip.predict_inter_ctus(
+                        [(rs, rx, r2) for _, rs, rx, r2 in items[i:j]])
+                    i = j
+            native_mc = []
         if native_mc and self.config.backend == "tpu" and \
                 self.config.device_mc:
             # batched device MC for simple regular blocks; the same C call
@@ -634,6 +715,27 @@ class VVCDecoder:
             # parse/inter time), so they overlap frame N+1's parse on the
             # frame pipeline (config.pipeline_frames)
             mesh = self._mesh_q
+            cfg = self.config
+            # the rolling row pipeline only pays off when a later inter
+            # frame can overlap its MC with this frame's filters: all-
+            # intra streams keep the (stage-threaded) whole-frame passes
+            if (mesh is None and cfg.row_progress and cfg.pipeline_frames
+                    and self._seen_inter and
+                    not (cfg.backend == "tpu" and
+                         (cfg.device_intra or cfg.device_deblock or
+                          cfg.device_sao or cfg.device_alf or
+                          cfg.device_lmcs))):
+                if self._pixel_stages_rows(frame, sps, pps, tabs, fb,
+                                           recon_jobs, lmcs, sh_list,
+                                           alf_list):
+                    _stage("rows")
+                    if dph is not None and cfg.verify_picture_hash:
+                        self._check_picture_hash(frame, dph)
+                    for rec, _ in recon_jobs:
+                        tree = getattr(rec.nbr, "native_tree", None)
+                        if tree is not None:
+                            tree.release_records()
+                    return
             # mesh: defer recon's residual add for inter-only frames (no
             # intra/CIIP CUs — those need the sequential neighbour walk)
             # so the add runs as a sharded pass batched over the gop axis
@@ -761,12 +863,144 @@ class VVCDecoder:
                 from concurrent.futures import ThreadPoolExecutor
                 self._pix_exec = ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="ffvvc-pixels")
-            fut = self._pix_exec.submit(pixel_stages)
+            import threading
+            frame._row_cond = threading.Condition()
+
+            def pixel_stages_published():
+                try:
+                    pixel_stages()
+                finally:
+                    # wake any row waiters unconditionally (whole-frame
+                    # fallbacks and error paths publish "all rows")
+                    frame.publish_rows(1 << 30)
+
+            fut = self._pix_exec.submit(pixel_stages_published)
             frame._pix_future = fut
             self._pix_futures.append(fut)
         else:
             pixel_stages()
         return outputs
+
+    def _mc_row_needs(self, tabs, sps, pps):
+        """Per-CTU-row max referenced luma row (exclusive) for inter MC:
+        the vectorized analogue of the reference's per-CU max-ref-y
+        (cu_get_max_y, vvc_ctu.c:2327), with a conservative margin for
+        the 8-tap reach, DMVR search and BDOF/PROF rings."""
+        MARGIN = 12
+        pf = tabs.mvf_pf
+        mvy = tabs.mvf_mv[:, :, :, 1] >> 4        # [2, h4, w4] int-pel
+        h4 = pf.shape[0]
+        bottom = (np.arange(h4, dtype=np.int64)[:, None] + 1) * 4
+        reach = np.where((pf & 1) != 0, bottom + mvy[0] + MARGIN, 0)
+        reach = np.maximum(
+            reach, np.where((pf & 2) != 0, bottom + mvy[1] + MARGIN, 0))
+        ctb4 = sps.ctb_size_y >> 2
+        return [min(pps.height,
+                    int(reach[r * ctb4:(r + 1) * ctb4].max(initial=0)))
+                for r in range(pps.ctb_height)]
+
+    def _pixel_stages_rows(self, frame, sps, pps, tabs, fb, recon_jobs,
+                           lmcs, sh_list, alf_list):
+        """Row-granular pixel pipeline: recon/LMCS/deblock-V/deblock-H/
+        SAO/ALF roll down the frame one CTB row at a time with the stage
+        lags the filter halos require, publishing per-row progress so a
+        consumer frame's inter MC can start before this frame finishes
+        (host analogue of the reference's row-progress listeners,
+        vvc_thread.c:281-296 / vvc_refs.c:532-565).  Bit-exact with the
+        whole-frame passes: H(r) needs V(r+1) (its bottom edges read the
+        next row's top taps) and finalizes deblock for row r-1 (its top
+        edges write up the halo); SAO(r) then runs after H(r+1) on a
+        progressively-snapshotted pre buffer, and ALF(r) one row behind
+        SAO (its CC-ALF taps read one luma row past the CTB).  Returns
+        False (state untouched) when a stage can't run row-sliced."""
+        from .deblock import Deblocker
+        from .native.sao import SaoRowPass
+        from .native.alf import AlfRowPass
+        if not recon_jobs or any(rec.native_recon is None
+                                 for rec, _ in recon_jobs):
+            return False
+        db = Deblocker(sps, pps, tabs, fb)
+        db.slice_rpls = frame.slice_rpls
+        if not db.frame_ctx():
+            return False
+        sao = None
+        if tabs.sao_type.any():
+            sao = SaoRowPass(sps, pps, tabs, fb)
+            if not sao.eligible:
+                return False
+        alf = None
+        if sps.r.sps_alf_enabled_flag:
+            alf = AlfRowPass(sps, pps, tabs, fb, sh_list, alf_list)
+            if alf.needed and not alf.eligible:
+                return False
+            if not alf.needed:
+                alf = None
+
+        R = pps.ctb_height
+        ctb = sps.ctb_size_y
+        H = pps.height
+        y0 = [min(r * ctb, H) for r in range(R + 1)]
+        rows = [[] for _ in range(R)]
+        lrows = [[] for _ in range(R)] if lmcs is not None else None
+        for rec, ctus in recon_jobs:
+            for t in ctus:
+                rows[t[2]].append((rec, t))
+                if lrows is not None and rec.lmcs_used:
+                    lrows[t[2]].append(t)
+        mx = (1 << sps.bit_depth) - 1
+
+        def recon_row(r):
+            items = rows[r]
+            i = 0
+            while i < len(items):
+                rec = items[i][0]
+                j = i
+                while j < len(items) and items[j][0] is rec:
+                    j += 1
+                rec.native_recon.reconstruct_ctus(
+                    [t for _, t in items[i:j]])
+                i = j
+            if lrows is not None:
+                for rs, rx, ry in lrows[r]:
+                    x0 = rx * ctb
+                    blk = fb.planes[0][y0[ry]:y0[ry + 1],
+                                       x0:min(x0 + ctb, pps.width)]
+                    blk[:] = lmcs.inv_lut[blk]
+
+        def sao_row(k):
+            if sao is None:
+                return
+            sao.fill_pre(y0[k], min(y0[k + 1] + 1, H))
+            sao.run_rows(k, k + 1)
+
+        def alf_prep(k):
+            if alf is not None:
+                alf.fill_pre(y0[k], y0[k + 1])
+
+        def alf_row(k):
+            if alf is not None:
+                alf.run_rows(k, k + 1)
+            frame.publish_rows(y0[k + 1] if k + 1 < R else H)
+
+        # schedule: recon(t) | V(t-1) | H(t-2) | SAO(t-3) | ALF(t-4) —
+        # V lags recon one row (intra prediction of row t reads row t-1's
+        # UNFILTERED bottom samples), H lags V one row (its bottom edges
+        # read the next row's top taps post-V), SAO one more (row final
+        # only after H of the row below writes up the halo), ALF one more
+        # (CC-ALF reads one luma row past the CTB, post-SAO).
+        for t in range(R + 4):
+            if t < R:
+                recon_row(t)
+            if 1 <= t <= R:
+                db.deblock_rows(True, t - 1, t)        # V(t-1)
+            if 2 <= t <= R + 1:
+                db.deblock_rows(False, t - 2, t - 1)   # H(t-2)
+            if 3 <= t <= R + 2:
+                sao_row(t - 3)
+                alf_prep(t - 3)
+            if 4 <= t <= R + 3:
+                alf_row(t - 4)
+        return True
 
     def _deferred_residuals(self, recon_jobs, fb):
         """Mesh mode: when every CU of an inter frame is inter-predicted

@@ -73,18 +73,13 @@ def _const_tables():
                 t["alf_aps_class_to_filt_map"].astype(np.int32)))
 
 
-def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
-                     stage_threads=1) -> bool:
-    """Run the whole-frame ALF/CC-ALF pass in C, sharding CTB rows across
-    stage_threads (rows are independent given the pre-ALF snapshot).
-    Returns True on success, False (planes untouched) when ineligible."""
-    if not sps.r.sps_alf_enabled_flag:
-        return True
-    if not tabs.alf_ctb_flag.any() and not tabs.alf_cc_idc.any():
-        return True
+def _build_alf_params(sps, pps, tabs, fb, sh_list, alf_list, pre):
+    """Shared param-struct builder: returns (lib, ap, keep) or None when
+    the C pass is ineligible (missing lib/APS, layout).  `pre` is the
+    pre-ALF (post-SAO) snapshot buffer list the C pass reads."""
     lib = load_lib()
     if lib is None or sps.ctb_size_y > 128:
-        return False
+        return None
 
     # slot-map the APS ids actually referenced; missing luma/chroma APS =>
     # ineligible (the golden would raise there too, but fall back anyway)
@@ -96,7 +91,7 @@ def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
     for rs in np.nonzero(flags[:, 0] & (tabs.alf_fixed == 0))[0]:
         aid = int(tabs.alf_aps_id[rs, 0])
         if aid not in slots:
-            return False
+            return None
         aps_slot[rs] = slots[aid]
     n_slices = len(sh_list)
     sl_chroma = np.full(n_slices, -1, np.int32)
@@ -108,7 +103,7 @@ def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
         if aid in slots:
             sl_chroma[s] = slots[aid]
         elif np.any(flags[si_of_ctb == s][:, 1:3]):
-            return False
+            return None
         for i, name in enumerate(("sh_alf_cc_cb_aps_id",
                                   "sh_alf_cc_cr_aps_id")):
             aid = getattr(r, name, 0)
@@ -118,7 +113,7 @@ def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
                 # CC-ALF signalled but its APS is missing: the C pass
                 # would silently skip filtering (slot < 0 guard) where the
                 # golden raises — fall back so behavior stays identical
-                return False
+                return None
 
     n_slots = max(1, len(slots))
     luma_coeff = np.zeros((n_slots, 25, 12), np.int32)
@@ -138,7 +133,6 @@ def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
             cc_coeff[slot, i, :nf] = a.cc_coeff[i]
 
     fixc, c2f, aps_c2f = _const_tables()
-    pre = [np.ascontiguousarray(p.copy()) for p in fb.planes]
     keep = []
 
     def cp(a, dtype=np.int32):
@@ -159,7 +153,7 @@ def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
         int(pps.r.pps_loop_filter_across_slices_enabled_flag)
     for p in fb.planes:
         if p.dtype != np.int32 or not p.flags.c_contiguous:
-            return False
+            return None
     ap.plane0 = fb.planes[0].ctypes.data
     ap.pre0 = cp(pre[0])
     if sps.chroma_format_idc:
@@ -188,6 +182,60 @@ def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
     ap.fix_coeff = cp(fixc)
     ap.class_to_filt = cp(c2f)
     ap.aps_class_to_filt = cp(aps_c2f)
+    return lib, ap, keep
+
+
+class AlfRowPass:
+    """Row-range ALF/CC-ALF driving for the pixel-row pipeline: the
+    pre-ALF (post-SAO) snapshot fills progressively (fill_pre), then
+    run_rows() filters CTB-row ranges.  `needed` is False when the frame
+    has no ALF work at all; `eligible` when the C pass can run it."""
+
+    def __init__(self, sps, pps, tabs, fb, sh_list, alf_list):
+        self.needed = bool(
+            sps.r.sps_alf_enabled_flag and sh_list is not None and
+            (tabs.alf_ctb_flag.any() or tabs.alf_cc_idc.any()))
+        self.eligible = not self.needed
+        if not self.needed:
+            return
+        self.planes = fb.planes
+        self.pre = [np.empty_like(p) for p in fb.planes]
+        self.vshift = [0] + [sps.vshift[1]] * 2
+        built = _build_alf_params(sps, pps, tabs, fb, sh_list, alf_list,
+                                  self.pre)
+        if built is None:
+            return
+        self.lib, self.ap, self._keep = built
+        self.ref = ctypes.byref(self.ap)
+        self.eligible = True
+
+    def fill_pre(self, y0, y1):
+        """Snapshot post-SAO luma rows [y0, y1) (+ co-sited chroma)."""
+        for c, pl in enumerate(self.planes):
+            vs = self.vshift[c]
+            a, b = y0 >> vs, -(-y1 // (1 << vs))
+            self.pre[c][a:b] = pl[a:b]
+
+    def run_rows(self, lo, hi):
+        err = self.lib.alf_frame_rows(self.ref, lo, hi)
+        if err:
+            raise ValueError(f"native alf_frame_rows failed (err={err})")
+
+
+def alf_frame_native(sps, pps, tabs, fb, sh_list, alf_list,
+                     stage_threads=1) -> bool:
+    """Run the whole-frame ALF/CC-ALF pass in C, sharding CTB rows across
+    stage_threads (rows are independent given the pre-ALF snapshot).
+    Returns True on success, False (planes untouched) when ineligible."""
+    if not sps.r.sps_alf_enabled_flag:
+        return True
+    if not tabs.alf_ctb_flag.any() and not tabs.alf_cc_idc.any():
+        return True
+    pre = [np.ascontiguousarray(p.copy()) for p in fb.planes]
+    built = _build_alf_params(sps, pps, tabs, fb, sh_list, alf_list, pre)
+    if built is None:
+        return False
+    lib, ap, keep = built
     nt = min(int(stage_threads) or 1, pps.ctb_height)
     if nt <= 1:
         err = lib.alf_frame_c(ctypes.byref(ap))

@@ -100,6 +100,12 @@ def load_lib():
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int]
     lib.deblock_frame_part.restype = None
+    lib.deblock_frame_range.argtypes = [ctypes.POINTER(BsCtx),
+                                        ctypes.POINTER(DeblockFrame),
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int]
+    lib.deblock_frame_range.restype = None
     return lib
 
 

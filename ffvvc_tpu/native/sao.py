@@ -57,23 +57,49 @@ def _i32(a):
     return a
 
 
-def sao_frame_native(sps, pps, tabs, fb, n_threads=1) -> bool:
-    """Run the C SAO pass; returns False if the library is unavailable or a
-    plane isn't int32-contiguous (caller falls back to the golden pass)."""
-    lib = load_lib()
-    if lib is None:
-        return False
-    planes = fb.planes
-    for pl in planes:
-        if pl.dtype != np.int32 or not pl.flags.c_contiguous:
-            return False
-    pre = [pl.copy() for pl in planes]
-    p = _SaoParams()
-    keep = [pre]
-    for c, pl in enumerate(planes):
-        p.pre[c] = pre[c].ctypes.data
-        p.dst[c] = pl.ctypes.data
-        p.plane_h[c], p.plane_w[c] = pl.shape
+class SaoRowPass:
+    """Row-range SAO driving for the pixel-row pipeline: the pre-SAO
+    snapshot fills progressively (fill_pre) as deblock finalizes rows,
+    then run_rows() filters CTB-row ranges.  eligible is False when the
+    C library / plane layout rules it out."""
+
+    def __init__(self, sps, pps, tabs, fb):
+        self.eligible = False
+        lib = load_lib()
+        if lib is None:
+            return
+        planes = fb.planes
+        for pl in planes:
+            if pl.dtype != np.int32 or not pl.flags.c_contiguous:
+                return
+        self.lib = lib
+        self.planes = planes
+        self.pre = [np.empty_like(pl) for pl in planes]
+        self.vshift = [0] + [sps.vshift[1]] * 2
+        p = _SaoParams()
+        self._keep = keep = []
+        for c, pl in enumerate(planes):
+            p.pre[c] = self.pre[c].ctypes.data
+            p.dst[c] = pl.ctypes.data
+            p.plane_h[c], p.plane_w[c] = pl.shape
+        _fill_sao_params(p, sps, pps, tabs, keep)
+        self.p = p
+        self.ref = ctypes.byref(p)
+        self.eligible = True
+
+    def fill_pre(self, y0, y1):
+        """Snapshot deblocked luma rows [y0, y1) (+ the co-sited chroma
+        rows) into the pre-SAO buffers."""
+        for c, pl in enumerate(self.planes):
+            vs = self.vshift[c]
+            a, b = y0 >> vs, -(-y1 // (1 << vs))
+            self.pre[c][a:b] = pl[a:b]
+
+    def run_rows(self, lo, hi):
+        self.lib.sao_rows_c(self.ref, lo, hi)
+
+
+def _fill_sao_params(p, sps, pps, tabs, keep):
     st = _i32(tabs.sao_type)
     bp = _i32(tabs.sao_band_pos)
     ec = _i32(tabs.sao_eo_class)
@@ -98,6 +124,26 @@ def sao_frame_native(sps, pps, tabs, fb, n_threads=1) -> bool:
                     not pps.r.pps_loop_filter_across_tiles_enabled_flag)
     p.hshift1 = sps.hshift[1]
     p.vshift1 = sps.vshift[1]
+
+
+def sao_frame_native(sps, pps, tabs, fb, n_threads=1) -> bool:
+    """Run the C SAO pass; returns False if the library is unavailable or a
+    plane isn't int32-contiguous (caller falls back to the golden pass)."""
+    lib = load_lib()
+    if lib is None:
+        return False
+    planes = fb.planes
+    for pl in planes:
+        if pl.dtype != np.int32 or not pl.flags.c_contiguous:
+            return False
+    pre = [pl.copy() for pl in planes]
+    p = _SaoParams()
+    keep = [pre]
+    for c, pl in enumerate(planes):
+        p.pre[c] = pre[c].ctypes.data
+        p.dst[c] = pl.ctypes.data
+        p.plane_h[c], p.plane_w[c] = pl.shape
+    _fill_sao_params(p, sps, pps, tabs, keep)
     ref = ctypes.byref(p)
     if n_threads > 1 and pps.ctb_height > 1:
         from ..threads import run_parallel, split_ranges

@@ -810,17 +810,15 @@ typedef struct {
  * -> shard by CTB row [lo, hi); horizontal-edge filtering only writes its
  * own columns -> shard by CTB column [lo, hi).  BS tables are written at
  * disjoint per-CTB offsets. */
-void deblock_frame_part(const BsCtx *c, const DeblockFrame *f, int vertical,
-                        int lo, int hi)
+void deblock_frame_range(const BsCtx *c, const DeblockFrame *f,
+                         int vertical, int rlo, int rhi, int clo, int chi)
 {
     int32_t *planes[3] = {f->plane0, f->plane1, f->plane2};
     const int32_t *qps[3] = {f->qp0, f->qp1, f->qp2};
     int c_end = c->chroma ? 3 : 1;
     {
-        for (int ry = (vertical ? lo : 0);
-             ry < (vertical ? hi : f->ctb_h); ry++) {
-            for (int rx = (vertical ? 0 : lo);
-                 rx < (vertical ? f->ctb_w : hi); rx++) {
+        for (int ry = rlo; ry < rhi; ry++) {
+            for (int rx = clo; rx < chi; rx++) {
                 int rs = ry * f->ctb_w + rx;
                 if (f->dis[rs])
                     continue;
@@ -874,6 +872,18 @@ void deblock_frame_part(const BsCtx *c, const DeblockFrame *f, int vertical,
             }
         }
     }
+}
+
+/* threading-shard entry: the vertical pass shards by CTB rows, the
+ * horizontal one by CTB columns (parallel row-sharded H would race on
+ * the cross-row writes of the top edges) */
+void deblock_frame_part(const BsCtx *c, const DeblockFrame *f, int vertical,
+                        int lo, int hi)
+{
+    if (vertical)
+        deblock_frame_range(c, f, 1, lo, hi, 0, f->ctb_w);
+    else
+        deblock_frame_range(c, f, 0, 0, f->ctb_h, lo, hi);
 }
 
 void deblock_frame_c(const BsCtx *c, const DeblockFrame *f)
