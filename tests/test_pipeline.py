@@ -57,3 +57,56 @@ def test_single_segment_fallback():
     seq = [f.to_yuv_bytes() for f in VVCDecoder().decode(stream)]
     par = decode_parallel(stream, workers=2)
     assert par == seq
+
+
+def test_row_progress_overlap():
+    """Row-granular cross-frame progress: frames publish filter-final rows
+    incrementally, the consumer's MC performs per-row waits, and output
+    stays byte-identical to the row-disabled decode."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_hier_stream
+    from ffvvc_tpu.decoder import VVCDecoder, DecodedFrame
+    from ffvvc_tpu.config import DecoderConfig
+
+    s = forge_hier_stream(seed=1, width=192, height=160, qp=32,
+                          bit_depth=10, ngops=2, deblock=True,
+                          sps_sao_enabled_flag=1, sps_alf_enabled_flag=1,
+                          sps_temporal_mvp_enabled_flag=1)
+    log = {"publishes": [], "waits": 0, "rows_runs": 0}
+    orig_pub = DecodedFrame.publish_rows
+    orig_wait = DecodedFrame.wait_rows
+    orig_rows = VVCDecoder._pixel_stages_rows
+
+    def spy_pub(self, y):
+        log["publishes"].append(y)
+        return orig_pub(self, y)
+
+    def spy_wait(self, y):
+        log["waits"] += 1
+        return orig_wait(self, y)
+
+    def spy_rows(self, *a, **k):
+        r = orig_rows(self, *a, **k)
+        log["rows_runs"] += int(bool(r))
+        return r
+
+    DecodedFrame.publish_rows = spy_pub
+    DecodedFrame.wait_rows = spy_wait
+    VVCDecoder._pixel_stages_rows = spy_rows
+    try:
+        a = b"".join(f.to_yuv_bytes()
+                     for f in VVCDecoder(DecoderConfig()).decode(s))
+    finally:
+        DecodedFrame.publish_rows = orig_pub
+        DecodedFrame.wait_rows = orig_wait
+        VVCDecoder._pixel_stages_rows = orig_rows
+    b = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(row_progress=False)).decode(s))
+    assert a == b, "row-pipelined decode differs"
+    assert log["rows_runs"] >= 3, log       # inter frames rolled by rows
+    assert log["waits"] >= 1, log           # MC used per-row waits
+    # incremental publishing: some frame published a partial row count
+    # (not just the end-of-frame totals)
+    h = 160
+    assert any(0 < y < h for y in log["publishes"]), log["publishes"][:20]
