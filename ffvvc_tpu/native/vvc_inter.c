@@ -875,9 +875,32 @@ int inter_ctus_dev(const ReconParams *rp, const InterParams *ip, int n,
                 cu[CU_TREE_TYPE] == DUAL_TREE_CHROMA)
                 continue;
             int flags = cu[CU_IFLAGS];
+            int gpm = (flags & IF_MERGE_GPM) != 0;
             int simple = !(flags & (IF_MERGE_GPM | IF_AFFINE | IF_CIIP |
                                     IF_DMVR | IF_BDOF)) &&
                 cu[CU_NSBX] == 1 && cu[CU_NSBY] == 1;
+            if (gpm && nd < desc_cap) {
+                /* GPM descriptor: two uni hypotheses + partition idx;
+                 * flags2 bit1 marks it, [16]=lx0 [17]=lx1 [18]=part */
+                int32_t *d = desc + (long)nd * 31;
+                d[0] = cu[CU_X0]; d[1] = cu[CU_Y0];
+                d[2] = cu[CU_W]; d[3] = cu[CU_H];
+                d[4] = 0;
+                d[5] = cu[CU_GPM0_REF]; d[6] = cu[CU_GPM1_REF];
+                d[7] = cu[CU_GPM0_MVX]; d[8] = cu[CU_GPM0_MVY];
+                d[9] = cu[CU_GPM1_MVX]; d[10] = cu[CU_GPM1_MVY];
+                d[11] = 0; d[12] = job_tag;
+                d[13] = (ip->lmcs_fwd ? 1 : 0) | 2;
+                d[14] = ip->wrap;
+                d[15] = 0;
+                for (int cc = 0; cc < 15; cc++)
+                    d[16 + cc] = 0;
+                d[16] = cu[CU_GPM0_LX];
+                d[17] = cu[CU_GPM1_LX];
+                d[18] = cu[CU_GPM_PART];
+                nd++;
+                continue;
+            }
             MvF f;
             if (simple)
                 ip_get_mvf(ip, cu[CU_X0], cu[CU_Y0], &f);

@@ -94,6 +94,50 @@ def _mc_uni_batch(val, bd: int):
 
 
 @functools.partial(jax.jit, static_argnames=("bd",))
+def _mc_gpm_batch(s0, s1, wgt, bd: int):
+    """GPM two-hypothesis blend: wgt [B, h, w] in 0..8 (host-sliced from
+    the partition weight tables); mirrors native pred_gpm_blk."""
+    shift = max(5, 17 - bd)
+    off = 1 << (shift - 1)
+    v = (s0.astype(jnp.int64) * wgt + s1.astype(jnp.int64) * (8 - wgt) +
+         off) >> shift
+    return jnp.clip(v, 0, (1 << bd) - 1).astype(jnp.int32)
+
+
+@functools.lru_cache()
+def _gpm_tables():
+    from . import data as D
+    t = D.tables()
+    return (t["gpm_angle_idx"], t["gpm_angle_to_weights_idx"],
+            t["gpm_weights_offset_x"], t["gpm_weights_offset_y"],
+            t["gpm_angle_to_mirror"],
+            np.asarray(t["gpm_weights"]).reshape(-1, 112, 112))
+
+
+def _gpm_weight_block(part, w, h, wl, hl, hs, vs):
+    """Host slice of the GPM weight plane for one block: [h, w] int32
+    (wl/hl: LUMA block dims for the offset lookup; hs/vs: plane shifts)."""
+    angle_idx, a2w, offx, offy, a2m, wmats = _gpm_tables()
+    ai = int(angle_idx[part])
+    wmat = wmats[int(a2w[ai])]
+    wi = (wl.bit_length() - 1) - 3
+    hi = (hl.bit_length() - 1) - 3
+    off_x = int(offx[part][hi][wi])
+    off_y = int(offy[part][hi][wi])
+    mirror = int(a2m[ai])
+    WS = 112
+    wys = np.arange(h) << vs
+    wxs = np.arange(w) << hs
+    if mirror == 0:
+        rows, cols = off_y + wys, off_x + wxs
+    elif mirror == 1:
+        rows, cols = off_y + wys, WS - 1 - off_x - wxs
+    else:
+        rows, cols = WS - 1 - off_y - wys, off_x + wxs
+    return wmat[np.ix_(rows, cols)].astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bd",))
 def _mc_w_avg_batch(s0, s1, denom, w0, w1, o0, o1, bd: int):
     """Weighted bi-prediction (explicit WP / BCW): per-block params
     [B]; mirrors native mc_w_avg (vvc_mc.c)."""
@@ -195,6 +239,32 @@ def frame_device_mc(native_jobs, sps, bd):
         (x0, y0, w, h, pf, r0, r1, mx0, my0, mx1, my1, hpel, tag,
          flags2, wrap, wmask) = (int(v) for v in D[di, :16])
         rpl = rpls[tag]
+        if flags2 & 2:
+            # GPM: two uni hypotheses per plane + weight-plane blend
+            lx0, lx1, part = (int(v) for v in D[di, 16:19])
+            for c in range(nc):
+                chs, cvs = (0, 0) if c == 0 else (hs, vs)
+                wc, hc = w >> chs, h >> cvs
+                slots = []
+                for i, (lx, ref_i, mvx, mvy) in enumerate(
+                        ((lx0, r0, mx0, my0), (lx1, r1, mx1, my1))):
+                    ref = rpl[lx].frames[ref_i].buffer.planes[c]
+                    if c == 0:
+                        fx, fy = mvx & 15, mvy & 15
+                        xi = x0 + (mvx >> 4)
+                        yi = y0 + (mvy >> 4)
+                    else:
+                        fx = (mvx & ((1 << (4 + chs)) - 1)) << (1 - chs)
+                        fy = (mvy & ((1 << (4 + cvs)) - 1)) << (1 - cvs)
+                        xi = (x0 >> chs) + (mvx >> (4 + chs))
+                        yi = (y0 >> cvs) + (mvy >> (4 + cvs))
+                    slots.append(add_put(ref, xi, yi, fx, fy, wc, hc,
+                                         c == 0, 0, wrap >> chs))
+                wgt = _gpm_weight_block(part, wc, hc, w, h, chs, cvs)
+                entries.append((tag, c, x0 >> chs, y0 >> cvs, wc, hc,
+                                slots, ("gpm", wgt),
+                                (flags2 & 1) and c == 0))
+            continue
         hyps = [0] if pf == PF_L0 else [1] if pf == PF_L1 else [0, 1]
         for c in range(nc):
             chs, cvs = (0, 0) if c == 0 else (hs, vs)
@@ -246,7 +316,8 @@ def frame_device_mc(native_jobs, sps, bd):
             f[3].append(wb)
         else:
             (k0, i0), (k1, i1) = slots
-            kind = "bi_w" if wp else "bi"
+            kind = "gpm" if (isinstance(wp, tuple) and wp[0] == "gpm") \
+                else ("bi_w" if wp else "bi")
             f = finals.setdefault((wc, hc, kind), ([], [], [], []))
             f[0].append(vals[k0][i0])
             f[1].append(vals[k1][i1])
@@ -257,6 +328,10 @@ def frame_device_mc(native_jobs, sps, bd):
             out = mc_avg_batch(np.stack(s0), np.stack(s1), bd)
         elif kind == "uni":
             out = mc_uni_batch(np.stack(s0), bd)
+        elif kind == "gpm":
+            out = np.asarray(_mc_gpm_batch(
+                jnp.asarray(np.stack(s0)), jnp.asarray(np.stack(s1)),
+                jnp.asarray(np.stack([wgt for _, wgt in wps])), int(bd)))
         elif kind == "bi_w":
             wa = np.asarray(wps, np.int32)
             out = np.asarray(_mc_w_avg_batch(

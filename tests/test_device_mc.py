@@ -143,3 +143,23 @@ def test_decoder_device_mc_extended(name, kw):
     dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
         DecoderConfig(device_mc=True)).decode(s))
     assert host == dev
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_decoder_device_mc_gpm(seed):
+    """GPM blocks batch on device: two uni puts + weight-plane blend
+    (flags2 bit1 descriptors; weights host-sliced from the partition
+    tables, blend math on device)."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_inter_stream(deblock=True, slice_type=0, nframes=3, width=96,
+                           height=96, seed=seed, sps_gpm_enabled_flag=1,
+                           sps_max_num_merge_cand_minus_max_num_gpm_cand=0,
+                           sps_six_minus_max_num_merge_cand=1)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_mc=True)).decode(s))
+    assert host == dev
