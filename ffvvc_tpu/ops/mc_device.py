@@ -9,8 +9,15 @@ clamped gather of the (h+taps-1, w+taps-1) windows, then separable taps as
 two small contractions.  Integer math only (int32), bit-exact vs the host
 golden (inter.py _mc_put), pinned by tests/test_device_mc.py.
 
-Decoder integration mirrors ops/itx.py's cost-based dispatch (regular
-non-DMVR blocks batched per frame); DMVR/BDOF refinement stays on host.
+Decoder integration mirrors ops/itx.py's cost-based dispatch: regular
+blocks (incl. weighted pred / BCW / LMCS-forward / wraparound) and GPM
+batch per frame; DMVR/BDOF and affine+PROF subblock walks stay in the
+host C inter stage BY DESIGN — DMVR's refined MVs feed the same
+subblock's chroma MC and the TMVP grids mid-walk (SURVEY §7 hard
+parts: "keep it inside the inter stage kernel, as the reference
+does"), and their fixed-size stencil math already has device kernels
+(ops/inter_device.py) validated checkasm-style for a future
+device-resident walk.
 """
 from __future__ import annotations
 
