@@ -634,3 +634,41 @@ def test_l19_picture_hash_sei(tmp_path):
     bad[idx + 4] ^= 0xFF
     with pytest.raises(ValueError, match="picture hash mismatch"):
         VVCDecoder(cfg).decode(bytes(bad))
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("12bit", dict(bit_depth=12)),
+    ("mono", dict(chroma=0)),
+    ("444_alf", dict(chroma=3, sps_alf_enabled_flag=1,
+                     sps_ccalf_enabled_flag=1, sps_sao_enabled_flag=1)),
+])
+def test_l20_hier_formats(name, kw, tmp_path):
+    """Hierarchical RA GOPs across sample formats: 12-bit, monochrome and
+    4:4:4 with the filter chain — the inter+DMVR/BDOF+reorder machinery
+    at non-default formats."""
+    from forge import forge_hier_stream
+    _check_stream(forge_hier_stream(seed=2, width=96, height=96, qp=33,
+                                    ngops=2, deblock=True,
+                                    sps_temporal_mvp_enabled_flag=1,
+                                    sps_bdof_enabled_flag=1,
+                                    sps_dmvr_enabled_flag=1, **kw),
+                  tmp_path, 5)
+
+
+def test_l20_streaming_matches_whole(tmp_path):
+    """AU-by-AU streaming decode (flush=False) must emit the same frames
+    as the whole-stream call — DPB bumping order, the row-progress
+    pipeline and the per-call pixel joins all interact here."""
+    from forge import forge_hier_stream
+    from ffvvc_tpu.bitstream.au import split_access_unit_bytes
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_hier_stream(seed=4, width=96, height=64, qp=32, ngops=3,
+                          deblock=True, sps_sao_enabled_flag=1,
+                          sps_temporal_mvp_enabled_flag=1)
+    whole = [f.to_yuv_bytes() for f in VVCDecoder().decode(s)]
+    dec = VVCDecoder(DecoderConfig())
+    out = []
+    for au in split_access_unit_bytes(s):
+        out.extend(f.to_yuv_bytes() for f in dec.decode(au, flush=False))
+    out.extend(f.to_yuv_bytes() for f in dec.flush())
+    assert out == whole

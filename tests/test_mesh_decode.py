@@ -137,3 +137,14 @@ def test_inter_only_defer_and_gop_depth():
     # the end-of-decode drain batched >1 frame over the gop axis: the
     # non-referenced B frames were never forced out at a barrier
     assert log["final_batch"] >= 2, log
+
+
+def test_large_ctu_mesh():
+    """CTU-128 frames on the mesh: slab padding, deblock halos and ALF
+    virtual boundaries at the largest CTB size."""
+    from forge import forge_inter_stream
+    s = forge_inter_stream(slice_type=1, nframes=2, width=256, height=256,
+                           seed=2, deblock=True, ctu_log2=7,
+                           sps_max_luma_transform_size_64_flag=1,
+                           **FILTER_TOOLS)
+    _decode_both(s, (2, 4))
