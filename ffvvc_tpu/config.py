@@ -27,6 +27,13 @@ class DecoderConfig:
     # Mesh for multi-device decode: (gop, tile) axes. (1, 1) = single chip.
     mesh_shape: tuple = (1, 1)
 
+    # Single-device batched pixel pipeline: run the deferred filter chain
+    # (residual-add / LMCS / deblock / SAO / ALF / CC-ALF) through the
+    # mesh queue on ONE device — frames batch at drains (RPL-aware on
+    # inter content), so the whole chain runs as a handful of batched
+    # launches per drain instead of per-stage per-frame round trips.
+    device_pipeline: bool = False
+
     # Emit per-stage timing.
     profile: bool = False
 

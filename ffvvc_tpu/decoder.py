@@ -161,7 +161,7 @@ class VVCDecoder:
         # "gop", CTU-row slabs over "tile"; drains at inter ref barriers
         self._mesh_q = None
         g, t = self.config.mesh_shape
-        if g * t > 1:
+        if g * t > 1 or self.config.device_pipeline:
             from .parallel.filters import make_mesh_exact, MeshFilterQueue
             self._mesh_q = MeshFilterQueue(make_mesh_exact((g, t)))
 

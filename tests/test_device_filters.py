@@ -259,3 +259,25 @@ def test_all_device_paths_end_to_end(slice_type):
         else:
             os.environ["FFVVC_ITX"] = prev
     assert host == dev
+
+
+def test_device_pipeline_single_chip():
+    """config.device_pipeline: the whole deferred filter chain
+    (residual-add/LMCS/deblock/SAO/ALF/CC-ALF) runs as batched device
+    passes on ONE device with frame batching at drains; output must be
+    byte-identical to the host decode."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_inter_stream, forge_hier_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    tools = dict(sps_sao_enabled_flag=1, sps_alf_enabled_flag=1,
+                 sps_ccalf_enabled_flag=1, sps_lmcs_enabled_flag=1)
+    for s in (forge_inter_stream(slice_type=2, nframes=3, width=96,
+                                 height=96, seed=3, deblock=True, **tools),
+              forge_hier_stream(seed=2, width=96, height=64, qp=32,
+                                ngops=2, deblock=True, **tools)):
+        host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+        dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+            DecoderConfig(device_pipeline=True)).decode(s))
+        assert host == dev
