@@ -155,7 +155,7 @@ def main():
             os.environ["FFVVC_ITX"] = "host"
             try:
                 ratios = []
-                for _ in range(5):
+                for _ in range(7):
                     d1, _o = _time_best(lambda: decode_parallel(
                         stream, workers=1, config=nopipe), n=1)
                     dn, _o = _time_best(lambda: decode_parallel(
