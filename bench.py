@@ -124,7 +124,7 @@ def main():
     yuvs = decode_parallel(stream, workers=workers)      # warm libs/pool
     ours_fps, vs_baseline, ref_yuv, yuvs = _paired_vs_oracle(
         lambda: decode_parallel(stream, workers=workers),
-        stream, len(yuvs), "/tmp/bench")
+        stream, len(yuvs), "/tmp/bench", reps=5)
     ours_yuv = b"".join(yuvs)
     if ref_yuv is not None:
         assert ref_yuv == ours_yuv, "bench decode NOT bit-exact vs oracle"
@@ -188,7 +188,7 @@ def main():
         yuvs_ra = decode_parallel(ra, workers=workers, config=dec_cfg)
         ra_fps, ra_ratio, ref_ra_yuv, yuvs_ra = _paired_vs_oracle(
             lambda: decode_parallel(ra, workers=workers, config=dec_cfg),
-            ra, len(yuvs_ra), "/tmp/bench_ra")
+            ra, len(yuvs_ra), "/tmp/bench_ra", reps=5)
         if ref_ra_yuv is not None:
             assert ref_ra_yuv == b"".join(yuvs_ra), \
                 "RA bench decode NOT bit-exact vs oracle"
