@@ -13,10 +13,13 @@ Measured configs (BASELINE.md targets):
     the multi-IDR primary stream (BASELINE target >= 0.8).
   * extra.uhd_ra_fps: 4K random access with the full loop-filter chain
     (deblock+SAO+ALF/CC-ALF+LMCS), the BASELINE-named 4K config.
-  * extra.device_fps: single-process decode with the device pixel path on
-    (batched device itx dispatch + device SAO/ALF), bit-exact vs oracle.
-    On the tunneled bench chip every launch pays wire latency, so this is
-    an honest lower bound for a locally-attached chip.
+  * extra.device_fps: single-process decode of a filter-heavy 1080p
+    stream with ALL batched device filter stages on (deblock+SAO+
+    ALF/CC-ALF+LMCS), bit-exact vs oracle, plus measured tunnel
+    up/down bandwidth (device_wire_*).  On the tunneled bench chip the
+    downlink (~10-30 MB/s observed) is below 1080p pixel rate, so this
+    leg is wire-bound — see CLAUDE.md "Tunnel wire math"; a locally-
+    attached chip removes that wall.
 
 Env knobs: FFVVC_BENCH_SIZE ("1920x1080"), FFVVC_BENCH_FRAMES (4),
 FFVVC_BENCH_QP (30), FFVVC_BENCH_WORKERS (cpu count),
