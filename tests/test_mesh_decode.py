@@ -73,7 +73,6 @@ def test_inter_only_defer_and_gop_depth():
     inter reference barriers, so the final drain batches >1 frame over the
     gop axis (the collective analogue of the reference's row-progress
     gating, vvc_thread.c:281-296)."""
-    import numpy as np
     import forge as F
     from ffvvc_tpu.parallel import filters as PF
 
