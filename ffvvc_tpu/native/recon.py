@@ -214,6 +214,7 @@ class NativeRecon:
         self.fb = fb
         self.rpl = coder.rpl
         self.lib = lib
+        self.tabs = coder.tabs    # device-MC dispatch reads the mv grids
         self.records = tree_parser.records
         self._tree = tree_parser
         sps, pps = coder.sps, coder.pps

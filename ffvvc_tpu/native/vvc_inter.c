@@ -876,9 +876,56 @@ int inter_ctus_dev(const ReconParams *rp, const InterParams *ip, int n,
                 continue;
             int flags = cu[CU_IFLAGS];
             int gpm = (flags & IF_MERGE_GPM) != 0;
+            int affine = (flags & IF_AFFINE) != 0;
+            int subblk = !affine && !gpm &&
+                !(flags & (IF_CIIP | IF_DMVR | IF_BDOF)) &&
+                (cu[CU_NSBX] > 1 || cu[CU_NSBY] > 1);
             int simple = !(flags & (IF_MERGE_GPM | IF_AFFINE | IF_CIIP |
                                     IF_DMVR | IF_BDOF)) &&
                 cu[CU_NSBX] == 1 && cu[CU_NSBY] == 1;
+            if ((affine || subblk) && nd < desc_cap) {
+                /* affine (flags2 bit2) / SbTMVP-style subblock grid
+                 * (bit3) descriptor: the dispatch expands per-subblock
+                 * MVs from the mvf/cp_mv tab grids; d[4] packs
+                 * pf | nsbx<<4 | nsby<<10, bits 4/5 of flags2 carry the
+                 * per-list PROF decisions.  Weights are CU-level. */
+                MvF f;
+                ip_get_mvf(ip, cu[CU_X0], cu[CU_Y0], &f);
+                int32_t *d = desc + (long)nd * 31;
+                d[0] = cu[CU_X0]; d[1] = cu[CU_Y0];
+                d[2] = cu[CU_W]; d[3] = cu[CU_H];
+                d[4] = cu[CU_MI_PF] | (cu[CU_NSBX] << 4) |
+                       (cu[CU_NSBY] << 10);
+                d[5] = f.ref[0]; d[6] = f.ref[1];
+                d[7] = d[8] = d[9] = d[10] = 0;
+                d[11] = f.hpel; d[12] = job_tag;
+                d[13] = (ip->lmcs_fwd ? 1 : 0) | (affine ? 4 : 8) |
+                        ((flags & IF_PROF_L0) ? 16 : 0) |
+                        ((flags & IF_PROF_L1) ? 32 : 0);
+                d[14] = ip->wrap;
+                d[15] = 0;
+                for (int cc = 0; cc < 15; cc++)
+                    d[16 + cc] = 0;
+                for (int c_idx = 0; c_idx < 3; c_idx++) {
+                    int32_t *wd = d + 16 + 5 * c_idx;
+                    if (cu[CU_MI_PF] == PF_BI) {
+                        int wg[5];
+                        if (derive_weight(ip, &f, c_idx, 0, 0, wg)) {
+                            d[15] |= 1 << c_idx;
+                            wd[0] = wg[0]; wd[1] = wg[1]; wd[2] = wg[2];
+                            wd[3] = wg[3]; wd[4] = wg[4];
+                        }
+                    } else {
+                        int wg[3];
+                        if (derive_weight_uni(ip, &f, c_idx, wg)) {
+                            d[15] |= 1 << c_idx;
+                            wd[0] = wg[0]; wd[1] = wg[1]; wd[3] = wg[2];
+                        }
+                    }
+                }
+                nd++;
+                continue;
+            }
             if (gpm && nd < desc_cap) {
                 /* GPM descriptor: two uni hypotheses + partition idx;
                  * flags2 bit1 marks it, [16]=lx0 [17]=lx1 [18]=part */

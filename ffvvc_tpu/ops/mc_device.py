@@ -10,14 +10,15 @@ two small contractions.  Integer math only (int32), bit-exact vs the host
 golden (inter.py _mc_put), pinned by tests/test_device_mc.py.
 
 Decoder integration mirrors ops/itx.py's cost-based dispatch: regular
-blocks (incl. weighted pred / BCW / LMCS-forward / wraparound) and GPM
-batch per frame; DMVR/BDOF and affine+PROF subblock walks stay in the
-host C inter stage BY DESIGN — DMVR's refined MVs feed the same
-subblock's chroma MC and the TMVP grids mid-walk (SURVEY §7 hard
-parts: "keep it inside the inter stage kernel, as the reference
-does"), and their fixed-size stencil math already has device kernels
-(ops/inter_device.py) validated checkasm-style for a future
-device-resident walk.
+blocks (incl. weighted pred / BCW / LMCS-forward / wraparound), GPM
+blends, affine (+PROF gradient refinement) and SbTMVP subblock grids
+all batch per frame — subblock MVs expand from the frame's mvf/cp_mv
+tab grids.  Only DMVR/BDOF blocks stay in the host C inter stage BY
+DESIGN — DMVR's refined MVs feed the same subblock's chroma MC and the
+TMVP grids mid-walk (SURVEY §7 hard parts: "keep it inside the inter
+stage kernel, as the reference does"); their fixed-size stencil math
+already has device kernels (ops/inter_device.py) validated
+checkasm-style for a future device-resident walk.
 """
 from __future__ import annotations
 
@@ -98,6 +99,49 @@ def _mc_uni_batch(val, bd: int):
     shift = 14 - bd
     off = 1 << (shift - 1)
     return jnp.clip((val + off) >> shift, 0, (1 << bd) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("bd",))
+def _prof_apply_batch(val, ring, dmx, dmy, bd: int):
+    """PROF gradient refinement of affine 4x4 subblocks: val [B, 4, 4]
+    (14-bit put output), ring [B, 6, 6] (integer samples << (14-bd),
+    fclass-0 put of the 6x6 window), dmx/dmy [B, 4, 4].  Mirrors native
+    prof_block: the ring's interior is replaced by the put values before
+    the gradients read it."""
+    padded = ring.at[:, 1:5, 1:5].set(val)
+    gh = (padded[:, 1:5, 2:6] >> 6) - (padded[:, 1:5, 0:4] >> 6)
+    gv = (padded[:, 2:6, 1:5] >> 6) - (padded[:, 0:4, 1:5] >> 6)
+    limit = 1 << max(13, bd + 1)
+    di = jnp.clip(gh * dmx + gv * dmy, -limit, limit - 1)
+    return padded[:, 1:5, 1:5] + di
+
+
+def _affine_diff_mvs(cp, num_cp, w, h):
+    """Per-4x4 PROF diff-MV grids from the stored control-point MVs —
+    the numpy twin of native affine_sb_params + affine_diff_mvs
+    (mvs.py _init_subblock_params / _derive_subblock_diff_mvs)."""
+    D = 7                                   # MAX_CU_DEPTH
+    lw, lh = w.bit_length() - 1, h.bit_length() - 1
+    cp = np.asarray(cp, np.int64)
+    d_hor_x = (cp[1, 0] - cp[0, 0]) << (D - lw)
+    d_ver_x = (cp[1, 1] - cp[0, 1]) << (D - lw)
+    if num_cp == 3:
+        d_hor_y = (cp[2, 0] - cp[0, 0]) << (D - lh)
+        d_ver_y = (cp[2, 1] - cp[0, 1]) << (D - lh)
+    else:
+        d_hor_y = -d_ver_x
+        d_ver_y = d_hor_x
+    lim = 1 << 5
+    xs = np.arange(4, dtype=np.int64)[None, :]
+    ys = np.arange(4, dtype=np.int64)[:, None]
+    d0 = xs * (d_hor_x << 2) + ys * (d_hor_y << 2) - \
+        6 * (d_hor_x + d_hor_y)
+    d1 = xs * (d_ver_x << 2) + ys * (d_ver_y << 2) - \
+        6 * (d_ver_x + d_ver_y)
+    d0 = (d0 + 128 - (d0 >= 0)) >> 8        # round_mv(d, 0, 8)
+    d1 = (d1 + 128 - (d1 >= 0)) >> 8
+    return (np.clip(d0, -lim + 1, lim - 1).astype(np.int32),
+            np.clip(d1, -lim + 1, lim - 1).astype(np.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("bd",))
@@ -201,6 +245,108 @@ def mc_uni_batch(val, bd):
 PF_L0, PF_L1, PF_BI = 1, 2, 3
 
 
+def _expand_subblocks(d, rpl, native_jobs, nc, hs, vs, add_put, entries,
+                      prof_jobs):
+    """Expand an affine / subblock-grid descriptor into per-subblock put
+    slots + finals entries, mirroring native pred_affine_blk /
+    pred_regular_blk's nsb walk: luma per subblock (affine: the type-2
+    filter and optional PROF refinement; grid: the stored hpel filter),
+    chroma per subblock (grid) or per 2x2-group with the spec's averaged
+    MV (affine)."""
+    (x0, y0, w, h, packed, r0_, r1_, _m7, _m8, _m9, _m10, hpel0, tag,
+     flags2, wrap, wmask) = (int(v) for v in d[:16])
+    affine = bool(flags2 & 4)
+    nsbx, nsby = (packed >> 4) & 63, (packed >> 10) & 63
+    sbw, sbh = w // nsbx, h // nsby
+    prof = ((flags2 >> 4) & 1, (flags2 >> 5) & 1)
+    nr = native_jobs[tag][0]
+    tabs = nr.tabs
+    lm = bool(flags2 & 1)
+    cu_pf = packed & 3
+    dm = {}
+    if affine:
+        cy0, cx0 = y0 >> 2, x0 >> 2
+        num_cp = int(tabs.mmi[cy0, cx0]) + 1
+        for lx in range(2):
+            if prof[lx] and (cu_pf & (lx + 1)):
+                dm[lx] = _affine_diff_mvs(tabs.cp_mv[lx, cy0, cx0],
+                                          num_cp, w, h)
+
+    def wparams(c):
+        return tuple(int(v) for v in d[16 + 5 * c:21 + 5 * c]) \
+            if (wmask >> c) & 1 else None
+
+    def luma_put(lx, mv, ref_i, x, y, with_prof, hf):
+        ref = rpl[lx].frames[ref_i].buffer.planes[0]
+        mvx, mvy = int(mv[0]), int(mv[1])
+        fx, fy = mvx & 15, mvy & 15
+        xi, yi = x + (mvx >> 4), y + (mvy >> 4)
+        slot = add_put(ref, xi, yi, fx, fy, sbw, sbh, True, hf, wrap)
+        if with_prof:
+            # 6x6 integer-sample ring: an fclass-0 put (<< (14-bd))
+            ring = add_put(ref, xi + (fx >> 3) - 1, yi + (fy >> 3) - 1,
+                           0, 0, 6, 6, True, 0, wrap)
+            dx, dy = dm[lx]
+            prof_jobs.append((slot, ring, dx, dy))
+        return slot
+
+    def chroma_put(c, lx, mv, ref_i, xc, yc, wc, hc):
+        ref = rpl[lx].frames[ref_i].buffer.planes[c]
+        mvx, mvy = int(mv[0]), int(mv[1])
+        fx = (mvx & ((1 << (4 + hs)) - 1)) << (1 - hs)
+        fy = (mvy & ((1 << (4 + vs)) - 1)) << (1 - vs)
+        xi = xc + (mvx >> (4 + hs))
+        yi = yc + (mvy >> (4 + vs))
+        return add_put(ref, xi, yi, fx, fy, wc, hc, False, 0, wrap >> hs)
+
+    for sby in range(nsby):
+        for sbx in range(nsbx):
+            x = x0 + sbx * sbw
+            y = y0 + sby * sbh
+            cy, cx = y >> 2, x >> 2
+            spf = int(tabs.mvf_pf[cy, cx])
+            hyps = [lx for lx in (0, 1) if spf & (lx + 1)]
+            hf = 2 if affine else int(tabs.mvf_hpel[cy, cx])
+            if not hyps:
+                continue
+            slots = [
+                luma_put(lx, tabs.mvf_mv[lx, cy, cx],
+                         int(tabs.mvf_ref[lx, cy, cx]), x, y,
+                         affine and prof[lx], hf)
+                for lx in hyps]
+            entries.append((tag, 0, x, y, sbw, sbh, slots, wparams(0), lm))
+            if nc == 1:
+                continue
+            if affine:
+                # per 2x2 group (4:2:0): spec-averaged MV over the pair
+                if (sby & vs) or (sbx & hs):
+                    continue
+                cy2 = (y + vs * sbh) >> 2
+                cx2 = (x + hs * sbw) >> 2
+                for c in (1, 2):
+                    slots = []
+                    for lx in hyps:
+                        m = tabs.mvf_mv[lx, cy, cx].astype(np.int64) + \
+                            tabs.mvf_mv[lx, cy2, cx2]
+                        mvc = (m + 1 - (m >= 0)) >> 1
+                        slots.append(chroma_put(
+                            c, lx, mvc, int(tabs.mvf_ref[lx, cy, cx]),
+                            x >> hs, y >> vs,
+                            (sbw << hs) >> hs, (sbh << vs) >> vs))
+                    entries.append((tag, c, x >> hs, y >> vs,
+                                    (sbw << hs) >> hs, (sbh << vs) >> vs,
+                                    slots, wparams(c), False))
+            else:
+                for c in (1, 2):
+                    slots = [
+                        chroma_put(c, lx, tabs.mvf_mv[lx, cy, cx],
+                                   int(tabs.mvf_ref[lx, cy, cx]),
+                                   x >> hs, y >> vs, sbw >> hs, sbh >> vs)
+                        for lx in hyps]
+                    entries.append((tag, c, x >> hs, y >> vs, sbw >> hs,
+                                    sbh >> vs, slots, wparams(c), False))
+
+
 def frame_device_mc(native_jobs, sps, bd):
     """Whole-frame batched device MC for the regular (non-subblock) blocks
     of every native inter job, including explicit-weighted-prediction /
@@ -226,6 +372,7 @@ def frame_device_mc(native_jobs, sps, bd):
 
     put_buckets = {}      # key -> dict(plane, xs, ys, fx, fy, out slots)
     entries = []          # (tag, c, xc, yc, wc, hc, slots, wparams, lmcs)
+    prof_jobs = []        # (val_slot, ring_slot, dmx44, dmy44)
 
     def add_put(plane, xi, yi, fx, fy, w, h, is_luma, hf_idx, wrap):
         # bucket by actual frac class so fclass is uniform per launch
@@ -272,6 +419,13 @@ def frame_device_mc(native_jobs, sps, bd):
                                 slots, ("gpm", wgt),
                                 (flags2 & 1) and c == 0))
             continue
+        if flags2 & 12:
+            # affine (bit2) / subblock grid (bit3): expand per-subblock
+            # MVs from the frame's mvf/cp_mv tab grids
+            _expand_subblocks(
+                D[di], rpl, native_jobs, nc, hs, vs, add_put, entries,
+                prof_jobs)
+            continue
         hyps = [0] if pf == PF_L0 else [1] if pf == PF_L1 else [0, 1]
         for c in range(nc):
             chs, cvs = (0, 0) if c == 0 else (hs, vs)
@@ -307,6 +461,27 @@ def frame_device_mc(native_jobs, sps, bd):
             np.asarray(b["fy"], np.int32), b["w"], b["h"], b["is_luma"],
             bd, b["hf"], b["hf"], b["wrap"])
 
+    prof_out = {}
+    if prof_jobs:
+        # batched PROF refinement overrides the affine put slots
+        refined = np.asarray(_prof_apply_batch(
+            jnp.asarray(np.stack([vals[k][i] for (k, i), _, _, _
+                                  in prof_jobs])),
+            jnp.asarray(np.stack([vals[k][i] for _, (k, i), _, _
+                                  in prof_jobs])),
+            jnp.asarray(np.stack([dx for _, _, dx, _ in prof_jobs])),
+            jnp.asarray(np.stack([dy for _, _, _, dy in prof_jobs])),
+            int(bd)))
+        for j, (slot, _, _, _) in enumerate(prof_jobs):
+            prof_out[slot] = refined[j]
+
+    def val_of(slot):
+        out = prof_out.get(slot)
+        if out is not None:
+            return out
+        k, i = slot
+        return vals[k][i]
+
     # finals: batch uni/bi/weighted combines per (size, kind)
     finals = {}   # (w, h, kind) -> (s0, s1, wparams, writebacks)
     for tag, c, xc, yc, wc, hc, slots, wp, lm in entries:
@@ -315,19 +490,17 @@ def frame_device_mc(native_jobs, sps, bd):
               getattr(native_jobs[tag][0], "lmcs_fwd_np", None)
               if lm else None)
         if len(slots) == 1:
-            k, i = slots[0]
             kind = "uni_w" if wp else "uni"
             f = finals.setdefault((wc, hc, kind), ([], None, [], []))
-            f[0].append(vals[k][i])
+            f[0].append(val_of(slots[0]))
             f[2].append(wp)
             f[3].append(wb)
         else:
-            (k0, i0), (k1, i1) = slots
             kind = "gpm" if (isinstance(wp, tuple) and wp[0] == "gpm") \
                 else ("bi_w" if wp else "bi")
             f = finals.setdefault((wc, hc, kind), ([], [], [], []))
-            f[0].append(vals[k0][i0])
-            f[1].append(vals[k1][i1])
+            f[0].append(val_of(slots[0]))
+            f[1].append(val_of(slots[1]))
             f[2].append(wp)
             f[3].append(wb)
     for (wc, hc, kind), (s0, s1, wps, wbs) in finals.items():

@@ -163,3 +163,37 @@ def test_decoder_device_mc_gpm(seed):
     dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
         DecoderConfig(device_mc=True)).decode(s))
     assert host == dev
+
+
+AFFINE_SPS = dict(sps_affine_enabled_flag=1,
+                  sps_five_minus_max_num_subblock_merge_cand=0,
+                  sps_6param_affine_enabled_flag=1,
+                  sps_affine_prof_enabled_flag=1)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("affine_prof", dict(slice_type=0, nframes=3, width=96, height=96,
+                         seed=2, **AFFINE_SPS)),
+    ("sbtmvp", dict(slice_type=0, nframes=3, width=96, height=96, seed=5,
+                    sps_temporal_mvp_enabled_flag=1,
+                    sps_sbtmvp_enabled_flag=1, **AFFINE_SPS)),
+    ("affine_weighted", dict(slice_type=0, nframes=3, width=96, height=64,
+                             seed=6, bit_depth=10,
+                             sps_weighted_bipred_flag=1,
+                             pps_kw=dict(pps_weighted_bipred_flag=1),
+                             **AFFINE_SPS)),
+])
+def test_decoder_device_mc_affine(name, kw):
+    """Affine (+PROF) and SbTMVP subblock grids batch on device: per-
+    subblock puts from the mvf/cp_mv tab grids, PROF gradient refinement
+    as a batched kernel, spec-averaged chroma MVs per 2x2 group."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_inter_stream(deblock=True, **kw)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_mc=True)).decode(s))
+    assert host == dev
