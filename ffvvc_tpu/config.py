@@ -75,14 +75,12 @@ class DecoderConfig:
     # Device LMCS inverse mapping (ops/lmcs_device.py): whole-plane LUT
     # gather gated per CTB by the slice's sh_lmcs_used_flag.
     device_lmcs: bool = False
-    # Device inter MC (ops/mc_device.py): regular blocks, GPM blends,
-    # affine (+PROF) and SbTMVP subblock grids batch as device 8/4-tap
-    # puts + uni/bi/weighted finals, including explicit weighted
+    # Device inter MC (ops/mc_device.py): EVERY block shape batches on
+    # device — regular blocks, GPM blends, affine (+PROF) and SbTMVP
+    # subblock grids, and DMVR/BDOF (batched bilinear prefetch + 25-point
+    # SAD refine, box-clamped puts, per-4x4 BDOF solve, TMVP col-grid
+    # writeback) — with uni/bi/weighted finals incl. explicit weighted
     # prediction, BCW, LMCS forward mapping and horizontal wraparound.
-    # Only DMVR/BDOF blocks stay on the host C path (their refined MVs
-    # feed the same walk's chroma MC and TMVP grids mid-flight; the
-    # stencil math itself has validated device kernels in
-    # ops/inter_device.py).
     device_mc: bool = False
     # Device intra prediction (ops/intra_device.py): wavefront-batched
     # planar/DC/angular/MIP/CCLM prediction + residual add on device for

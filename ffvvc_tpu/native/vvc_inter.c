@@ -880,6 +880,34 @@ int inter_ctus_dev(const ReconParams *rp, const InterParams *ip, int n,
             int subblk = !affine && !gpm &&
                 !(flags & (IF_CIIP | IF_DMVR | IF_BDOF)) &&
                 (cu[CU_NSBX] > 1 || cu[CU_NSBY] > 1);
+            int dmvr_bdof = !affine && !gpm && !(flags & IF_CIIP) &&
+                (flags & (IF_DMVR | IF_BDOF)) != 0;
+            if (dmvr_bdof && nd < desc_cap) {
+                /* DMVR/BDOF descriptor (flags2 bits 6/7): the dispatch
+                 * runs the bilinear prefetch + 25-point SAD refine and
+                 * the per-subblock BDOF as batched device kernels, with
+                 * the refined MVs written back to the TMVP col grids.
+                 * DMVR/BDOF imply no WP/BCW weights. */
+                MvF f;
+                ip_get_mvf(ip, cu[CU_X0], cu[CU_Y0], &f);
+                int32_t *d = desc + (long)nd * 31;
+                d[0] = cu[CU_X0]; d[1] = cu[CU_Y0];
+                d[2] = cu[CU_W]; d[3] = cu[CU_H];
+                d[4] = f.pf | (cu[CU_NSBX] << 4) | (cu[CU_NSBY] << 10);
+                d[5] = f.ref[0]; d[6] = f.ref[1];
+                d[7] = f.mv[0][0]; d[8] = f.mv[0][1];
+                d[9] = f.mv[1][0]; d[10] = f.mv[1][1];
+                d[11] = f.hpel; d[12] = job_tag;
+                d[13] = (ip->lmcs_fwd ? 1 : 0) |
+                        ((flags & IF_DMVR) ? 64 : 0) |
+                        ((flags & IF_BDOF) ? 128 : 0);
+                d[14] = ip->wrap;
+                d[15] = 0;
+                for (int cc = 0; cc < 15; cc++)
+                    d[16 + cc] = 0;
+                nd++;
+                continue;
+            }
             int simple = !(flags & (IF_MERGE_GPM | IF_AFFINE | IF_CIIP |
                                     IF_DMVR | IF_BDOF)) &&
                 cu[CU_NSBX] == 1 && cu[CU_NSBY] == 1;

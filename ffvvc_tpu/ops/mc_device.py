@@ -9,16 +9,18 @@ clamped gather of the (h+taps-1, w+taps-1) windows, then separable taps as
 two small contractions.  Integer math only (int32), bit-exact vs the host
 golden (inter.py _mc_put), pinned by tests/test_device_mc.py.
 
-Decoder integration mirrors ops/itx.py's cost-based dispatch: regular
-blocks (incl. weighted pred / BCW / LMCS-forward / wraparound), GPM
-blends, affine (+PROF gradient refinement) and SbTMVP subblock grids
-all batch per frame — subblock MVs expand from the frame's mvf/cp_mv
-tab grids.  Only DMVR/BDOF blocks stay in the host C inter stage BY
-DESIGN — DMVR's refined MVs feed the same subblock's chroma MC and the
-TMVP grids mid-walk (SURVEY §7 hard parts: "keep it inside the inter
-stage kernel, as the reference does"); their fixed-size stencil math
-already has device kernels (ops/inter_device.py) validated
-checkasm-style for a future device-resident walk.
+Decoder integration mirrors ops/itx.py's cost-based dispatch, and
+covers EVERY block shape of the reference's SIMD (vvcdsp_init.c grid):
+regular blocks (incl. weighted pred / BCW / LMCS-forward / wraparound),
+GPM blends, affine (+PROF gradient refinement) and SbTMVP subblock
+grids — subblock MVs expand from the frame's mvf/cp_mv tab grids — and
+DMVR/BDOF, restructured TPU-first into frame-batched phases: phase A
+runs every DMVR subblock's bilinear prefetch + 25-point SAD refine as
+batched launches (ops/inter_device kernels), then the refined MVs feed
+box-clamped puts, batched per-4x4 BDOF solves and the TMVP col-grid
+writeback (the reference interleaves these per CTU inside the inter
+task, vvc_inter.c:642-760; hoisting the refine to a frame phase is what
+makes it batchable).
 """
 from __future__ import annotations
 
@@ -39,15 +41,18 @@ def _filter_banks():
 
 @functools.partial(jax.jit,
                    static_argnames=("w", "h", "is_luma", "bd", "fclass",
-                                    "wrap"))
-def _mc_put_batch(ref, xs, ys, hf, vf, w: int, h: int, is_luma: bool,
-                  bd: int, fclass: int, wrap: int = 0):
+                                    "wrap", "boxed"))
+def _mc_put_batch(ref, xs, ys, hf, vf, box, w: int, h: int, is_luma: bool,
+                  bd: int, fclass: int, wrap: int = 0,
+                  boxed: bool = False):
     """Batched put: ref [H, W] int32; xs/ys [B] block origins (integer-pel,
     already including mv>>4); hf/vf [B, taps] filter rows.  fclass selects
     the put variant (0: copy, 1: h only, 2: v only, 3: hv) — the
     put[..][!!my][!!mx] grid of vvcdsp.h:49.  wrap: horizontal wraparound
-    offset (spec 8.5.6.3.2 ClipH; 0 = clamp).  Returns [B, h, w] int32 in
-    the 14-bit intermediate domain."""
+    offset (spec 8.5.6.3.2 ClipH; 0 = clamp).  boxed: clamp sample
+    coordinates into per-block inclusive boxes box [B, 4] = (x0, x1, y0,
+    y1) — the DMVR prefetch-window emulation (native fetch()).  Returns
+    [B, h, w] int32 in the 14-bit intermediate domain."""
     H, W = ref.shape
     taps = 8 if is_luma else 4
     eb = 3 if is_luma else 1
@@ -57,8 +62,12 @@ def _mc_put_batch(ref, xs, ys, hf, vf, w: int, h: int, is_luma: bool,
         if wrap:
             gx = jnp.where(gx < 0, gx + wrap,
                            jnp.where(gx > W - 1, gx - wrap, gx))
+        gy = y0s[:, None] + jnp.arange(gh)[None, :]
+        if boxed:
+            gx = jnp.clip(gx, box[:, 0:1], box[:, 1:2])
+            gy = jnp.clip(gy, box[:, 2:3], box[:, 3:4])
         gx = jnp.clip(gx, 0, W - 1)
-        gy = jnp.clip(y0s[:, None] + jnp.arange(gh)[None, :], 0, H - 1)
+        gy = jnp.clip(gy, 0, H - 1)
         return ref[gy[:, :, None], gx[:, None, :]]   # [B, gh, gw]
 
     if fclass == 0:
@@ -144,6 +153,71 @@ def _affine_diff_mvs(cp, num_cp, w, h):
             np.clip(d1, -lim + 1, lim - 1).astype(np.int32))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("pw", "ph", "bd", "mclass", "wrap"))
+def _dmvr_bilin_batch(ref, xs, ys, fx, fy, pw: int, ph: int, bd: int,
+                      mclass: int, wrap: int):
+    """Batched DMVR bilinear prefetch to the 10-bit domain: xs/ys [B]
+    window origins (x0 + (mv>>4) - 2), fx/fy [B, 2] 2-tap rows per the
+    fractional phases.  mclass like fclass (0 copy, 1 h, 2 v, 3 hv).
+    Mirrors native dmvr_bilinear."""
+    H, W = ref.shape
+
+    def gather(gw, gh):
+        gx = xs[:, None] + jnp.arange(gw)[None, :]
+        if wrap:
+            gx = jnp.where(gx < 0, gx + wrap,
+                           jnp.where(gx > W - 1, gx - wrap, gx))
+        gx = jnp.clip(gx, 0, W - 1)
+        gy = jnp.clip(ys[:, None] + jnp.arange(gh)[None, :], 0, H - 1)
+        return ref[gy[:, :, None], gx[:, None, :]]
+
+    if mclass == 0:
+        v = gather(pw, ph)
+        if bd > 10:
+            return (v + (1 << (bd - 11))) >> (bd - 10)
+        return v << (10 - bd)
+    shift1 = bd - 6
+    off1 = 1 << (shift1 - 1)
+    f0x, f1x = fx[:, 0, None, None], fx[:, 1, None, None]
+    f0y, f1y = fy[:, 0, None, None], fy[:, 1, None, None]
+    if mclass == 1:
+        src = gather(pw + 1, ph)
+        return (f0x * src[:, :, :pw] + f1x * src[:, :, 1:] + off1) >> shift1
+    if mclass == 2:
+        src = gather(pw, ph + 1)
+        return (f0y * src[:, :ph] + f1y * src[:, 1:] + off1) >> shift1
+    src = gather(pw + 1, ph + 1)
+    tmp = (f0x * src[:, :, :pw] + f1x * src[:, :, 1:] + off1) >> shift1
+    return (f0y * tmp[:, :ph] + f1y * tmp[:, 1:] + 8) >> 4
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "bd"))
+def _bdof_full_batch(s0, s1, r0, r1, w: int, h: int, bd: int):
+    """BDOF finals: puts s0/s1 [B, h, w] placed into their integer rings
+    r0/r1 [B, h+2, w+2] (bdof_fetch layout), then the per-4x4 vx/vy
+    solve + apply (ops/inter_device._bdof)."""
+    from .inter_device import _bdof
+    return _bdof(r0.at[:, 1:1 + h, 1:1 + w].set(s0),
+                 r1.at[:, 1:1 + h, 1:1 + w].set(s1), w, h, bd)
+
+
+def _dmvr_box(x_sb, y_sb, w, h, is_luma, pw, ph):
+    """Native dmvr_box: the inclusive prefetch-window clamp bounds."""
+    eb, ea = (3, 4) if is_luma else (1, 2)
+    sx = min(max(x_sb - eb, 0), pw - 1)
+    sy = min(max(y_sb - eb, 0), ph - 1)
+    wdt = max(min(pw, x_sb + w + ea) - sx, 1)
+    hgt = max(min(ph, y_sb + h + ea) - sy, 1)
+    return (sx, sx + wdt - 1, sy, sy + hgt - 1)
+
+
+@functools.lru_cache()
+def _dmvr_filters():
+    from . import data as D
+    return np.asarray(D.tables()["luma_dmvr_filters"], np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("bd",))
 def _mc_gpm_batch(s0, s1, wgt, bd: int):
     """GPM two-hypothesis blend: wgt [B, h, w] in 0..8 (host-sliced from
@@ -212,12 +286,13 @@ def _mc_uni_w_batch(val, denom, wx, ox, bd: int):
 
 
 def mc_put_batch(ref_plane, xs, ys, frac_x, frac_y, w, h, is_luma, bd,
-                 hf_idx=0, vf_idx=0, wrap=0):
+                 hf_idx=0, vf_idx=0, wrap=0, box=None):
     """Host-facing batched put for one (w, h, frac-class) bucket.
 
     ref_plane: np.int32 [H, W]; xs/ys/frac_x/frac_y: np arrays [B].
     All blocks in a call share bool(frac_x) / bool(frac_y) (the caller
     buckets by frac-class); per-block fractional phases may differ.
+    box: optional [B, 4] inclusive clamp boxes (DMVR prefetch windows).
     Returns np.int32 [B, h, w] (14-bit domain)."""
     lf, cf = _filter_banks()
     bank = lf[hf_idx] if is_luma else cf[hf_idx]
@@ -225,9 +300,14 @@ def mc_put_batch(ref_plane, xs, ys, frac_x, frac_y, w, h, is_luma, bd,
     fclass = (1 if frac_x.any() else 0) | (2 if frac_y.any() else 0)
     hf = bank[jnp.asarray(frac_x)]
     vf = bankv[jnp.asarray(frac_y)]
+    boxed = box is not None
+    if not boxed:
+        box = np.zeros((len(xs), 4), np.int32)
     out = _mc_put_batch(jnp.asarray(ref_plane), jnp.asarray(xs),
-                        jnp.asarray(ys), hf, vf, int(w), int(h),
-                        bool(is_luma), int(bd), int(fclass), int(wrap))
+                        jnp.asarray(ys), hf, vf,
+                        jnp.asarray(np.asarray(box, np.int32)),
+                        int(w), int(h), bool(is_luma), int(bd),
+                        int(fclass), int(wrap), boxed)
     return np.asarray(out)
 
 
@@ -243,6 +323,157 @@ def mc_uni_batch(val, bd):
 # ---- decoder-side batched dispatch (ops/itx.py cost-dispatch analogue) -----
 
 PF_L0, PF_L1, PF_BI = 1, 2, 3
+
+
+def _dmvr_phase(D, rpls, bd):
+    """Phase A of DMVR descriptors: batched bilinear prefetch pairs +
+    25-point SAD refinement (ops/inter_device.dmvr_refine_batch).
+    Returns {(di, sby, sbx): (mv0, mv1, skip_bdof)} with the refined,
+    +/-clipped subblock MVs (native dmvr_refine)."""
+    from .inter_device import dmvr_refine_batch
+    dfilt = _dmvr_filters()
+    buckets = {}        # (id(plane), pw, ph, mclass, wrap) -> lists
+    slots = {}          # (di, sby, sbx, hyp) -> (bkey, idx)
+    subs = []           # (di, sby, sbx, sbw, sbh, mvs)
+    for di in np.nonzero((D[:, 13] & 64) != 0)[0]:
+        di = int(di)
+        x0, y0, w, h = (int(v) for v in D[di, :4])
+        packed = int(D[di, 4])
+        wrap = int(D[di, 14])
+        nsbx, nsby = (packed >> 4) & 63, (packed >> 10) & 63
+        sbw, sbh = w // nsbx, h // nsby
+        rpl = rpls[int(D[di, 12])]
+        refs = (int(D[di, 5]), int(D[di, 6]))
+        mvs = ((int(D[di, 7]), int(D[di, 8])),
+               (int(D[di, 9]), int(D[di, 10])))
+        for sby in range(nsby):
+            for sbx in range(nsbx):
+                x = x0 + sbx * sbw
+                y = y0 + sby * sbh
+                subs.append((di, sby, sbx, sbw, sbh, mvs))
+                for i in range(2):
+                    plane = rpl[i].frames[refs[i]].buffer.planes[0]
+                    mvx, mvy = mvs[i]
+                    mx, my = mvx & 15, mvy & 15
+                    key = (id(plane), sbw + 4, sbh + 4,
+                           (1 if mx else 0) | (2 if my else 0), wrap)
+                    b = buckets.get(key)
+                    if b is None:
+                        b = buckets[key] = {"plane": plane, "xs": [],
+                                            "ys": [], "fx": [], "fy": []}
+                    b["xs"].append(x + (mvx >> 4) - 2)
+                    b["ys"].append(y + (mvy >> 4) - 2)
+                    b["fx"].append(dfilt[mx])
+                    b["fy"].append(dfilt[my])
+                    slots[(di, sby, sbx, i)] = (key, len(b["xs"]) - 1)
+    vals = {}
+    for key, b in buckets.items():
+        _pid, pw, ph, mclass, wrap = key
+        vals[key] = np.asarray(_dmvr_bilin_batch(
+            jnp.asarray(b["plane"]), jnp.asarray(b["xs"]),
+            jnp.asarray(b["ys"]), jnp.asarray(np.stack(b["fx"])),
+            jnp.asarray(np.stack(b["fy"])), pw, ph, int(bd), mclass,
+            wrap))
+    out = {}
+    by_size = {}
+    for di, sby, sbx, sbw, sbh, mvs in subs:
+        by_size.setdefault((sbw, sbh), []).append((di, sby, sbx, mvs))
+    for (sbw, sbh), items in by_size.items():
+        t0 = np.stack([vals[slots[(di, sby, sbx, 0)][0]]
+                       [slots[(di, sby, sbx, 0)][1]]
+                       for di, sby, sbx, _ in items])
+        t1 = np.stack([vals[slots[(di, sby, sbx, 1)][0]]
+                       [slots[(di, sby, sbx, 1)][1]]
+                       for di, sby, sbx, _ in items])
+        dmv, skip = dmvr_refine_batch(t0, t1, sbw, sbh)
+        lim = 1 << 17
+        for j, (di, sby, sbx, mvs) in enumerate(items):
+            dx, dy = int(dmv[j, 0]), int(dmv[j, 1])
+            if dx or dy:
+                mv0 = (min(max(mvs[0][0] + dx, -lim), lim - 1),
+                       min(max(mvs[0][1] + dy, -lim), lim - 1))
+                mv1 = (min(max(mvs[1][0] - dx, -lim), lim - 1),
+                       min(max(mvs[1][1] - dy, -lim), lim - 1))
+            else:
+                mv0, mv1 = mvs
+            out[(di, sby, sbx)] = (mv0, mv1, bool(skip[j]))
+    return out
+
+
+def _expand_dmvr_bdof(d, di, rpl, native_jobs, nc, hs, vs, add_put,
+                      entries, refined, pic_w, pic_h):
+    """Expand a DMVR/BDOF descriptor: per-subblock box-clamped puts with
+    the refined MVs (native luma_bi/chroma_bi has_box path), BDOF ring
+    gathers where the per-subblock gate holds, plain-average finals
+    (DMVR/BDOF imply no weights), and the refined-MV writeback to the
+    TMVP col grids (native set_dmvr_info)."""
+    (x0, y0, w, h, packed, r0_, r1_, mx0, my0, mx1, my1, hpel, tag,
+     flags2, wrap, _wm) = (int(v) for v in d[:16])
+    dmvr = bool(flags2 & 64)
+    bdof = bool(flags2 & 128)
+    nsbx, nsby = (packed >> 4) & 63, (packed >> 10) & 63
+    sbw, sbh = w // nsbx, h // nsby
+    refs = (r0_, r1_)
+    orig = ((mx0, my0), (mx1, my1))
+    lm = bool(flags2 & 1)
+    nr = native_jobs[tag][0]
+    tabs = nr.tabs
+    for sby in range(nsby):
+        for sbx in range(nsbx):
+            x = x0 + sbx * sbw
+            y = y0 + sby * sbh
+            if dmvr:
+                mv0, mv1, skip = refined[(di, sby, sbx)]
+                sb_bdof = bdof and not skip
+                # set_dmvr_info: refined MVs -> TMVP col grids
+                ya, xa = y >> 2, x >> 2
+                y1, x1 = (y + sbh) >> 2, (x + sbw) >> 2
+                tabs.col_pf[ya:y1, xa:x1] = 3            # PF_BI
+                for lx, mv in ((0, mv0), (1, mv1)):
+                    tabs.col_mv[lx, ya:y1, xa:x1] = mv
+                    tabs.col_ref[lx, ya:y1, xa:x1] = refs[lx]
+            else:
+                mv0, mv1, sb_bdof = orig[0], orig[1], bdof
+            mvs = (mv0, mv1)
+            slots = []
+            rings = []
+            for i in range(2):
+                ref = rpl[i].frames[refs[i]].buffer.planes[0]
+                mvx, mvy = mvs[i]
+                fx, fy = mvx & 15, mvy & 15
+                xi, yi = x + (mvx >> 4), y + (mvy >> 4)
+                box = _dmvr_box(x + (orig[i][0] >> 4),
+                                y + (orig[i][1] >> 4), sbw, sbh, True,
+                                pic_w, pic_h) if dmvr else None
+                slots.append(add_put(ref, xi, yi, fx, fy, sbw, sbh, True,
+                                     hpel, wrap, box))
+                if sb_bdof:
+                    rings.append(add_put(
+                        ref, xi + (fx >> 3) - 1, yi + (fy >> 3) - 1, 0, 0,
+                        sbw + 2, sbh + 2, True, 0, wrap, box))
+            wp = ("bdof", rings[0], rings[1]) if sb_bdof else None
+            entries.append((tag, 0, x, y, sbw, sbh, slots, wp, lm))
+            if nc == 1:
+                continue
+            for c in (1, 2):
+                cslots = []
+                for i in range(2):
+                    ref = rpl[i].frames[refs[i]].buffer.planes[c]
+                    mvx, mvy = mvs[i]
+                    cfx = (mvx & ((1 << (4 + hs)) - 1)) << (1 - hs)
+                    cfy = (mvy & ((1 << (4 + vs)) - 1)) << (1 - vs)
+                    xi = (x >> hs) + (mvx >> (4 + hs))
+                    yi = (y >> vs) + (mvy >> (4 + vs))
+                    box = _dmvr_box(
+                        (x >> hs) + (orig[i][0] >> (4 + hs)),
+                        (y >> vs) + (orig[i][1] >> (4 + vs)),
+                        sbw >> hs, sbh >> vs, False,
+                        pic_w >> hs, pic_h >> vs) if dmvr else None
+                    cslots.append(add_put(ref, xi, yi, cfx, cfy,
+                                          sbw >> hs, sbh >> vs, False, 0,
+                                          wrap >> hs, box))
+                entries.append((tag, c, x >> hs, y >> vs, sbw >> hs,
+                                sbh >> vs, cslots, None, False))
 
 
 def _expand_subblocks(d, rpl, native_jobs, nc, hs, vs, add_put, entries,
@@ -373,20 +604,28 @@ def frame_device_mc(native_jobs, sps, bd):
     put_buckets = {}      # key -> dict(plane, xs, ys, fx, fy, out slots)
     entries = []          # (tag, c, xc, yc, wc, hc, slots, wparams, lmcs)
     prof_jobs = []        # (val_slot, ring_slot, dmx44, dmy44)
+    pic_h, pic_w = native_jobs[0][0].fb.planes[0].shape
+    dmvr_refined = _dmvr_phase(D, rpls, bd) \
+        if ((D[:, 13] & 64) != 0).any() else {}
 
-    def add_put(plane, xi, yi, fx, fy, w, h, is_luma, hf_idx, wrap):
+    def add_put(plane, xi, yi, fx, fy, w, h, is_luma, hf_idx, wrap,
+                box=None):
         # bucket by actual frac class so fclass is uniform per launch
-        key = (id(plane), w, h, is_luma, hf_idx, bool(fx), bool(fy), wrap)
+        key = (id(plane), w, h, is_luma, hf_idx, bool(fx), bool(fy), wrap,
+               box is not None)
         b = put_buckets.get(key)
         if b is None:
             b = put_buckets[key] = {"plane": plane, "xs": [], "ys": [],
                                     "fx": [], "fy": [], "w": w, "h": h,
                                     "is_luma": is_luma, "hf": hf_idx,
-                                    "wrap": wrap}
+                                    "wrap": wrap,
+                                    "box": [] if box is not None else None}
         b["xs"].append(xi)
         b["ys"].append(yi)
         b["fx"].append(fx)
         b["fy"].append(fy)
+        if box is not None:
+            b["box"].append(box)
         return (key, len(b["xs"]) - 1)
 
     for di in range(len(D)):
@@ -426,6 +665,13 @@ def frame_device_mc(native_jobs, sps, bd):
                 D[di], rpl, native_jobs, nc, hs, vs, add_put, entries,
                 prof_jobs)
             continue
+        if flags2 & 192:
+            # DMVR (bit6) / BDOF (bit7): refined MVs from phase A,
+            # box-clamped puts + BDOF rings, col-grid writeback
+            _expand_dmvr_bdof(
+                D[di], di, rpl, native_jobs, nc, hs, vs, add_put,
+                entries, dmvr_refined, pic_w, pic_h)
+            continue
         hyps = [0] if pf == PF_L0 else [1] if pf == PF_L1 else [0, 1]
         for c in range(nc):
             chs, cvs = (0, 0) if c == 0 else (hs, vs)
@@ -459,7 +705,7 @@ def frame_device_mc(native_jobs, sps, bd):
             b["plane"], np.asarray(b["xs"], np.int32),
             np.asarray(b["ys"], np.int32), np.asarray(b["fx"], np.int32),
             np.asarray(b["fy"], np.int32), b["w"], b["h"], b["is_luma"],
-            bd, b["hf"], b["hf"], b["wrap"])
+            bd, b["hf"], b["hf"], b["wrap"], b["box"])
 
     prof_out = {}
     if prof_jobs:
@@ -496,8 +742,10 @@ def frame_device_mc(native_jobs, sps, bd):
             f[2].append(wp)
             f[3].append(wb)
         else:
-            kind = "gpm" if (isinstance(wp, tuple) and wp[0] == "gpm") \
-                else ("bi_w" if wp else "bi")
+            if isinstance(wp, tuple) and wp[0] in ("gpm", "bdof"):
+                kind = wp[0]
+            else:
+                kind = "bi_w" if wp else "bi"
             f = finals.setdefault((wc, hc, kind), ([], [], [], []))
             f[0].append(val_of(slots[0]))
             f[1].append(val_of(slots[1]))
@@ -512,6 +760,12 @@ def frame_device_mc(native_jobs, sps, bd):
             out = np.asarray(_mc_gpm_batch(
                 jnp.asarray(np.stack(s0)), jnp.asarray(np.stack(s1)),
                 jnp.asarray(np.stack([wgt for _, wgt in wps])), int(bd)))
+        elif kind == "bdof":
+            out = np.asarray(_bdof_full_batch(
+                jnp.asarray(np.stack(s0)), jnp.asarray(np.stack(s1)),
+                jnp.asarray(np.stack([val_of(r0) for _, r0, _ in wps])),
+                jnp.asarray(np.stack([val_of(r1) for _, _, r1 in wps])),
+                wc, hc, int(bd)))
         elif kind == "bi_w":
             wa = np.asarray(wps, np.int32)
             out = np.asarray(_mc_w_avg_batch(

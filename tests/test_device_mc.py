@@ -94,8 +94,9 @@ def test_decoder_device_mc(kw):
 
 
 def test_decoder_device_mc_dmvr_bdof():
-    """DMVR/BDOF blocks must stay host-side and TMVP collocated grids must
-    survive the split (multi-frame hier GOP)."""
+    """DMVR refinement (batched bilinear prefetch + SAD search) and BDOF
+    run on device, with the refined MVs written back to the TMVP col
+    grids — the multi-frame hier GOP catches any writeback divergence."""
     import sys as _s, os as _o
     _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
     from forge import forge_hier_stream
