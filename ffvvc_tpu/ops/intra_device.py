@@ -495,9 +495,8 @@ def _finish(pix, res, pred, xs, ys, w, h, W, mx):
     return pix.at[idx.reshape(-1)].set(out.astype(jnp.int32).reshape(-1))
 
 
-@functools.partial(jax.jit, static_argnames=("w", "h", "W", "bd"))
-def k_simple(pix, res, Lidx, Tidx, fmL, fmT, xs, ys, sel, pdpc,
-             w: int, h: int, W: int, bd: int):
+def _simple_impl(pix, res, Lidx, Tidx, fmL, fmT, xs, ys, sel, pdpc,
+                 w: int, h: int, W: int, bd: int):
     """planar / DC / vertical / horizontal (+ PDPC), per-block select."""
     mid = 1 << (bd - 1)
     mx = (1 << bd) - 1
@@ -550,11 +549,10 @@ def k_simple(pix, res, Lidx, Tidx, fmL, fmT, xs, ys, sel, pdpc,
     return _finish(pix, res, out, xs, ys, w, h, W, mx)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("w", "h", "W", "bd", "is_h", "is_luma"))
-def k_angular(pix, res, Lidx, Tidx, fmL, fmT, projL, projT, xs, ys,
-              angle, inv_angle, ref_idx, ff, pdpc, nscale,
-              w: int, h: int, W: int, bd: int, is_h: bool, is_luma: bool):
+def _angular_impl(pix, res, Lidx, Tidx, fmL, fmT, projL, projT, xs, ys,
+                  angle, inv_angle, ref_idx, ff, pdpc, nscale,
+                  w: int, h: int, W: int, bd: int, is_h: bool,
+                  is_luma: bool):
     """Angular prediction (4-tap luma / 2-tap chroma) + angular PDPC."""
     mid = 1 << (bd - 1)
     mx = (1 << bd) - 1
@@ -621,10 +619,8 @@ def k_angular(pix, res, Lidx, Tidx, fmL, fmT, projL, projT, xs, ys,
     return _finish(pix, res, out, xs, ys, w, h, W, mx)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("w", "h", "W", "bd", "size_id"))
-def k_mip(pix, res, Lidx, Tidx, fmL, fmT, xs, ys, mode_id, transposed,
-          w: int, h: int, W: int, bd: int, size_id: int):
+def _mip_impl(pix, res, Lidx, Tidx, fmL, fmT, xs, ys, mode_id, transposed,
+              w: int, h: int, W: int, bd: int, size_id: int):
     """Matrix intra prediction: batched matmul + linear upsampling."""
     mid = 1 << (bd - 1)
     mx = (1 << bd) - 1
@@ -803,6 +799,48 @@ def k_cclm(luma, chroma, resc, selY_idx, selY_w, selY_add, selY_sh,
     return out
 
 
+k_simple = functools.partial(
+    jax.jit, static_argnames=("w", "h", "W", "bd"))(_simple_impl)
+k_angular = functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "W", "bd", "is_h", "is_luma"))(_angular_impl)
+k_mip = functools.partial(
+    jax.jit, static_argnames=("w", "h", "W", "bd", "size_id"))(_mip_impl)
+
+
+# Packed-argument forms: the frame driver uploads ONE index pack
+# [B, k, NREF] int64, ONE filter-mask pack [B, 2, NREF] int8 and ONE
+# scalar pack [B, n] int32 per launch instead of 10-14 small device_puts
+# (the dominant dispatch cost at 1080p: ~12 puts x thousands of wave
+# buckets).  Unpacking happens inside jit, i.e. on device, for free.
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "W", "bd"))
+def k_simple_p(pix, res, idxp, fmp, sc, w, h, W, bd):
+    return _simple_impl(pix, res, idxp[:, 0], idxp[:, 1],
+                        fmp[:, 0] != 0, fmp[:, 1] != 0,
+                        sc[:, 0], sc[:, 1], sc[:, 2], sc[:, 3],
+                        w, h, W, bd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "h", "W", "bd", "is_h", "is_luma"))
+def k_angular_p(pix, res, idxp, fmp, sc, w, h, W, bd, is_h, is_luma):
+    return _angular_impl(pix, res, idxp[:, 0], idxp[:, 1],
+                         fmp[:, 0] != 0, fmp[:, 1] != 0,
+                         idxp[:, 2], idxp[:, 3],
+                         sc[:, 0], sc[:, 1], sc[:, 2], sc[:, 3], sc[:, 4],
+                         sc[:, 5], sc[:, 6], sc[:, 7], w, h, W, bd,
+                         is_h, is_luma)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "W", "bd", "size_id"))
+def k_mip_p(pix, res, idxp, fmp, sc, w, h, W, bd, size_id):
+    return _mip_impl(pix, res, idxp[:, 0], idxp[:, 1],
+                     fmp[:, 0] != 0, fmp[:, 1] != 0,
+                     sc[:, 0], sc[:, 1], sc[:, 2], sc[:, 3],
+                     w, h, W, bd, size_id)
+
+
 # ===================== frame driver =======================================
 
 def _pad(n):
@@ -901,38 +939,39 @@ def frame_device_intra(recon_jobs, sps, pps, tabs, fb):
             pix = luma if is_luma else chroma
             rs_ = resl if is_luma else resc
             Wp = W if is_luma else Wc
-            Li = jnp.asarray(_stackpad([u.Lidx for u in us], B))
-            Ti = jnp.asarray(_stackpad([u.Tidx for u in us], B))
-            fL = jnp.asarray(_stackpad([u.fmL for u in us], B))
-            fT = jnp.asarray(_stackpad([u.fmT for u in us], B))
             if not is_luma:
                 # fold the Cb/Cr plane offset of the [2, Hc, Wc] stack into
                 # ys: flat = plane_sel*Hc*Wc + y*Wc + x = (plane_sel*Hc+y)*Wc+x
                 Hc = (chroma.shape[0] // 2) // Wp
                 ys = ys + _stackpad(
                     [i32(u.plane_sel * Hc) for u in us], B)
-            jxs, jys = jnp.asarray(xs), jnp.asarray(ys)
+            fmp = jnp.asarray(_stackpad(
+                [np.stack([u.fmL, u.fmT]).astype(np.int8) for u in us], B))
             if kind == K_SIMPLE:
-                out = k_simple(
-                    pix, rs_, Li, Ti, fL, fT, jxs, jys,
-                    jnp.asarray(_stackpad([i32(u.sel) for u in us], B)),
-                    jnp.asarray(_stackpad([i32(u.pdpc) for u in us], B)),
-                    int(w), int(h), int(Wp), int(bd))
+                idxp = jnp.asarray(_stackpad(
+                    [np.stack([u.Lidx, u.Tidx]) for u in us], B))
+                sc = np.zeros((B, 4), i32)
+                sc[:, 0] = xs
+                sc[:, 1] = ys
+                sc[:len(us), 2] = [u.sel for u in us]
+                sc[:len(us), 3] = [u.pdpc for u in us]
+                sc[len(us):, 2:] = sc[0, 2:]   # pad rows re-run unit 0
+                out = k_simple_p(pix, rs_, idxp, fmp, jnp.asarray(sc),
+                                 int(w), int(h), int(Wp), int(bd))
             elif kind in (K_ANG_V, K_ANG_H):
-                out = k_angular(
-                    pix, rs_, Li, Ti, fL, fT,
-                    jnp.asarray(_stackpad([u.projL for u in us], B)),
-                    jnp.asarray(_stackpad([u.projT for u in us], B)),
-                    jxs, jys,
-                    jnp.asarray(_stackpad([i32(u.angle) for u in us], B)),
-                    jnp.asarray(_stackpad(
-                        [i32(u.inv_angle) for u in us], B)),
-                    jnp.asarray(_stackpad([i32(u.ref_idx) for u in us], B)),
-                    jnp.asarray(_stackpad([i32(u.ff) for u in us], B)),
-                    jnp.asarray(_stackpad([i32(u.pdpc) for u in us], B)),
-                    jnp.asarray(_stackpad([i32(u.nscale) for u in us], B)),
-                    int(w), int(h), int(Wp), int(bd),
-                    kind == K_ANG_H, bool(is_luma))
+                idxp = jnp.asarray(_stackpad(
+                    [np.stack([u.Lidx, u.Tidx, u.projL, u.projT])
+                     for u in us], B))
+                sc = np.zeros((B, 8), i32)
+                sc[:, 0] = xs
+                sc[:, 1] = ys
+                for j, u in enumerate(us):
+                    sc[j, 2:] = (u.angle, u.inv_angle, u.ref_idx, u.ff,
+                                 u.pdpc, u.nscale)
+                sc[len(us):, 2:] = sc[0, 2:]
+                out = k_angular_p(pix, rs_, idxp, fmp, jnp.asarray(sc),
+                                  int(w), int(h), int(Wp), int(bd),
+                                  kind == K_ANG_H, bool(is_luma))
             else:   # K_MIP
                 if w == 4 and h == 4:
                     size_id = 0
@@ -940,12 +979,16 @@ def frame_device_intra(recon_jobs, sps, pps, tabs, fb):
                     size_id = 1
                 else:
                     size_id = 2
-                out = k_mip(
-                    pix, rs_, Li, Ti, fL, fT, jxs, jys,
-                    jnp.asarray(_stackpad(
-                        [i32(u.mip_mode) for u in us], B)),
-                    jnp.asarray(_stackpad([i32(u.mip_t) for u in us], B)),
-                    int(w), int(h), int(Wp), int(bd), size_id)
+                idxp = jnp.asarray(_stackpad(
+                    [np.stack([u.Lidx, u.Tidx]) for u in us], B))
+                sc = np.zeros((B, 4), i32)
+                sc[:, 0] = xs
+                sc[:, 1] = ys
+                sc[:len(us), 2] = [u.mip_mode for u in us]
+                sc[:len(us), 3] = [u.mip_t for u in us]
+                sc[len(us):, 2:] = sc[0, 2:]   # pad rows re-run unit 0
+                out = k_mip_p(pix, rs_, idxp, fmp, jnp.asarray(sc),
+                              int(w), int(h), int(Wp), int(bd), size_id)
             if is_luma:
                 luma = out
             else:
