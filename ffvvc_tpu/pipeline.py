@@ -97,11 +97,17 @@ def segment_stream(data: bytes):
 
 
 def _decode_segment(args):
-    idx, blob, config = args
+    idx, blob, config, oversub = args
     # workers stay off the device: host itx only (no XLA calls after fork)
     os.environ["FFVVC_ITX"] = "host"
     import dataclasses
-    config = dataclasses.replace(config, stage_threads=1)
+    # when the worker pool already saturates the cores, in-worker frame
+    # pipelining only oversubscribes (2 threads per worker; measured ~14%
+    # slower on the RA bench at workers == cores) — keep it for the
+    # many-core case where each worker owns >1 core
+    config = dataclasses.replace(
+        config, stage_threads=1,
+        pipeline_frames=config.pipeline_frames and not oversub)
     from .decoder import VVCDecoder
     frames = VVCDecoder(config).decode(blob)
     # ship pixels via tmpfs, not the pool result pipe: a 1080p10 frame is
@@ -157,9 +163,11 @@ def decode_parallel(data: bytes, workers: int = None,
             out.append(f.to_yuv_bytes())
             f.recycle()
         return out
-    jobs = [(i, prefix + seg, config)
+    n_workers = min(workers, len(segments))
+    oversub = n_workers * 2 > (os.cpu_count() or 1)
+    jobs = [(i, prefix + seg, config, oversub)
             for i, (prefix, seg) in enumerate(segments)]
-    pool = _get_pool(min(workers, len(jobs)))
+    pool = _get_pool(n_workers)
     results = pool.map(_decode_segment, jobs, chunksize=1)
     out = []
     for _idx, res in sorted(results):
