@@ -695,11 +695,9 @@ def _bitlen(v, nbits=20):
         .sum(1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("w", "h", "Wl", "Wc", "bd", "variant"))
-def k_cclm(luma, chroma, resc, selY_idx, selY_w, selY_add, selY_sh,
-           selC_idx, noneigh, xm1, xc, r0, rt, xs, ys,
-           w: int, h: int, Wl: int, Wc: int, bd: int, variant: int):
+def _cclm_impl(luma, chroma, resc, selY_idx, selY_w, selY_add, selY_sh,
+               selC_idx, noneigh, xm1, xc, r0, rt, xs, ys,
+               w: int, h: int, Wl: int, Wc: int, bd: int, variant: int):
     """CCLM: on-device linear-model derivation + collocated-luma
     downsample + prediction for both chroma components.
 
@@ -801,6 +799,26 @@ def k_cclm(luma, chroma, resc, selY_idx, selY_w, selY_add, selY_sh,
 
 k_simple = functools.partial(
     jax.jit, static_argnames=("w", "h", "W", "bd"))(_simple_impl)
+k_cclm = functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "Wl", "Wc", "bd", "variant"))(_cclm_impl)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "h", "Wl", "Wc", "bd", "variant"))
+def k_cclm_p(luma, chroma, resc, blob, w, h, Wl, Wc, bd, variant):
+    """Packed CCLM launch: ONE int64 blob [B, 67 + 2w + 2h] holding
+    selY_idx(24) selY_w(24) selY_add(4) selY_sh(4) selC_idx(8)
+    noneigh xs ys | xm1(w) xc(w) | r0(h) rt(h)."""
+    B = blob.shape[0]
+    return _cclm_impl(
+        luma, chroma, resc,
+        blob[:, 0:24].reshape(B, 4, 6), blob[:, 24:48].reshape(B, 4, 6),
+        blob[:, 48:52], blob[:, 52:56], blob[:, 56:64].reshape(B, 2, 4),
+        blob[:, 64], blob[:, 67:67 + w], blob[:, 67 + w:67 + 2 * w],
+        blob[:, 67 + 2 * w:67 + 2 * w + h],
+        blob[:, 67 + 2 * w + h:67 + 2 * w + 2 * h],
+        blob[:, 65], blob[:, 66], w, h, Wl, Wc, bd, variant)
 k_angular = functools.partial(
     jax.jit,
     static_argnames=("w", "h", "W", "bd", "is_h", "is_luma"))(_angular_impl)
@@ -918,21 +936,23 @@ def frame_device_intra(recon_jobs, sps, pps, tabs, fb):
             xs = _stackpad([np.int32(u.x) for u in us], B)
             ys = _stackpad([np.int32(u.y) for u in us], B)
             if kind == K_CCLM:
-                c = [u.cclm for u in us]
-                chroma = k_cclm(
-                    luma, chroma, resc,
-                    jnp.asarray(_stackpad([p["selY_idx"] for p in c], B)),
-                    jnp.asarray(_stackpad([p["selY_w"] for p in c], B)),
-                    jnp.asarray(_stackpad([p["selY_add"] for p in c], B)),
-                    jnp.asarray(_stackpad([p["selY_sh"] for p in c], B)),
-                    jnp.asarray(_stackpad([p["selC_idx"] for p in c], B)),
-                    jnp.asarray(_stackpad(
-                        [np.int32(p["noneigh"]) for p in c], B)),
-                    jnp.asarray(_stackpad([p["xm1"] for p in c], B)),
-                    jnp.asarray(_stackpad([p["xc"] for p in c], B)),
-                    jnp.asarray(_stackpad([p["r0"] for p in c], B)),
-                    jnp.asarray(_stackpad([p["rt"] for p in c], B)),
-                    jnp.asarray(xs), jnp.asarray(ys),
+                def cclm_row(u, x, y):
+                    p = u.cclm
+                    return np.concatenate([
+                        p["selY_idx"].reshape(-1), p["selY_w"].reshape(-1),
+                        p["selY_add"], p["selY_sh"],
+                        p["selC_idx"].reshape(-1),
+                        np.array([p["noneigh"], x, y], np.int64),
+                        p["xm1"].astype(np.int64),
+                        p["xc"].astype(np.int64),
+                        p["r0"].astype(np.int64),
+                        p["rt"].astype(np.int64)])
+                blob = _stackpad(
+                    [cclm_row(u, x, y)
+                     for u, x, y in zip(us, xs[:len(us)], ys[:len(us)])],
+                    B)
+                chroma = k_cclm_p(
+                    luma, chroma, resc, jnp.asarray(blob),
                     int(w), int(h), int(W), int(Wc), int(bd), int(variant))
                 continue
             is_luma = aux
