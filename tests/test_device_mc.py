@@ -198,3 +198,21 @@ def test_decoder_device_mc_affine(name, kw):
     dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
         DecoderConfig(device_mc=True)).decode(s))
     assert host == dev
+
+
+def test_decoder_device_mc_dmvr_12bit():
+    """DMVR bilinear prefetch rounding differs above 10-bit ((v+off) >>
+    (bd-10) instead of << (10-bd)): pin the 12-bit device path."""
+    import sys as _s, os as _o
+    _s.path.insert(0, _o.path.join(_o.path.dirname(__file__), "..", "tools"))
+    from forge import forge_hier_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    s = forge_hier_stream(seed=2, width=96, height=64, ngops=2,
+                          deblock=True, bit_depth=12,
+                          sps_temporal_mvp_enabled_flag=1,
+                          sps_bdof_enabled_flag=1, sps_dmvr_enabled_flag=1)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_mc=True)).decode(s))
+    assert host == dev
