@@ -7,6 +7,14 @@ the reference's cbs-vvc FATE coverage.
 The writers consume the same SyntaxObj attribute bags the readers produce.
 Features not exercised by the forge raise NotImplementedError loudly rather
 than silently emitting a corrupt stream; coverage grows with the forge.
+
+Remaining NotImplementedError sites are all non-decode-relevant: GCI
+constraint flags, timing/HRD and VUI (informative metadata the decoder
+ignores), and inter-layer refs (a behavior-parity refusal — the decoder
+raises NotImplementedError on inter-layer streams just like the reference's
+avpriv_report_missing_feature, see PARITY.md).  Every decode-relevant
+writer is implemented and oracle-differentially tested
+(tests/test_conformance.py test_ph_level_syntax / test_l11_*).
 """
 from __future__ import annotations
 
@@ -326,7 +334,11 @@ def write_sps(sps: SyntaxObj) -> bytes:
             w.ue(sps.sps_subpic_id_len_minus1)
             w.flag(sps.sps_subpic_id_mapping_explicitly_signalled_flag)
             if sps.sps_subpic_id_mapping_explicitly_signalled_flag:
-                raise NotImplementedError("explicit subpic id mapping write")
+                w.flag(sps.sps_subpic_id_mapping_present_flag)
+                if sps.sps_subpic_id_mapping_present_flag:
+                    for i in range(ns + 1):
+                        w.u(sps.sps_subpic_id[i],
+                            sps.sps_subpic_id_len_minus1 + 1)
     w.ue(sps.sps_bitdepth_minus8)
     w.flag(sps.sps_entropy_coding_sync_enabled_flag)
     w.flag(sps.sps_entry_point_offsets_present_flag)
@@ -525,7 +537,12 @@ def write_pps(pps: SyntaxObj, sps: SyntaxObj) -> bytes:
     w.flag(pps.pps_no_pic_partition_flag)
     w.flag(pps.pps_subpic_id_mapping_present_flag)
     if pps.pps_subpic_id_mapping_present_flag:
-        raise NotImplementedError("pps subpic id mapping write")
+        # conformance requires pps_subpic_id_len == sps_subpic_id_len (7.4.3.4)
+        if not pps.pps_no_pic_partition_flag:
+            w.ue(pps.pps_num_subpics_minus1)
+        w.ue(pps.pps_subpic_id_len_minus1)
+        for i in range(pps.pps_num_subpics_minus1 + 1):
+            w.u(pps.pps_subpic_id[i], pps.pps_subpic_id_len_minus1 + 1)
     if not pps.pps_no_pic_partition_flag:
         w.u(pps.pps_log2_ctu_size_minus5, 2)
         w.ue(pps.pps_num_exp_tile_columns_minus1)
@@ -544,7 +561,7 @@ def write_pps(pps: SyntaxObj, sps: SyntaxObj) -> bytes:
             if pps.pps_num_slices_in_pic_minus1 > 1:
                 w.flag(pps.pps_tile_idx_delta_present_flag)
             if pps.pps_num_slices_in_pic_minus1 > 0:
-                # only the simple one-slice-per-tile-row layouts are forged
+                # mirrors the reader's slice-map walk (h266.py:984-1060)
                 tile_idx = 0
                 i = 0
                 while i < pps.pps_num_slices_in_pic_minus1:
@@ -558,16 +575,37 @@ def write_pps(pps: SyntaxObj, sps: SyntaxObj) -> bytes:
                     if pps.pps_slice_width_in_tiles_minus1[i] == 0 and \
                             pps.pps_slice_height_in_tiles_minus1[i] == 0 and \
                             pps.row_height_val[tile_y] > 1:
-                        w.ue(pps.pps_num_exp_slices_in_tile[i])
-                        if pps.pps_num_exp_slices_in_tile[i]:
-                            raise NotImplementedError("explicit slices in tile write")
+                        # tile split into slices: explicit CTU-row heights
+                        # then uniform fill (pps_exp_slice_height_in_ctus_
+                        # minus1[i] = list of exp heights-1 for slice i's
+                        # tile; reader h266.py:1008-1040)
+                        exp = pps.pps_exp_slice_height_in_ctus_minus1[i] \
+                            if pps.pps_exp_slice_height_in_ctus_minus1 \
+                            else []
+                        w.ue(len(exp))
+                        remaining_h = pps.row_height_val[tile_y]
+                        nslices = 1
+                        if exp:
+                            for h in exp:
+                                w.ue(h)
+                                remaining_h -= h + 1
+                            nslices = len(exp)
+                            uniform = exp[-1] + 1
+                            while remaining_h > uniform:
+                                remaining_h -= uniform
+                                nslices += 1
+                            if remaining_h > 0:
+                                nslices += 1
+                        i += nslices - 1
                     if i < pps.pps_num_slices_in_pic_minus1:
                         if pps.pps_tile_idx_delta_present_flag:
-                            raise NotImplementedError("tile idx delta write")
-                        tile_idx += pps.pps_slice_width_in_tiles_minus1[i] + 1
-                        if tile_idx % pps.num_tile_columns == 0:
-                            tile_idx += pps.pps_slice_height_in_tiles_minus1[i] * \
-                                pps.num_tile_columns
+                            w.se(pps.pps_tile_idx_delta_val[i])
+                            tile_idx += pps.pps_tile_idx_delta_val[i]
+                        else:
+                            tile_idx += pps.pps_slice_width_in_tiles_minus1[i] + 1
+                            if tile_idx % pps.num_tile_columns == 0:
+                                tile_idx += pps.pps_slice_height_in_tiles_minus1[i] * \
+                                    pps.num_tile_columns
                     i += 1
         if not pps.pps_rect_slice_flag or pps.pps_single_slice_per_subpic_flag or \
                 pps.pps_num_slices_in_pic_minus1 > 0:
@@ -642,8 +680,10 @@ def write_picture_header(w: BitWriter, ph: SyntaxObj, sps: SyntaxObj, pps: Synta
     w.u(ph.ph_pic_order_cnt_lsb, sps.sps_log2_max_pic_order_cnt_lsb_minus4 + 4)
     if ph.ph_gdr_pic_flag:
         w.ue(ph.ph_recovery_poc_cnt)
-    if sps.sps_num_extra_ph_bytes:
-        raise NotImplementedError("extra ph bits write")
+    for i in range(sps.sps_num_extra_ph_bytes * 8):
+        # reserved extension bits: readers skip them (h266.py:1465-1467)
+        if sps.sps_extra_ph_bit_present_flag[i]:
+            w.u(0, 1)
     if sps.sps_poc_msb_cycle_flag:
         w.flag(ph.ph_poc_msb_cycle_present_flag)
         if ph.ph_poc_msb_cycle_present_flag:
@@ -680,21 +720,42 @@ def write_picture_header(w: BitWriter, ph: SyntaxObj, sps: SyntaxObj, pps: Synta
             not sps.sps_virtual_boundaries_present_flag:
         w.flag(ph.ph_virtual_boundaries_present_flag)
         if ph.ph_virtual_boundaries_present_flag:
-            raise NotImplementedError("ph virtual boundaries write")
+            w.ue(ph.ph_num_ver_virtual_boundaries)
+            for v in ph.ph_virtual_boundary_pos_x_minus1:
+                w.ue(v)
+            w.ue(ph.ph_num_hor_virtual_boundaries)
+            for v in ph.ph_virtual_boundary_pos_y_minus1:
+                w.ue(v)
     if pps.pps_output_flag_present_flag and not ph.ph_non_ref_pic_flag:
         w.flag(ph.ph_pic_output_flag)
     if pps.pps_rpl_info_in_ph_flag:
         write_ref_pic_lists(w, sps, pps, ph.ph_ref_pic_lists)
     if sps.sps_partition_constraints_override_enabled_flag:
         w.flag(ph.ph_partition_constraints_override_flag)
-    if ph.ph_partition_constraints_override_flag:
-        raise NotImplementedError("partition constraints override write")
     if ph.ph_intra_slice_allowed_flag:
+        if ph.ph_partition_constraints_override_flag:
+            w.ue(ph.ph_log2_diff_min_qt_min_cb_intra_slice_luma)
+            w.ue(ph.ph_max_mtt_hierarchy_depth_intra_slice_luma)
+            if ph.ph_max_mtt_hierarchy_depth_intra_slice_luma != 0:
+                w.ue(ph.ph_log2_diff_max_bt_min_qt_intra_slice_luma)
+                w.ue(ph.ph_log2_diff_max_tt_min_qt_intra_slice_luma)
+            if sps.sps_qtbtt_dual_tree_intra_flag:
+                w.ue(ph.ph_log2_diff_min_qt_min_cb_intra_slice_chroma)
+                w.ue(ph.ph_max_mtt_hierarchy_depth_intra_slice_chroma)
+                if sps.sps_max_mtt_hierarchy_depth_intra_slice_chroma != 0:
+                    w.ue(ph.ph_log2_diff_max_bt_min_qt_intra_slice_chroma)
+                    w.ue(ph.ph_log2_diff_max_tt_min_qt_intra_slice_chroma)
         if pps.pps_cu_qp_delta_enabled_flag:
             w.ue(ph.ph_cu_qp_delta_subdiv_intra_slice)
         if pps.pps_cu_chroma_qp_offset_list_enabled_flag:
             w.ue(ph.ph_cu_chroma_qp_offset_subdiv_intra_slice)
     if ph.ph_inter_slice_allowed_flag:
+        if ph.ph_partition_constraints_override_flag:
+            w.ue(ph.ph_log2_diff_min_qt_min_cb_inter_slice)
+            w.ue(ph.ph_max_mtt_hierarchy_depth_inter_slice)
+            if ph.ph_max_mtt_hierarchy_depth_inter_slice != 0:
+                w.ue(ph.ph_log2_diff_max_bt_min_qt_inter_slice)
+                w.ue(ph.ph_log2_diff_max_tt_min_qt_inter_slice)
         if pps.pps_cu_qp_delta_enabled_flag:
             w.ue(ph.ph_cu_qp_delta_subdiv_inter_slice)
         if pps.pps_cu_chroma_qp_offset_list_enabled_flag:
@@ -721,7 +782,8 @@ def write_picture_header(w: BitWriter, ph: SyntaxObj, sps: SyntaxObj, pps: Synta
             w.flag(ph.ph_prof_disabled_flag)
         if (pps.pps_weighted_pred_flag or pps.pps_weighted_bipred_flag) and \
                 pps.pps_wp_info_in_ph_flag:
-            raise NotImplementedError("ph pred weight table write")
+            write_pred_weight_table(w, sps, pps, ph.ph_ref_pic_lists,
+                                    ph.ph_pred_weight_table)
     if pps.pps_qp_delta_info_in_ph_flag:
         w.se(ph.ph_qp_delta)
     if sps.sps_joint_cbcr_enabled_flag:
@@ -733,7 +795,16 @@ def write_picture_header(w: BitWriter, ph: SyntaxObj, sps: SyntaxObj, pps: Synta
     if pps.pps_dbf_info_in_ph_flag:
         w.flag(ph.ph_deblocking_params_present_flag)
     if ph.ph_deblocking_params_present_flag:
-        raise NotImplementedError("ph deblocking params write")
+        if not pps.pps_deblocking_filter_disabled_flag:
+            w.flag(ph.ph_deblocking_filter_disabled_flag)
+            if not ph.ph_deblocking_filter_disabled_flag:
+                w.se(ph.ph_luma_beta_offset_div2)
+                w.se(ph.ph_luma_tc_offset_div2)
+                if pps.pps_chroma_tool_offsets_present_flag:
+                    w.se(ph.ph_cb_beta_offset_div2)
+                    w.se(ph.ph_cb_tc_offset_div2)
+                    w.se(ph.ph_cr_beta_offset_div2)
+                    w.se(ph.ph_cr_tc_offset_div2)
     if pps.pps_picture_header_extension_present_flag:
         w.ue(0)
 
@@ -754,8 +825,10 @@ def write_slice_header(sh: SyntaxObj, sps: SyntaxObj, pps: SyntaxObj,
         bits = ceil_log2(pps.num_tiles_in_pic) if not pps.pps_rect_slice_flag \
             else ceil_log2(num_slices_in_subpic)
         w.u(sh.sh_slice_address, bits)
-    if sps.sps_num_extra_sh_bytes:
-        raise NotImplementedError("extra sh bits write")
+    for i in range(sps.sps_num_extra_sh_bytes * 8):
+        # reserved extension bits: readers skip them (h266.py:1713)
+        if sps.sps_extra_sh_bit_present_flag[i]:
+            w.u(0, 1)
     if not pps.pps_rect_slice_flag and \
             pps.num_tiles_in_pic - sh.sh_slice_address > 1:
         w.ue(sh.sh_num_tiles_in_slice_minus1)

@@ -220,9 +220,6 @@ class VVCDecoder:
                 self.ps.ph = read_picture_header(r, self.ps)
             elif is_vcl(t):
                 sh = read_slice_header(r, self.ps, t)
-                first = sh.sh_picture_header_in_slice_header_flag or \
-                    (cur_ph is not None and sh.ph is not cur_ph) or \
-                    (not cur_slices and cur_ph is None)
                 if sh.sh_picture_header_in_slice_header_flag and cur_slices:
                     flush_frame()
                 cur_ph = sh.ph

@@ -218,6 +218,12 @@ def test_l9_formats(name, kw, tmp_path):
     ("subpic_p", dict(seed=3, slice_type=1, nframes=3, subpic=True)),
     ("subpic_noclf", dict(seed=4, slice_type=2, subpic=True,
                           lf_across_tiles=0, lf_across_slices=0)),
+    # non-identity subpic IDs: SubpicIdVal from explicit SPS mapping /
+    # PPS override (h266.py:624-629 read, ps derivation vvc_ps.c:1040)
+    ("subpic_ids_sps", dict(seed=5, slice_type=2, subpic=True,
+                            subpic_ids=(2, 1), id_mapping="sps")),
+    ("subpic_ids_pps", dict(seed=6, slice_type=1, nframes=3, subpic=True,
+                            subpic_ids=(3, 0), id_mapping="pps")),
 ])
 def test_l11_rect_slices_subpics(name, kw, tmp_path):
     """Rectangular slices and subpictures (reference slice-idx mapping
@@ -228,6 +234,115 @@ def test_l11_rect_slices_subpics(name, kw, tmp_path):
         else forge_rect_slice_stream
     n = kw.setdefault("nframes", 2)
     _check_stream(fn(**kw), tmp_path, n)
+
+
+@pytest.mark.parametrize("name,kw", [
+    # RPL/WP/QP-delta/SAO/ALF/deblock signalling moved into a standalone
+    # PH (pps_*_info_in_ph_flag; reference picture_header_structure,
+    # cbs_h266_syntax_template.c; consumers vvc_ps.c:1140-1166)
+    # (TMVP is deliberately absent here: TMVP + rpl-in-PH hits reference
+    # bug #6, pinned by test_ph_collocated_ref_bug below)
+    ("ph_info_p", dict(seed=0, nframes=3, slice_type=1, info_in_ph=True,
+                       sps_sao_enabled_flag=1, sps_alf_enabled_flag=1,
+                       sps_ccalf_enabled_flag=1, sps_lmcs_enabled_flag=1)),
+    # B + TMVP + rpl-in-PH with L0[0] == L1[0]: the reference's wrong
+    # collocated list lands on the same picture, so outputs still match
+    ("ph_info_tmvp_b", dict(seed=7, nframes=3, slice_type=0,
+                            info_in_ph=True,
+                            sps_temporal_mvp_enabled_flag=1)),
+    # PH-level pred-weight table (pps_wp_info_in_ph_flag)
+    ("ph_info_wp_b", dict(seed=1, nframes=3, slice_type=0,
+                          info_in_ph=True, sps_weighted_bipred_flag=1)),
+    ("ph_info_wp_p", dict(seed=2, nframes=3, slice_type=1,
+                          info_in_ph=True, sps_weighted_pred_flag=1)),
+    # PH partition-constraints override with values differing from the SPS
+    ("ph_part_override", dict(
+        seed=3, nframes=2, slice_type=2,
+        sps_partition_constraints_override_enabled_flag=1,
+        ph_kw=dict(ph_partition_constraints_override_flag=1,
+                   ph_log2_diff_min_qt_min_cb_intra_slice_luma=1,
+                   ph_max_mtt_hierarchy_depth_intra_slice_luma=1,
+                   ph_log2_diff_max_bt_min_qt_intra_slice_luma=1,
+                   ph_log2_diff_max_tt_min_qt_intra_slice_luma=1,
+                   ph_log2_diff_min_qt_min_cb_inter_slice=1,
+                   ph_max_mtt_hierarchy_depth_inter_slice=1,
+                   ph_log2_diff_max_bt_min_qt_inter_slice=1,
+                   ph_log2_diff_max_tt_min_qt_inter_slice=1))),
+    # virtual boundaries: parsed and ignored by the reference too (its CBS
+    # reads them, libavcodec/vvc never consumes them) — behavior parity
+    ("vb_sps", dict(seed=4, nframes=2, slice_type=1,
+                    sps_virtual_boundaries_enabled_flag=1,
+                    sps_virtual_boundaries_present_flag=1,
+                    sps_num_ver_virtual_boundaries=1,
+                    sps_virtual_boundary_pos_x_minus1=[3],
+                    sps_num_hor_virtual_boundaries=1,
+                    sps_virtual_boundary_pos_y_minus1=[3])),
+    ("vb_ph", dict(seed=5, nframes=2, slice_type=1,
+                   sps_virtual_boundaries_enabled_flag=1,
+                   ph_kw=dict(ph_virtual_boundaries_present_flag=1,
+                              ph_num_ver_virtual_boundaries=1,
+                              ph_virtual_boundary_pos_x_minus1=[3],
+                              ph_num_hor_virtual_boundaries=0,
+                              ph_virtual_boundary_pos_y_minus1=[]))),
+    # reserved extra PH/SH bits: emitted, skipped by readers
+    ("extra_bits", dict(seed=6, nframes=2, slice_type=1,
+                        sps_num_extra_ph_bytes=1,
+                        sps_extra_ph_bit_present_flag=[1, 0, 1, 0,
+                                                       0, 0, 0, 0],
+                        sps_num_extra_sh_bytes=1,
+                        sps_extra_sh_bit_present_flag=[0, 1, 0, 0,
+                                                       0, 0, 0, 1])),
+])
+def test_ph_level_syntax(name, kw, tmp_path):
+    """Decode-relevant syntax previously read but never forged
+    (h266_write.py NotImplementedError closures, round 5)."""
+    from forge import forge_inter_stream
+    kw = dict(kw)
+    n = kw.setdefault("nframes", 2)
+    _check_stream(forge_inter_stream(deblock=True, **kw), tmp_path, n)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("intile_i", dict(seed=0, slice_type=2)),
+    ("intile_p", dict(seed=1, slice_type=1, nframes=3)),
+    ("delta_i", dict(seed=2, slice_type=2, delta=True)),
+    ("delta_p", dict(seed=3, slice_type=1, nframes=3, delta=True)),
+])
+def test_l11_intile_and_delta_slices(name, kw, tmp_path):
+    """Rect-slice layouts using pps_num_exp_slices_in_tile (a tile split
+    into slices) and pps_tile_idx_delta (explicit slice->tile mapping) —
+    reference pps_slice_map vvc_ps.c:414."""
+    from forge import forge_intile_slice_stream, forge_tile_delta_stream
+    kw = dict(kw)
+    fn = forge_tile_delta_stream if kw.pop("delta", False) \
+        else forge_intile_slice_stream
+    n = kw.setdefault("nframes", 2)
+    _check_stream(fn(**kw), tmp_path, n)
+
+
+def test_ph_collocated_ref_bug(tmp_path):
+    """Reference bug #6: with pps_rpl_info_in_ph_flag the reference's CBS
+    never infers sh_collocated_from_l0_flag / sh_collocated_ref_idx from
+    the PH (cbs_h266_syntax_template.c:3222-3236 has no infer in the
+    rpl-in-PH branch), so its consumer (vvc_refs.c:461-463) reads the
+    memset default 0 and resolves the collocated picture from L1 — for a
+    P slice, from an EMPTY list (collocated = NULL, temporal candidates
+    silently dropped).  H.266 7.4.3.7 infers both from ph_collocated_*.
+    We implement the spec; pin the reference's mis-decode so a fixed
+    reference flips this test."""
+    from forge import forge_inter_stream
+    from ffvvc_tpu.config import DecoderConfig
+    stream = forge_inter_stream(seed=0, nframes=3, slice_type=1,
+                                info_in_ph=True, deblock=False,
+                                sps_temporal_mvp_enabled_flag=1)
+    a = VVCDecoder().decode(stream)
+    b = VVCDecoder(DecoderConfig(native_parse=False)).decode(stream)
+    assert len(a) == len(b) == 3
+    ours = b"".join(f.to_yuv_bytes() for f in a)
+    assert ours == b"".join(f.to_yuv_bytes() for f in b)
+    ref = oracle_decode(stream, tmp_path)
+    assert ours != ref, \
+        "oracle now matches: reference bug #6 fixed — drop this pin"
 
 
 def test_l10_gdr(tmp_path):

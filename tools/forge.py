@@ -531,7 +531,7 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
                 slice_type=SLICE_I, n_refs=(1, 0), collocated=None,
                 ref_deltas=None, alf_aps=None, ccalf=False, lmcs_aps=None,
                 scaling_aps=None, slices=None, gdr_recovery=None,
-                sh_kw=None):
+                sh_kw=None, info_in_ph=False, ph_kw=None):
     """Encode one frame; returns (NAL bytes, ColFrameShim).
 
     slices: None for a single slice covering the picture (PH in SH);
@@ -585,6 +585,64 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
         ph.ph_prof_disabled_flag = \
             0 if sps_raw.sps_affine_prof_enabled_flag else 1
         ph.ph_mvd_l1_zero_flag = 0
+    if info_in_ph:
+        # PH-level signalling (pps_{rpl,wp,qp_delta,sao,dbf}_info_in_ph):
+        # the PPS flags come set on pps_r by the caller; the SH reader
+        # copies these PH values into the slice (h266.py:1767-1880,
+        # reference pps_rpl_info_in_ph consumers vvc_ps.c:1140-1166)
+        if pps_raw.pps_qp_delta_info_in_ph_flag:
+            ph.ph_qp_delta = qp - 26 - pps_raw.pps_init_qp_minus26
+        if pps_raw.pps_sao_info_in_ph_flag and sps_raw.sps_sao_enabled_flag:
+            ph.ph_sao_luma_enabled_flag = 1
+            ph.ph_sao_chroma_enabled_flag = \
+                int(bool(sps_raw.sps_chroma_format_idc))
+        if pps_raw.pps_alf_info_in_ph_flag and alf_aps is not None:
+            aid = alf_aps.aps_adaptation_parameter_set_id
+            ph.ph_alf_enabled_flag = 1
+            ph.ph_num_alf_aps_ids_luma = 1
+            ph.ph_alf_aps_id_luma = [aid]
+            if sps_raw.sps_chroma_format_idc:
+                ph.ph_alf_cb_enabled_flag = 1
+                ph.ph_alf_cr_enabled_flag = 1
+                ph.ph_alf_aps_id_chroma = aid
+                if ccalf and sps_raw.sps_ccalf_enabled_flag:
+                    ph.ph_alf_cc_cb_enabled_flag = 1
+                    ph.ph_alf_cc_cb_aps_id = aid
+                    ph.ph_alf_cc_cr_enabled_flag = 1
+                    ph.ph_alf_cc_cr_aps_id = aid
+        if pps_raw.pps_dbf_info_in_ph_flag:
+            ph.ph_deblocking_params_present_flag = 1
+            ph.ph_luma_beta_offset_div2 = 1
+            ph.ph_luma_tc_offset_div2 = -1
+            cb = pps_raw.pps_chroma_tool_offsets_present_flag
+            ph.ph_cb_beta_offset_div2 = 2 if cb else 1
+            ph.ph_cb_tc_offset_div2 = -2 if cb else -1
+            ph.ph_cr_beta_offset_div2 = 2 if cb else 1
+            ph.ph_cr_tc_offset_div2 = -2 if cb else -1
+        if pps_raw.pps_rpl_info_in_ph_flag and not inter:
+            # the PH always carries RPLs when rpl_info_in_ph (even IDR)
+            ph.ph_ref_pic_lists = make_explicit_rpl([], [])
+        elif pps_raw.pps_rpl_info_in_ph_flag:
+            weighted = bool(sps_raw.sps_weighted_pred_flag or
+                            sps_raw.sps_weighted_bipred_flag)
+            if ref_deltas is None:
+                ref_deltas = ([-1] * n_refs[0], [-1] * n_refs[1])
+            n_refs = (len(ref_deltas[0]), len(ref_deltas[1]))
+            ph.ph_ref_pic_lists = make_explicit_rpl(*ref_deltas,
+                                                    weighted=weighted)
+            if ph.ph_temporal_mvp_enabled_flag:
+                ph.ph_collocated_from_l0_flag = 1
+                ph.ph_collocated_ref_idx = 0
+            if pps_raw.pps_wp_info_in_ph_flag and \
+                    (pps_raw.pps_weighted_pred_flag or
+                     pps_raw.pps_weighted_bipred_flag):
+                bipred = bool(pps_raw.pps_weighted_bipred_flag and
+                              n_refs[1])
+                pwt = make_pwt(policy.rng, sps_raw, n_refs[0], n_refs[1],
+                               bipred)
+                pwt.num_l0_weights = n_refs[0]
+                pwt.num_l1_weights = pwt.num_weights_l1
+                ph.ph_pred_weight_table = pwt
     # partition params inferred from SPS
     ph.ph_log2_diff_min_qt_min_cb_intra_slice_luma = \
         sps_raw.sps_log2_diff_min_qt_min_cb_intra_slice_luma
@@ -603,12 +661,17 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
     ph.ph_log2_diff_max_tt_min_qt_intra_slice_chroma = \
         sps_raw.sps_log2_diff_max_tt_min_qt_intra_slice_chroma
 
+    for k, v in (ph_kw or {}).items():
+        setattr(ph, k, v)
     nal_type = NalType.IDR_N_LP if idr else (
         NalType.GDR if gdr_recovery is not None else NalType.TRAIL)
     wpp = bool(sps_raw.sps_entropy_coding_sync_enabled_flag)
     multi_slice = slices is not None
+    # info-in-PH requires a standalone PH NAL (H.266 7.4.3.7 forbids
+    # PH-in-SH when any pps_*_info_in_ph_flag is set)
+    standalone_ph = multi_slice or info_in_ph
     out = b""
-    if multi_slice:
+    if standalone_ph:
         wph = BitWriter()
         write_picture_header(wph, ph, sps_raw, pps_raw)
         wph.rbsp_trailing_bits()
@@ -648,7 +711,13 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
         elif sps_raw.sps_sign_data_hiding_enabled_flag:
             sh_r.sh_sign_data_hiding_used_flag = 1
         sh_r.sh_picture_header_in_slice_header_flag = \
-            0 if multi_slice else 1
+            0 if standalone_ph else 1
+        if standalone_ph:
+            # flags present in the SH only with a standalone PH
+            if lmcs_aps is not None:
+                sh_r.sh_lmcs_used_flag = 1
+            if scaling_aps is not None:
+                sh_r.sh_explicit_scaling_list_used_flag = 1
         if multi_slice:
             if pps_raw.pps_rect_slice_flag:
                 # rect slices: sdef[0] is the picture-level slice index;
@@ -674,19 +743,34 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
         sh_r.sh_slice_type = slice_type
         sh_r.sh_qp_delta = qp - 26 - pps_raw.pps_init_qp_minus26
         sh_r.ph = ph
+        if info_in_ph and pps_raw.pps_dbf_info_in_ph_flag:
+            # SH inference from PH deblock params (h266.py:1885-1895)
+            sh_r.sh_luma_beta_offset_div2 = ph.ph_luma_beta_offset_div2
+            sh_r.sh_luma_tc_offset_div2 = ph.ph_luma_tc_offset_div2
+            sh_r.sh_cb_beta_offset_div2 = ph.ph_cb_beta_offset_div2
+            sh_r.sh_cb_tc_offset_div2 = ph.ph_cb_tc_offset_div2
+            sh_r.sh_cr_beta_offset_div2 = ph.ph_cr_beta_offset_div2
+            sh_r.sh_cr_tc_offset_div2 = ph.ph_cr_tc_offset_div2
         rpl = None
         if inter:
-            if ph.ph_temporal_mvp_enabled_flag:
-                sh_r.sh_collocated_from_l0_flag = 1
-                sh_r.sh_collocated_ref_idx = 0
             weighted = bool(sps_raw.sps_weighted_pred_flag or
                             sps_raw.sps_weighted_bipred_flag)
             if ref_deltas is None:
                 ref_deltas = ([-1] * n_refs[0], [-1] * n_refs[1])
             n_refs = (len(ref_deltas[0]), len(ref_deltas[1]))
-            sh_r.sh_ref_pic_lists = make_explicit_rpl(*ref_deltas,
-                                                      weighted=weighted)
-            sh_r.ref_pic_lists = sh_r.sh_ref_pic_lists
+            if info_in_ph and pps_raw.pps_rpl_info_in_ph_flag:
+                sh_r.ref_pic_lists = ph.ph_ref_pic_lists
+                if ph.ph_temporal_mvp_enabled_flag:
+                    sh_r.sh_collocated_from_l0_flag = \
+                        ph.ph_collocated_from_l0_flag
+                    sh_r.sh_collocated_ref_idx = ph.ph_collocated_ref_idx
+            else:
+                if ph.ph_temporal_mvp_enabled_flag:
+                    sh_r.sh_collocated_from_l0_flag = 1
+                    sh_r.sh_collocated_ref_idx = 0
+                sh_r.sh_ref_pic_lists = make_explicit_rpl(
+                    *ref_deltas, weighted=weighted)
+                sh_r.ref_pic_lists = sh_r.sh_ref_pic_lists
             sh_r.num_ref_idx_active = [min(1, n_refs[0]), 0]
             if slice_type == SLICE_B:
                 sh_r.num_ref_idx_active[1] = min(1, n_refs[1])
@@ -714,10 +798,11 @@ def forge_frame(sps_r, pps_r, policy, qp=32, poc=0, idr=True,
             sh_r.sh_ref_pic_lists = make_explicit_rpl([], [])
             sh_r.ref_pic_lists = sh_r.sh_ref_pic_lists
             sh_r.num_ref_idx_active = [0, 0]
-        if inter and ((pps_raw.pps_weighted_pred_flag and
-                       slice_type == SLICE_P) or
-                      (pps_raw.pps_weighted_bipred_flag and
-                       slice_type == SLICE_B)):
+        if inter and not pps_raw.pps_wp_info_in_ph_flag and \
+                ((pps_raw.pps_weighted_pred_flag and
+                  slice_type == SLICE_P) or
+                 (pps_raw.pps_weighted_bipred_flag and
+                  slice_type == SLICE_B)):
             sh_r.sh_pred_weight_table = make_pwt(
                 policy.rng, sps_raw, sh_r.num_ref_idx_active[0],
                 sh_r.num_ref_idx_active[1],
@@ -984,15 +1069,22 @@ def forge_tiled_stream(seed=0, width=96, height=96, qp=32, bit_depth=8,
 
 def forge_subpic_stream(seed=0, width=128, height=64, qp=30, bit_depth=8,
                         nframes=2, slice_type=SLICE_I, lf_across_tiles=1,
-                        lf_across_slices=1, **sps_kw):
+                        lf_across_slices=1, subpic_ids=None,
+                        id_mapping="sps", **sps_kw):
     """Two side-by-side subpictures, one rectangular slice each
     (pps_single_slice_per_subpic_flag; subpic boundaries on the tile grid).
-    Reference: slice-idx mapping vvc_ps.c:1034-1041, CBS sh_subpic_id
-    resolution cbs_h266_syntax_template.c:3050-3070."""
+    `subpic_ids`: explicit per-subpic IDs (e.g. remapped/non-identity);
+    signalled in the SPS (id_mapping="sps") or overridden per-PPS
+    (id_mapping="pps").  Reference: slice-idx mapping vvc_ps.c:1034-1041,
+    CBS sh_subpic_id resolution cbs_h266_syntax_template.c:3050-3070,
+    SubpicIdVal derivation vvc_ps.c:1040."""
     w_ctu = -(-width // 32)
     h_ctu = -(-height // 32)
     assert w_ctu % 2 == 0, "need an even CTU-column count"
     half = w_ctu // 2
+    id_len_m1 = 0
+    if subpic_ids is not None:
+        id_len_m1 = max(max(v.bit_length() for v in subpic_ids), 1) - 1
     sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
                       max_mtt_depth=2,
                       sps_subpic_info_present_flag=1,
@@ -1003,12 +1095,21 @@ def forge_subpic_stream(seed=0, width=128, height=64, qp=30, bit_depth=8,
                       sps_subpic_ctu_top_left_y=[0, 0],
                       sps_subpic_width_minus1=[half - 1, half - 1],
                       sps_subpic_height_minus1=[h_ctu - 1, h_ctu - 1],
-                      sps_subpic_id_len_minus1=0,
-                      sps_subpic_id_mapping_explicitly_signalled_flag=0,
+                      sps_subpic_id_len_minus1=id_len_m1,
+                      sps_subpic_id_mapping_explicitly_signalled_flag=int(
+                          subpic_ids is not None),
                       **sps_kw)
+    if subpic_ids is not None and id_mapping == "sps":
+        sps_r.sps_subpic_id_mapping_present_flag = 1
+        sps_r.sps_subpic_id = list(subpic_ids)
     pps_r = build_tiled_pps(sps_r, (half, half), (h_ctu,),
                             lf_across_tiles=lf_across_tiles,
                             lf_across_slices=lf_across_slices)
+    if subpic_ids is not None and id_mapping == "pps":
+        pps_r.pps_subpic_id_mapping_present_flag = 1
+        pps_r.pps_num_subpics_minus1 = 1
+        pps_r.pps_subpic_id_len_minus1 = id_len_m1
+        pps_r.pps_subpic_id = list(subpic_ids)
     # explicit one-slice-per-subpic layout: the oracle's CBS never
     # initializes num_slices_in_subpic when pps_single_slice_per_subpic_flag
     # is set (cbs_h266_syntax_template.c:2101-2114 only covers the explicit
@@ -1075,18 +1176,113 @@ def forge_rect_slice_stream(seed=0, width=128, height=64, qp=30, bit_depth=8,
     return stream
 
 
+def forge_intile_slice_stream(seed=0, width=64, height=96, qp=30,
+                              bit_depth=8, nframes=2, slice_type=SLICE_I,
+                              **sps_kw):
+    """A single-tile picture whose tile splits into three one-CTU-row
+    rectangular slices via pps_num_exp_slices_in_tile + explicit heights
+    with uniform fill (reader h266.py:1008-1040; reference
+    cbs_h266_syntax_template.c pps explicit-slice-in-tile branch)."""
+    h_ctu = -(-height // 32)
+    w_ctu = -(-width // 32)
+    assert h_ctu >= 3, "need >= 3 CTU rows for the in-tile split"
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2, **sps_kw)
+    pps_r = build_tiled_pps(sps_r, (w_ctu,), (h_ctu,))
+    pps_r.pps_rect_slice_flag = 1
+    pps_r.pps_single_slice_per_subpic_flag = 0
+    pps_r.pps_num_slices_in_pic_minus1 = h_ctu - 1
+    pps_r.pps_tile_idx_delta_present_flag = 0
+    pps_r.pps_slice_width_in_tiles_minus1 = [0] * h_ctu
+    pps_r.pps_slice_height_in_tiles_minus1 = [0] * h_ctu
+    # one explicit 1-CTU-row slice; uniform fill emits the rest
+    pps_r.pps_exp_slice_height_in_ctus_minus1 = {0: [0]}
+    return _forge_rect_frames(sps_r, pps_r, seed, qp, nframes, slice_type,
+                              [(i, 1) for i in range(h_ctu)])
+
+
+def forge_tile_delta_stream(seed=0, width=128, height=64, qp=30,
+                            bit_depth=8, nframes=2, slice_type=SLICE_I,
+                            **sps_kw):
+    """2x2 tile grid, one rect slice per tile, slice->tile mapping coded
+    with pps_tile_idx_delta_present_flag (reader h266.py:1049-1054)."""
+    sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
+                      max_mtt_depth=2, **sps_kw)
+    w_ctu = -(-width // 32)
+    h_ctu = -(-height // 32)
+    assert w_ctu % 2 == 0 and h_ctu % 2 == 0
+    pps_r = build_tiled_pps(sps_r, (w_ctu // 2, w_ctu // 2),
+                            (h_ctu // 2, h_ctu // 2))
+    assert h_ctu // 2 == 1, "tile rows must be 1 CTU tall (no in-tile split)"
+    pps_r.pps_rect_slice_flag = 1
+    pps_r.pps_single_slice_per_subpic_flag = 0
+    pps_r.pps_num_slices_in_pic_minus1 = 3
+    pps_r.pps_tile_idx_delta_present_flag = 1
+    pps_r.pps_tile_idx_delta_val = [1, 1, 1]
+    pps_r.pps_slice_width_in_tiles_minus1 = [0] * 4
+    pps_r.pps_slice_height_in_tiles_minus1 = [0] * 4
+    pps_r.pps_num_exp_slices_in_tile = [0] * 4
+    return _forge_rect_frames(sps_r, pps_r, seed, qp, nframes, slice_type,
+                              [(i, 1) for i in range(4)])
+
+
+def _forge_rect_frames(sps_r, pps_r, seed, qp, nframes, slice_type,
+                       slices):
+    stream = write_nal(NalType.SPS, write_sps(sps_r))
+    stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
+    policy = FuzzPolicy(seed)
+    prev = None
+    for i in range(nframes):
+        if i == 0 or slice_type == SLICE_I:
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=True, slices=slices)
+        else:
+            nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=i,
+                                    idr=False, slice_type=slice_type,
+                                    collocated=prev, slices=slices)
+        stream += nal
+    return stream
+
+
 def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
                        nframes=3, slice_type=SLICE_P, n_refs=None,
-                       deblock=True, pps_kw=None, **sps_kw):
+                       deblock=True, pps_kw=None, info_in_ph=False,
+                       ph_kw=None, **sps_kw):
     """IDR + (P|B)-frame stream exercising the inter path.  Each inter frame
-    references the previous decoded frame(s) via explicit slice RPLs."""
+    references the previous decoded frame(s) via explicit slice RPLs.
+    info_in_ph: move RPL/WP/QP-delta/SAO/ALF/deblock signalling into a
+    standalone picture header (pps_*_info_in_ph_flag; reference read-side
+    cbs_h266_syntax_template.c picture_header_structure)."""
     sps_r = build_sps(width, height, bit_depth=bit_depth, min_qt_log2=2,
                       max_mtt_depth=2, **sps_kw)
     pps_kw = dict(pps_kw or {})
     if not deblock:
         pps_kw.update(pps_deblocking_filter_control_present_flag=1,
                       pps_deblocking_filter_disabled_flag=1)
-    pps_r = build_pps(sps_r, **pps_kw)
+    if info_in_ph:
+        pps_kw.update(pps_rpl_info_in_ph_flag=1, pps_sao_info_in_ph_flag=1,
+                      pps_alf_info_in_ph_flag=1,
+                      pps_qp_delta_info_in_ph_flag=1)
+        if sps_r.sps_weighted_pred_flag or sps_r.sps_weighted_bipred_flag:
+            pps_kw.update(pps_wp_info_in_ph_flag=1)
+        if deblock:
+            pps_kw.update(pps_deblocking_filter_control_present_flag=1,
+                          pps_deblocking_filter_override_enabled_flag=1,
+                          pps_dbf_info_in_ph_flag=1)
+        # the in-PH flag group is only coded with a picture partition
+        # (h266.py:1159); use a 2-column tile grid + one raster slice
+        # (a 1x1 grid would infer pps_rect_slice_flag=1 + single-slice-
+        # per-subpic, which crashes the oracle's CBS — see
+        # forge_subpic_stream)
+        sps_r.sps_entry_point_offsets_present_flag = 1
+        ctu = 1 << (sps_r.sps_log2_ctu_size_minus5 + 5)
+        w_ctu = -(-width // ctu)
+        h_ctu = -(-height // ctu)
+        assert w_ctu >= 2, "info_in_ph forge needs >= 2 CTU columns"
+        pps_r = build_tiled_pps(sps_r, (w_ctu - w_ctu // 2, w_ctu // 2),
+                                (h_ctu,), **pps_kw)
+    else:
+        pps_r = build_pps(sps_r, **pps_kw)
     if n_refs is None:
         n_refs = (1, 1) if slice_type == SLICE_B else (1, 0)
     stream = write_nal(NalType.SPS, write_sps(sps_r))
@@ -1116,7 +1312,8 @@ def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
             nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0,
                                     idr=True, alf_aps=alf_aps, ccalf=ccalf,
                                     lmcs_aps=lmcs_aps,
-                                    scaling_aps=scaling_aps)
+                                    scaling_aps=scaling_aps,
+                                    info_in_ph=info_in_ph, ph_kw=ph_kw)
         else:
             nr = (min(i, n_refs[0]), min(i, n_refs[1])
                   if slice_type == SLICE_B else 0)
@@ -1125,7 +1322,8 @@ def forge_inter_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
                                     n_refs=nr, collocated=prev,
                                     alf_aps=alf_aps, ccalf=ccalf,
                                     lmcs_aps=lmcs_aps,
-                                    scaling_aps=scaling_aps)
+                                    scaling_aps=scaling_aps,
+                                    info_in_ph=info_in_ph, ph_kw=ph_kw)
         stream += nal
     return stream
 
