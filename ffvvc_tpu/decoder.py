@@ -161,7 +161,7 @@ class VVCDecoder:
         # "gop", CTU-row slabs over "tile"; drains at inter ref barriers
         self._mesh_q = None
         g, t = self.config.mesh_shape
-        if g * t > 1 or self.config.device_pipeline:
+        if g * t > 1:
             from .parallel.filters import make_mesh_exact, MeshFilterQueue
             self._mesh_q = MeshFilterQueue(make_mesh_exact((g, t)))
 
@@ -721,7 +721,7 @@ class VVCDecoder:
                     not (cfg.backend == "tpu" and
                          (cfg.device_intra or cfg.device_deblock or
                           cfg.device_sao or cfg.device_alf or
-                          cfg.device_lmcs))):
+                          cfg.device_lmcs or cfg.device_pipeline))):
                 if self._pixel_stages_rows(frame, sps, pps, tabs, fb,
                                            recon_jobs, lmcs, sh_list,
                                            alf_list):
@@ -733,11 +733,19 @@ class VVCDecoder:
                         if tree is not None:
                             tree.release_records()
                     return
-            # mesh: defer recon's residual add for inter-only frames (no
-            # intra/CIIP CUs — those need the sequential neighbour walk)
-            # so the add runs as a sharded pass batched over the gop axis
+            # fused device-resident chain (config.device_pipeline,
+            # ops/fused_device.py): recon runs host (or as a deferred
+            # residual-add stage for inter-only frames), then
+            # [residual-add]/LMCS/deblock-V/H/SAO/ALF/CC-ALF run as ONE
+            # jitted device function — planes upload once, download once
+            fused = (mesh is None and cfg.backend == "tpu" and
+                     cfg.device_pipeline)
+            # mesh/fused: defer recon's residual add for inter-only frames
+            # (no intra/CIIP CUs — those need the sequential neighbour
+            # walk) so the add runs as a batched device pass
             defer_res = self._deferred_residuals(recon_jobs, fb) \
-                if (mesh is not None and is_inter_frame) else None
+                if ((mesh is not None or fused) and is_inter_frame) \
+                else None
             did_dev_intra = False
             if (defer_res is None and self.config.backend == "tpu" and
                     self.config.device_intra and not is_inter_frame):
@@ -755,6 +763,28 @@ class VVCDecoder:
                         for rs, rx, ry in ctus:
                             rec.reconstruct_ctu(rs, rx, ry)
             _stage("recon")
+            if fused:
+                from .ops.fused_device import fused_frame_filters
+                if fused_frame_filters(sps, pps, tabs, fb, sh_list,
+                                       alf_list, lmcs, recon_jobs,
+                                       frame.slice_rpls,
+                                       res_planes=defer_res):
+                    _stage("fused")
+                    if dph is not None and cfg.verify_picture_hash:
+                        self._check_picture_hash(frame, dph)
+                    for rec, _ in recon_jobs:
+                        tree = getattr(rec.nbr, "native_tree", None)
+                        if tree is not None:
+                            tree.release_records()
+                    return
+                if defer_res is not None:
+                    # ineligible frame: land the deferred add on host and
+                    # fall through to the host stages
+                    mxv = (1 << sps.bit_depth) - 1
+                    for c, r in enumerate(defer_res):
+                        fb.planes[c][:] = np.clip(
+                            fb.planes[c].astype(np.int32) + r, 0, mxv)
+                    defer_res = None
             # LMCS inverse mapping (stage before deblock, vvc_thread.c:44,
             # ff_vvc_lmcs_filter vvc_filter.c:1322)
             lmcs_ctx = None
@@ -881,17 +911,42 @@ class VVCDecoder:
     def _mc_row_needs(self, tabs, sps, pps):
         """Per-CTU-row max referenced luma row (exclusive) for inter MC:
         the vectorized analogue of the reference's per-CU max-ref-y
-        (cu_get_max_y, vvc_ctu.c:2327), with a conservative margin for
-        the 8-tap reach, DMVR search and BDOF/PROF rings."""
+        (cu_get_max_y, vvc_ctu.c:2327), with a conservative margin.
+
+        MARGIN derivation (worst read row past `bottom + (mvy >> 4)`,
+        where bottom is the 4x4's exclusive bottom and mvy>>4 floors the
+        1/16-pel vertical MV to int-pel):
+          * 8-tap luma interp: taps reach +4 past the int sample row of
+            the block's last row -> +3;
+          * 4:2:0 chroma 4-tap: +2 chroma rows = +4 luma, plus the
+            half-pel floor -> +5;
+          * DMVR: +-2 int-pel refinement on top of the stored (unrefined)
+            MV, then the final 8-tap / chroma fetch -> +7 worst
+            (2 + chroma 5);
+          * BDOF / PROF: +1 sample ring on the (possibly refined)
+            prediction -> dominated by the DMVR chroma bound.
+        Worst case +7; MARGIN = 12 keeps slack.
+
+        GPM hazard: a GPM block computes BOTH parts' whole-block
+        predictions (blended), but the 4x4 grid stores each part's MV
+        only in its own region (ff_vvc_set_mvf storage) — a stored MV's
+        true reach is the BLOCK bottom, not the storing 4x4's bottom.
+        GPM blocks never span CTU rows, so on GPM-capable frames the
+        per-4x4 bottom is replaced by its CTU row's bottom (pinned by
+        tests/test_pipeline.py::test_mc_row_needs_gpm)."""
         MARGIN = 12
         pf = tabs.mvf_pf
         mvy = tabs.mvf_mv[:, :, :, 1] >> 4        # [2, h4, w4] int-pel
         h4 = pf.shape[0]
-        bottom = (np.arange(h4, dtype=np.int64)[:, None] + 1) * 4
+        ctb4 = sps.ctb_size_y >> 2
+        if sps.r.sps_gpm_enabled_flag:
+            rows4 = np.arange(h4, dtype=np.int64)
+            bottom = ((rows4 // ctb4 + 1) * sps.ctb_size_y)[:, None]
+        else:
+            bottom = (np.arange(h4, dtype=np.int64)[:, None] + 1) * 4
         reach = np.where((pf & 1) != 0, bottom + mvy[0] + MARGIN, 0)
         reach = np.maximum(
             reach, np.where((pf & 2) != 0, bottom + mvy[1] + MARGIN, 0))
-        ctb4 = sps.ctb_size_y >> 2
         return [min(pps.height,
                     int(reach[r * ctb4:(r + 1) * ctb4].max(initial=0)))
                 for r in range(pps.ctb_height)]
@@ -957,6 +1012,12 @@ class VVCDecoder:
                 rec.native_recon.reconstruct_ctus(
                     [t for _, t in items[i:j]])
                 i = j
+
+        def lmcs_row(r):
+            # LMCS inverse lags recon one row: row r+1's intra prediction
+            # reads row r's MAPPED-domain bottom samples (spec 8.7.5.2 —
+            # inverse mapping is a picture-reconstruction stage, after
+            # all intra neighbour reads)
             if lrows is not None:
                 for rs, rx, ry in lrows[r]:
                     x0 = rx * ctb
@@ -989,6 +1050,7 @@ class VVCDecoder:
             if t < R:
                 recon_row(t)
             if 1 <= t <= R:
+                lmcs_row(t - 1)
                 db.deblock_rows(True, t - 1, t)        # V(t-1)
             if 2 <= t <= R + 1:
                 db.deblock_rows(False, t - 2, t - 1)   # H(t-2)

@@ -409,8 +409,15 @@ class VVCLMCS:
         for s in range(mx):
             while i <= self.max_bin_idx and s >= self.pivot[i + 1]:
                 i += 1
+            # samples >= pivot[max_bin_idx+1] land on bin max_bin_idx+1
+            # (mirrors the reference, vvc_ps.c:658-662) — except when
+            # max_bin_idx == 15, where the reference reads
+            # input_pivot[16] OUT OF BOUNDS (stack overread, UB).  The
+            # spec's piecewise-index identification (8.8.2.3) clamps to
+            # LmcsMaxBinIdx; do that for the UB case.
             inv[s] = lut_sample(s, input_pivot, self.pivot,
-                                inv_scale_coeff, i)
+                                inv_scale_coeff,
+                                min(i, self.BIN_SIZE - 1))
         self.fwd_lut = fwd
         self.inv_lut = inv
 

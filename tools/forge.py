@@ -123,13 +123,14 @@ class FuzzPolicy:
     """Random-legal syntax choices + sparse random residuals."""
 
     def __init__(self, seed, max_level=40, density=0.15, split_p=0.5,
-                 residual_p=0.7):
+                 residual_p=0.7, mvd_max=64):
         self.rng = random.Random(seed)
         self.nrng = np.random.default_rng(seed)
         self.max_level = max_level
         self.density = density
         self.split_p = split_p
         self.residual_p = residual_p
+        self.mvd_max = mvd_max     # abs_mvd_minus2 range (1/16 pel)
         self._coeff_cache = {}
 
     def __call__(self, tag, **ctx):
@@ -196,7 +197,7 @@ class FuzzPolicy:
         if tag == "abs_mvd_greater1_flag":
             return int(r.random() < 0.5)
         if tag == "abs_mvd_minus2":
-            return r.randrange(0, 64)
+            return r.randrange(0, self.mvd_max)
         if tag == "cu_coded_flag":
             return int(r.random() < 0.8)
         if tag in ("sbt_flag", "sbt_quad_flag", "sbt_horizontal", "sbt_pos"):
@@ -393,7 +394,11 @@ def make_lmcs_aps(rng, aps_id=0, chroma=True, bit_depth=8):
     a.aps_adaptation_parameter_set_id = aps_id
     a.aps_chroma_present_flag = int(chroma)
     a.lmcs_min_bin_idx = rng.randrange(0, 4)
-    a.lmcs_delta_max_bin_idx = rng.randrange(0, 4)
+    # never 0: max_bin_idx == 15 with sum(cw) < max makes the reference's
+    # inverse-LUT derivation read input_pivot[16] out of bounds
+    # (vvc_ps.c:658-662, stack overread UB) — differential tests against
+    # the oracle would compare against garbage
+    a.lmcs_delta_max_bin_idx = rng.randrange(1, 4)
     a.lmcs_delta_cw_prec_minus1 = 2
     org_cw = (1 << bit_depth) // 16
     a.lmcs_delta_abs_cw = [0] * 16
@@ -1347,7 +1352,8 @@ def forge_gdr_stream(seed=0, width=64, height=64, qp=32, nframes=4,
 
 
 def forge_hier_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
-                      ngops=2, deblock=True, pps_kw=None, **sps_kw):
+                      ngops=2, deblock=True, pps_kw=None, policy_kw=None,
+                      **sps_kw):
     """Hierarchical GOP: IDR, then per GOP a P frame (poc+2) and a B frame
     (poc+1) with one past L0 ref and one FUTURE L1 ref — symmetric POC
     distances, the trigger condition for DMVR/BDOF (vvc_ctu.c:1646)."""
@@ -1360,7 +1366,7 @@ def forge_hier_stream(seed=0, width=64, height=64, qp=32, bit_depth=8,
     pps_r = build_pps(sps_r, **pps_kw)
     stream = write_nal(NalType.SPS, write_sps(sps_r))
     stream += write_nal(NalType.PPS, write_pps(pps_r, sps_r))
-    policy = FuzzPolicy(seed)
+    policy = FuzzPolicy(seed, **(policy_kw or {}))
     nal, prev = forge_frame(sps_r, pps_r, policy, qp=qp, poc=0, idr=True)
     stream += nal
     shims = {0: prev}
