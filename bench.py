@@ -107,7 +107,8 @@ def main():
     # for minutes and poisons the timings.  The device mode runs in its
     # own subprocess with its own env.
     os.environ.setdefault("FFVVC_ITX", "host")
-    from tools.forge import forge_tools_stream, forge_hier_stream
+    from tools.forge import (forge_tools_stream, forge_hier_stream,
+                             forge_scaling_stream)
     from ffvvc_tpu.decoder import VVCDecoder
     from ffvvc_tpu.config import DecoderConfig
     from ffvvc_tpu.pipeline import decode_parallel
@@ -153,16 +154,29 @@ def main():
         # median resists outlier draws in either direction.
         if workers > 1:
             import statistics
+            # the BASELINE-named scaling stream (BASELINE.md:26): multi-
+            # IDR RA segments at UHD with 2 subpictures over a 2x2 tile
+            # grid, one rect slice per subpic — GOP decode shards the
+            # segments across workers/hosts.  8K via
+            # FFVVC_BENCH_SCALING_SIZE=7680x4320.
+            sw, sh_ = (int(v) for v in os.environ.get(
+                "FFVVC_BENCH_SCALING_SIZE", "3840x2160").split("x"))
+            scal = _cached_stream(
+                f"scaling10:{sw}x{sh_}:4",
+                lambda: forge_scaling_stream(seed=0, width=sw, height=sh_,
+                                             qp=37, bit_depth=10,
+                                             nframes=4))
             nopipe = DecoderConfig(pipeline_frames=False, stage_threads=1)
             prev_itx = os.environ.get("FFVVC_ITX")
             os.environ["FFVVC_ITX"] = "host"
             try:
+                decode_parallel(scal, workers=workers, config=nopipe)
                 ratios = []
-                for _ in range(7):
+                for _ in range(5):
                     d1, _o = _time_best(lambda: decode_parallel(
-                        stream, workers=1, config=nopipe), n=1)
+                        scal, workers=1, config=nopipe), n=1)
                     dn, _o = _time_best(lambda: decode_parallel(
-                        stream, workers=workers, config=nopipe), n=1)
+                        scal, workers=workers, config=nopipe), n=1)
                     ratios.append(d1 / (workers * dn))
             finally:
                 if prev_itx is None:
@@ -171,6 +185,7 @@ def main():
                     os.environ["FFVVC_ITX"] = prev_itx
             extra["scaling_efficiency"] = round(statistics.median(ratios), 4)
             extra["scaling_workers"] = workers
+            extra["scaling_stream"] = f"{sw}x{sh_}_subpic_tiles"
 
         # --- random access: hier-GOP 10-bit DMVR/BDOF + affine.  Two
         # IDR-led random-access segments (RA = periodic RAPs), so both the
@@ -264,16 +279,27 @@ def main():
             "                  'backend': jax.default_backend()}),\n"
             "      flush=True)\n"
             "s = open(sys.argv[1], 'rb').read()\n"
-            "cfg = DecoderConfig(device_deblock=True, device_sao=True,\n"
-            "                    device_alf=True, device_lmcs=True)\n"
+            # the fused device-resident chain (ops/fused_device.py): one
+            # jitted LMCS/deblock/SAO/ALF/CC-ALF launch per frame, planes
+            # up once / down once — transfer bytes measured and printed
+            "cfg = DecoderConfig(device_pipeline=True)\n"
             "VVCDecoder(cfg).decode(s)\n"          # warm compiles
+            "from ffvvc_tpu.ops import fused_device as fd\n"
+            "fd.reset_stats()\n"
             "t0 = time.monotonic()\n"
             "frames = VVCDecoder(cfg).decode(s)\n"
             "best = time.monotonic() - t0\n"
             "import hashlib\n"
             "yuv = b''.join(f.to_yuv_bytes() for f in frames)\n"
+            "n = max(1, fd.stats['frames'])\n"
             "print(json.dumps({'fps': len(frames) / best,\n"
-            "                  'md5': hashlib.md5(yuv).hexdigest()}))\n"
+            "                  'md5': hashlib.md5(yuv).hexdigest(),\n"
+            "                  'fused_frames': fd.stats['frames'],\n"
+            "                  'up_MB_per_frame':\n"
+            "                      round(fd.stats['up_bytes'] / n / 1e6, 3),\n"
+            "                  'down_MB_per_frame':\n"
+            "                      round(fd.stats['down_bytes'] / n / 1e6,\n"
+            "                            3)}))\n"
         ) % os.path.dirname(os.path.abspath(__file__))
 
         def _wire_from(out):
@@ -301,6 +327,10 @@ def main():
                 assert dev["md5"] == hashlib.md5(ref_dev_yuv).hexdigest(), \
                     "device-path decode NOT bit-exact vs oracle"
             extra["device_fps"] = round(dev["fps"], 4)
+            for k in ("fused_frames", "up_MB_per_frame",
+                      "down_MB_per_frame"):
+                if k in dev:
+                    extra[f"device_{k}"] = dev[k]
         except subprocess.TimeoutExpired as e:
             out = e.stdout
             if isinstance(out, bytes):

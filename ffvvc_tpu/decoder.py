@@ -596,9 +596,7 @@ class VVCDecoder:
                     self._join_pixels()
                 all_native = all(not hasattr(ip, "c")
                                  for ip, _ in inter_jobs)
-                if (self.config.row_progress and all_native and
-                        not (self.config.backend == "tpu" and
-                             self.config.device_mc)):
+                if self.config.row_progress and all_native:
                     # row-granular gating: MC below waits per CTU row on
                     # just the reference rows it needs (wait_rows);
                     # references that can't publish rows degrade to a
@@ -636,21 +634,35 @@ class VVCDecoder:
                     ip.predict_inter_ctu(rs)
             else:                     # NativeRecon (native/vvc_inter.c)
                 native_mc.extend((ip, rs, rx, ry) for rs, rx, ry in ctus)
+        dev_mc = self.config.backend == "tpu" and self.config.device_mc
         if native_mc and row_wait_refs:
             # row-granular MC: walk CTU rows in order, waiting on just the
             # reference rows this row's MVs reach (+ filter/refinement
             # margin) — the reference's schedule_inter row gating
-            # (vvc_thread.c:281-296, max-y per CU from cu_get_max_y)
+            # (vvc_thread.c:281-296, max-y per CU from cu_get_max_y).
+            # With device_mc, each row-band runs as its own batched device
+            # MC call (row overlap and device offload compose).
             needy = self._mc_row_needs(tabs, sps, pps)
             from collections import defaultdict
             by_row = defaultdict(list)
             for item in native_mc:
                 by_row[item[3]].append(item)
+            if dev_mc:
+                from .ops.mc_device import frame_device_mc
             for ry in sorted(by_row):
                 need = needy[ry]
                 for rf in row_wait_refs:
                     rf.wait_rows(need)
                 items = by_row[ry]
+                if dev_mc:
+                    jobs_row = defaultdict(list)
+                    for _ip, rs, rx, r2 in items:
+                        jobs_row[id(_ip)].append((rs, rx, r2))
+                    ips = {id(_ip): _ip for _ip, *_ in items}
+                    frame_device_mc([(ips[k], v)
+                                     for k, v in jobs_row.items()],
+                                    sps, sps.bit_depth)
+                    continue
                 i = 0
                 while i < len(items):
                     ip = items[i][0]
@@ -661,8 +673,7 @@ class VVCDecoder:
                         [(rs, rx, r2) for _, rs, rx, r2 in items[i:j]])
                     i = j
             native_mc = []
-        if native_mc and self.config.backend == "tpu" and \
-                self.config.device_mc:
+        if native_mc and dev_mc:
             # batched device MC for simple regular blocks; the same C call
             # host-filters the complex ones (ops/mc_device.py)
             from .ops.mc_device import frame_device_mc

@@ -270,7 +270,7 @@ def _chain(meta, a):
             key = f"db{d}c{c}"
             if not m[key]:
                 continue
-            s = a[key]
+            s = a[key].astype(jnp.int32)   # uploaded int16 (half traffic)
             if c == 0:
                 planes[0] = _luma_math(planes[0], s[0], s[1], s[2], s[3],
                                        s[4], s[5], s[6], vertical, pix_max)
@@ -641,9 +641,11 @@ def fused_frame_filters(sps, pps, tabs, fb, sh_list, alf_list, lmcs,
                 (ras.chroma_segs.get(c) or [])
             meta[f"db{d}c{c}"] = bool(segs)
             if segs:
+                # int16 on the wire: px/py < 2^15 for any level-supported
+                # picture, tc <= 1580 (12-bit), beta <= 1408
                 B = _pad_pow2(len(segs))
-                a = np.zeros((7, B), np.int32)
-                a[:, :len(segs)] = np.asarray(segs, np.int32).T
+                a = np.zeros((7, B), np.int16)
+                a[:, :len(segs)] = np.asarray(segs, np.int16).T
                 arrs[f"db{d}c{c}"] = _up(a)
     # --- SAO ---
     sf = SaoFilter(sps, pps, tabs, fb)

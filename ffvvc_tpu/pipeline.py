@@ -179,9 +179,12 @@ _POOLS = {}
 
 
 def _get_pool(workers: int):
-    """Persistent fork pool per worker count (frame pipeline stays warm
+    """Persistent worker pool per worker count (frame pipeline stays warm
     across decode calls, like the reference's long-lived executor threads,
-    executor.c:135-166)."""
+    executor.c:135-166).
+
+    Plain fork (warm COW state); the child-side thread pools are
+    fork-safe via the pid-keyed executor cache (threads.py)."""
     pool = _POOLS.get(workers)
     if pool is None:
         ctx = multiprocessing.get_context("fork")

@@ -9,7 +9,6 @@ worker processes set stage_threads=1 to avoid oversubscription.
 """
 from __future__ import annotations
 
-import functools
 import os
 from concurrent.futures import ThreadPoolExecutor
 
@@ -20,9 +19,20 @@ def resolve(stage_threads: int) -> int:
     return os.cpu_count() or 1
 
 
-@functools.lru_cache()
+_EXECS = {}
+
+
 def executor(n: int) -> ThreadPoolExecutor:
-    return ThreadPoolExecutor(max_workers=n)
+    """Shared pool, keyed by (pid, n): a forked child must NOT inherit the
+    parent's cached executor — its worker threads do not exist after
+    fork, while the executor's bookkeeping still lists them, so submits
+    would queue forever (this deadlocked GOP workers parsing multi-
+    entry-point streams whenever the parent had parsed one first)."""
+    key = (os.getpid(), n)
+    ex = _EXECS.get(key)
+    if ex is None:
+        ex = _EXECS[key] = ThreadPoolExecutor(max_workers=n)
+    return ex
 
 
 def run_parallel(n: int, thunks) -> None:

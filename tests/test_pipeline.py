@@ -176,3 +176,97 @@ def test_row_margin_adversarial(seed, kw):
     plain = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
         DecoderConfig(row_progress=False, pipeline_frames=False)).decode(s))
     assert rowed == plain
+
+
+def test_row_progress_with_device_mc():
+    """Round-5 (VERDICT r4 item 8): row_progress and device_mc compose —
+    the consumer's MC does per-row waits and each row-band runs as a
+    batched device MC call; output byte-exact vs the plain decode."""
+    from forge import forge_hier_stream
+    from ffvvc_tpu.decoder import VVCDecoder, DecodedFrame
+    from ffvvc_tpu.config import DecoderConfig
+    from ffvvc_tpu.ops import mc_device
+
+    s = forge_hier_stream(seed=1, width=192, height=160, qp=32,
+                          bit_depth=10, ngops=2, deblock=True,
+                          sps_sao_enabled_flag=1, sps_alf_enabled_flag=1,
+                          sps_temporal_mvp_enabled_flag=1,
+                          sps_dmvr_enabled_flag=1, sps_bdof_enabled_flag=1)
+    log = {"waits": 0, "mc_calls": 0}
+    orig_wait = DecodedFrame.wait_rows
+    orig_mc = mc_device.frame_device_mc
+
+    def spy_wait(self, y):
+        log["waits"] += 1
+        return orig_wait(self, y)
+
+    def spy_mc(jobs, sps, bd):
+        log["mc_calls"] += 1
+        return orig_mc(jobs, sps, bd)
+
+    DecodedFrame.wait_rows = spy_wait
+    mc_device.frame_device_mc = spy_mc
+    try:
+        a = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+            DecoderConfig(device_mc=True)).decode(s))
+    finally:
+        DecodedFrame.wait_rows = orig_wait
+        mc_device.frame_device_mc = orig_mc
+    b = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(row_progress=False, pipeline_frames=False)).decode(s))
+    assert a == b, "row+device_mc decode differs"
+    # per-row device MC engaged: more MC calls than frames, waits observed
+    assert log["mc_calls"] >= 4, log
+    assert log["waits"] >= 1, log
+
+
+def test_parallel_after_sequential_multi_ep():
+    """Round-5 regression: sequential decode of a multi-entry-point
+    stream populates the shared stage-thread pool; GOP workers forked
+    AFTERWARDS must not inherit it (the executor's bookkeeping lists
+    parent threads that don't exist post-fork -> submits queue forever).
+    threads.executor is pid-keyed for this."""
+    from forge import forge_scaling_stream
+    s = forge_scaling_stream(seed=0, width=256, height=128, qp=34,
+                             nframes=3)
+    seq = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    par = decode_parallel(s, workers=2)
+    assert b"".join(par) == seq
+
+
+def test_scaling_stream_conformance(tmp_path):
+    """The BASELINE scaling config (multi-IDR, 2 subpictures over a 2x2
+    tile grid, one rect slice per subpic) decodes bit-exactly vs the
+    oracle and splits into one segment per IDR (BASELINE.md:26)."""
+    import subprocess, os as _os
+    from forge import forge_scaling_stream
+    from ffvvc_tpu.bitstream import split_annexb, BitReader
+    from ffvvc_tpu.bitstream.h266 import read_sps, read_pps, H266ParamSets
+    from ffvvc_tpu.bitstream.nal import NalType
+    s = forge_scaling_stream(seed=1, width=256, height=128, qp=34,
+                             nframes=3)
+    # tiles + subpics genuinely active in the bitstream
+    ps = H266ParamSets()
+    for nal in split_annexb(s):
+        if nal.nal_unit_type == NalType.SPS:
+            sps = read_sps(BitReader(nal.rbsp))
+            ps.store_sps(sps)
+        elif nal.nal_unit_type == NalType.PPS:
+            pps = read_pps(BitReader(nal.rbsp), ps)
+    assert sps.sps_num_subpics_minus1 == 1
+    assert pps.num_tiles_in_pic == 4
+    assert len(segment_stream(s)) == 3
+    ref = None
+    oracle = _os.path.join(_os.path.dirname(__file__), "..", ".refbuild",
+                           "ffmpeg")
+    if _os.path.exists(oracle):
+        bit = str(tmp_path / "sc.bit")
+        yuv = str(tmp_path / "sc.yuv")
+        open(bit, "wb").write(s)
+        subprocess.run([oracle, "-hide_banner", "-loglevel", "error",
+                        "-threads", "1", "-f", "vvc", "-i", bit,
+                        "-f", "rawvideo", "-y", yuv], check=True)
+        ref = open(yuv, "rb").read()
+    mine = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    if ref is not None:
+        assert mine == ref

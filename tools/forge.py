@@ -1143,6 +1143,45 @@ def forge_subpic_stream(seed=0, width=128, height=64, qp=30, bit_depth=8,
     return stream
 
 
+def forge_scaling_stream(seed=0, width=3840, height=2160, qp=37,
+                         bit_depth=10, nframes=4, ctu_log2=6, **sps_kw):
+    """BASELINE scaling stream: multi-IDR (RA segment per frame, so GOP
+    decode shards across workers/hosts) with TWO subpictures (left/right
+    halves) over a 2x2 tile grid, one rect slice per subpic spanning its
+    tile column.  BASELINE.md:26 names this config for the GOP-parallel
+    scaling metric; subpic/tile geometry per vvc_ps.c:414 pps_slice_map."""
+    ctu = 1 << ctu_log2
+    w_ctu = -(-width // ctu)
+    h_ctu = -(-height // ctu)
+    assert w_ctu % 2 == 0
+    half = w_ctu // 2
+    rows = (h_ctu - h_ctu // 2, h_ctu // 2)
+    sps_r = build_sps(width, height, bit_depth=bit_depth, ctu_log2=ctu_log2,
+                      min_qt_log2=2, max_mtt_depth=2,
+                      sps_subpic_info_present_flag=1,
+                      sps_num_subpics_minus1=1,
+                      sps_independent_subpics_flag=1,
+                      sps_subpic_same_size_flag=0,
+                      sps_subpic_ctu_top_left_x=[0, half],
+                      sps_subpic_ctu_top_left_y=[0, 0],
+                      sps_subpic_width_minus1=[half - 1, half - 1],
+                      sps_subpic_height_minus1=[h_ctu - 1, h_ctu - 1],
+                      sps_subpic_id_len_minus1=0,
+                      sps_entry_point_offsets_present_flag=1,
+                      **sps_kw)
+    pps_r = build_tiled_pps(sps_r, (half, half), rows)
+    pps_r.pps_rect_slice_flag = 1
+    pps_r.pps_single_slice_per_subpic_flag = 0
+    pps_r.pps_num_slices_in_pic_minus1 = 1
+    pps_r.pps_tile_idx_delta_present_flag = 0
+    # each slice: 1 tile wide, the full 2-tile column tall
+    pps_r.pps_slice_width_in_tiles_minus1 = [0, 0]
+    pps_r.pps_slice_height_in_tiles_minus1 = [1, 1]
+    pps_r.pps_num_exp_slices_in_tile = [0, 0]
+    return _forge_rect_frames(sps_r, pps_r, seed, qp, nframes, SLICE_I,
+                              [(0, 1), (1, 1)])
+
+
 def forge_rect_slice_stream(seed=0, width=128, height=64, qp=30, bit_depth=8,
                             nframes=2, slice_type=SLICE_I, lf_across_tiles=1,
                             lf_across_slices=1, **sps_kw):
