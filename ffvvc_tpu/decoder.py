@@ -661,7 +661,8 @@ class VVCDecoder:
                     ips = {id(_ip): _ip for _ip, *_ in items}
                     frame_device_mc([(ips[k], v)
                                      for k, v in jobs_row.items()],
-                                    sps, sps.bit_depth)
+                                    sps, sps.bit_depth,
+                                    mesh=self._mc_mesh())
                     continue
                 i = 0
                 while i < len(items):
@@ -675,11 +676,14 @@ class VVCDecoder:
             native_mc = []
         if native_mc and dev_mc:
             # batched device MC for simple regular blocks; the same C call
-            # host-filters the complex ones (ops/mc_device.py)
+            # host-filters the complex ones (ops/mc_device.py).  In mesh
+            # mode the put batches shard over the "tile" axis (refs
+            # replicated) so an inter frame's MC runs on all devices.
             from .ops.mc_device import frame_device_mc
             njobs = [(ip, ctus) for ip, ctus in inter_jobs
                      if not hasattr(ip, "c")]
-            frame_device_mc(njobs, sps, sps.bit_depth)
+            frame_device_mc(njobs, sps, sps.bit_depth,
+                            mesh=self._mc_mesh())
             native_mc = []
         if native_mc:
             # MC CTUs are data-independent (refs are other frames; DMVR
@@ -918,6 +922,10 @@ class VVCDecoder:
         else:
             pixel_stages()
         return outputs
+
+    def _mc_mesh(self):
+        """Mesh for sharded device-MC puts (None on a single device)."""
+        return self._mesh_q.mesh if self._mesh_q is not None else None
 
     def _mc_row_needs(self, tabs, sps, pps):
         """Per-CTU-row max referenced luma row (exclusive) for inter MC:

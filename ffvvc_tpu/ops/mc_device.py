@@ -39,12 +39,9 @@ def _filter_banks():
             jnp.asarray(t["chroma_filters"].astype(np.int32)))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("w", "h", "is_luma", "bd", "fclass",
-                                    "wrap", "boxed"))
-def _mc_put_batch(ref, xs, ys, hf, vf, box, w: int, h: int, is_luma: bool,
-                  bd: int, fclass: int, wrap: int = 0,
-                  boxed: bool = False):
+def _mc_put_math(ref, xs, ys, hf, vf, box, w: int, h: int, is_luma: bool,
+                 bd: int, fclass: int, wrap: int = 0,
+                 boxed: bool = False):
     """Batched put: ref [H, W] int32; xs/ys [B] block origins (integer-pel,
     already including mv>>4); hf/vf [B, taps] filter rows.  fclass selects
     the put variant (0: copy, 1: h only, 2: v only, 3: hv) — the
@@ -93,6 +90,40 @@ def _mc_put_batch(ref, xs, ys, hf, vf, box, w: int, h: int, is_luma: bool,
     for k in range(taps):
         acc = acc + tmp[:, k:k + h, :] * vf[:, k, None, None]
     return acc >> 6
+
+
+_mc_put_batch = functools.partial(
+    jax.jit, static_argnames=("w", "h", "is_luma", "bd", "fclass",
+                              "wrap", "boxed"))(_mc_put_math)
+
+# mesh-sharded puts: the batch axis of a bucket partitions over the
+# "tile" mesh axis (reference planes replicated — each device gathers
+# its own blocks), the sharded outputs concatenate back.  The collective
+# form of the reference's per-CTU inter tasks running on every worker
+# (vvc_thread.c:432-450).
+_SHARD_PUT_CACHE = {}
+sharded_puts = 0      # diagnostic counter (tests assert engagement)
+
+
+def _sharded_put_fn(mesh, statics):
+    key = (id(mesh),) + statics
+    fn = _SHARD_PUT_CACHE.get(key)
+    if fn is None:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        w, h, is_luma, bd, fclass, wrap, boxed = statics
+
+        def local(ref, xs, ys, hf, vf, box):
+            return _mc_put_math(ref, xs, ys, hf, vf, box, w, h, is_luma,
+                                bd, fclass, wrap, boxed)
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("tile"), P("tile"), P("tile", None),
+                      P("tile", None), P("tile", None)),
+            out_specs=P("tile", None, None)))
+        _SHARD_PUT_CACHE[key] = fn
+    return fn
 
 
 @functools.partial(jax.jit, static_argnames=("bd",))
@@ -286,23 +317,48 @@ def _mc_uni_w_batch(val, denom, wx, ox, bd: int):
 
 
 def mc_put_batch(ref_plane, xs, ys, frac_x, frac_y, w, h, is_luma, bd,
-                 hf_idx=0, vf_idx=0, wrap=0, box=None):
+                 hf_idx=0, vf_idx=0, wrap=0, box=None, mesh=None):
     """Host-facing batched put for one (w, h, frac-class) bucket.
 
     ref_plane: np.int32 [H, W]; xs/ys/frac_x/frac_y: np arrays [B].
     All blocks in a call share bool(frac_x) / bool(frac_y) (the caller
     buckets by frac-class); per-block fractional phases may differ.
     box: optional [B, 4] inclusive clamp boxes (DMVR prefetch windows).
-    Returns np.int32 [B, h, w] (14-bit domain)."""
+    mesh: optional jax Mesh with a "tile" axis — the batch partitions
+    across its devices (per-bucket fallback to single-device when the
+    bucket is smaller than the axis).  Returns np.int32 [B, h, w]
+    (14-bit domain)."""
+    global sharded_puts
     lf, cf = _filter_banks()
     bank = lf[hf_idx] if is_luma else cf[hf_idx]
     bankv = lf[vf_idx] if is_luma else cf[vf_idx]
     fclass = (1 if frac_x.any() else 0) | (2 if frac_y.any() else 0)
-    hf = bank[jnp.asarray(frac_x)]
-    vf = bankv[jnp.asarray(frac_y)]
     boxed = box is not None
     if not boxed:
         box = np.zeros((len(xs), 4), np.int32)
+    B = len(xs)
+    t = mesh.shape["tile"] if mesh is not None else 1
+    if mesh is not None and B >= t:
+        pad = (-B) % t
+        if pad:
+            def padded(a):
+                a = np.asarray(a)
+                return np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+            xs, ys = padded(xs), padded(ys)
+            frac_x, frac_y = padded(frac_x), padded(frac_y)
+            box = padded(box)
+        fn = _sharded_put_fn(mesh, (int(w), int(h), bool(is_luma),
+                                    int(bd), int(fclass), int(wrap),
+                                    boxed))
+        out = fn(jnp.asarray(np.asarray(ref_plane, np.int32)),
+                 jnp.asarray(np.asarray(xs, np.int32)),
+                 jnp.asarray(np.asarray(ys, np.int32)),
+                 bank[jnp.asarray(frac_x)], bankv[jnp.asarray(frac_y)],
+                 jnp.asarray(np.asarray(box, np.int32)))
+        sharded_puts += 1
+        return np.asarray(out)[:B]
+    hf = bank[jnp.asarray(frac_x)]
+    vf = bankv[jnp.asarray(frac_y)]
     out = _mc_put_batch(jnp.asarray(ref_plane), jnp.asarray(xs),
                         jnp.asarray(ys), hf, vf,
                         jnp.asarray(np.asarray(box, np.int32)),
@@ -578,7 +634,7 @@ def _expand_subblocks(d, rpl, native_jobs, nc, hs, vs, add_put, entries,
                                     sbh >> vs, slots, wparams(c), False))
 
 
-def frame_device_mc(native_jobs, sps, bd):
+def frame_device_mc(native_jobs, sps, bd, mesh=None):
     """Whole-frame batched device MC for the regular (non-subblock) blocks
     of every native inter job, including explicit-weighted-prediction /
     BCW finals, LMCS forward mapping, and horizontal wraparound; complex
@@ -705,7 +761,7 @@ def frame_device_mc(native_jobs, sps, bd):
             b["plane"], np.asarray(b["xs"], np.int32),
             np.asarray(b["ys"], np.int32), np.asarray(b["fx"], np.int32),
             np.asarray(b["fy"], np.int32), b["w"], b["h"], b["is_luma"],
-            bd, b["hf"], b["hf"], b["wrap"], b["box"])
+            bd, b["hf"], b["hf"], b["wrap"], b["box"], mesh=mesh)
 
     prof_out = {}
     if prof_jobs:
