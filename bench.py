@@ -166,15 +166,23 @@ def main():
                 lambda: forge_scaling_stream(seed=0, width=sw, height=sh_,
                                              qp=37, bit_depth=10,
                                              nframes=4))
-            nopipe = DecoderConfig(pipeline_frames=False, stage_threads=1)
+            # parse_workers=1 on BOTH legs (auto would hand the 1-worker
+            # leg every core for threaded entry-point parse); the 1-worker
+            # leg runs through the same pool + shm transport (force_pool)
+            # so the ratio isolates the GOP axis, not the IPC machinery
+            nopipe = DecoderConfig(pipeline_frames=False, stage_threads=1,
+                                   parse_workers=1)
             prev_itx = os.environ.get("FFVVC_ITX")
             os.environ["FFVVC_ITX"] = "host"
             try:
                 decode_parallel(scal, workers=workers, config=nopipe)
+                decode_parallel(scal, workers=1, config=nopipe,
+                                force_pool=True)
                 ratios = []
                 for _ in range(5):
                     d1, _o = _time_best(lambda: decode_parallel(
-                        scal, workers=1, config=nopipe), n=1)
+                        scal, workers=1, config=nopipe, force_pool=True),
+                        n=1)
                     dn, _o = _time_best(lambda: decode_parallel(
                         scal, workers=workers, config=nopipe), n=1)
                     ratios.append(d1 / (workers * dn))

@@ -106,6 +106,10 @@ def load_lib():
                                         _P, _P, _P, _P, _P, _P, _P, _P,
                                         _P, _P, _P]
     lib.recon_residual_ctus.restype = _I
+    lib.plan_intra_ctus.argtypes = [ctypes.POINTER(_ReconParams), _I,
+                                    _P, _P, _P, _P, _P, _P, _P,
+                                    _P, ctypes.c_long, _P, _P]
+    lib.plan_intra_ctus.restype = ctypes.c_long
     lib.inter_ctus.argtypes = [ctypes.POINTER(_ReconParams),
                                ctypes.POINTER(_InterParams), _I,
                                _P, _P, _P, _P, _P]
@@ -445,6 +449,28 @@ class NativeRecon:
             tu_ps.ctypes.data, tb_ps.ctypes.data, co_ps.ctypes.data)
         if err:
             raise ValueError(f"native recon_ctus failed (err={err})")
+
+    PLAN_STRIDE = 26
+
+    def plan_ctus(self, ctus, plan_buf, wl, wc):
+        """Device-intra planner: walk the records in plan mode, emitting
+        PLAN_STRIDE-int32 descriptor rows per predict unit (geometry +
+        availability + wave) into plan_buf.  wl/wc are caller-zeroed
+        int32 wave maps (luma plane shape / chroma plane shape).  Consumes
+        NO record state (safe to run before residual_ctus).  Returns the
+        number of units, or raises on an unsupported CU."""
+        rxs, rys, rss, n_cus, cu_ps, tu_ps, tb_ps, _co = \
+            self._batch_arrays(ctus, True)
+        n = self.lib.plan_intra_ctus(
+            self._rp_ref, len(ctus),
+            rxs.ctypes.data, rys.ctypes.data, rss.ctypes.data,
+            cu_ps.ctypes.data, n_cus.ctypes.data,
+            tu_ps.ctypes.data, tb_ps.ctypes.data,
+            plan_buf.ctypes.data, plan_buf.shape[0],
+            wl.ctypes.data, wc.ctypes.data if wc is not None else 0)
+        if n < 0:
+            raise ValueError(f"native plan_intra_ctus failed (err={-n})")
+        return int(n)
 
     def residual_ctus(self, ctus, res_planes):
         """Device-intra support: run the record walk in residual-only mode,

@@ -47,6 +47,13 @@ long vvcr_stride_of(const ReconParams *rp, int c)
 #define plane_of vvcr_plane_of
 #define stride_of vvcr_stride_of
 
+/* plan mode (device intra planner) — definitions further down */
+static int32_t *plan_row(Recon *r);
+static int plan_strip_max(const int32_t *map, int H, int W, int y0, int y1,
+                          int x0, int x1);
+static void plan_fill(int32_t *map, int H, int W, int y0, int h, int x0,
+                      int w, int v);
+
 /* decode_neighbour (ctu.py:348), trimmed to what recon uses */
 static void recon_neighbour(Recon *r, int rx, int ry, int rs)
 {
@@ -469,6 +476,48 @@ static void cclm_pred(Recon *r, const int32_t *cu, int x0, int y0,
     int mx = (1 << rp->bit_depth) - 1;
     int avail_t = top_avail(r, cu[CU_X0], x0, y0, 1, 0);
     int avail_l = left_avail(r, cu[CU_Y0], x0, y0, 1, 0);
+    if (r->plan_mode) {
+        int pmode = cu[CU_IPM_C];
+        int ns_top = 0, ns_left = 0;
+        if (avail_t || avail_l) {
+            if (pmode == INTRA_LT_CCLM) {
+                ns_top = avail_t ? w : 0;
+                ns_left = avail_l ? h : 0;
+            } else {
+                if (avail_t && pmode == INTRA_T_CCLM)
+                    ns_top = top_avail(r, cu[CU_X0], x, y,
+                                       w + imin(w, h), 1);
+                if (avail_l && pmode == INTRA_T_CCLM - 1)
+                    ns_left = left_avail(r, cu[CU_Y0], x, y,
+                                         h + imin(w, h), 1);
+            }
+        }
+        /* wave: chroma neighbour strips + the collocated/neighbour luma
+         * window (conservative rects) */
+        int Hc = rp->height >> vs, Wc = rp->width >> hs;
+        int ext = imin(w, h);
+        int wave = plan_strip_max(r->plan_wc, Hc, Wc, y - 1, y,
+                                  x - 1, x + w + ext);
+        int wl2 = plan_strip_max(r->plan_wc, Hc, Wc, y - 1, y + h + ext,
+                                 x - 1, x);
+        if (wl2 > wave) wave = wl2;
+        int lw = plan_strip_max(r->plan_wl, rp->height, rp->width,
+                                y0 - 3, y0 + ((h + ext) << vs) + 2,
+                                x0 - 3, x0 + ((w + ext) << hs) + 2);
+        if (lw > wave) wave = lw;
+        wave += 1;
+        plan_fill(r->plan_wc, Hc, Wc, y, h, x, w, wave);
+        int32_t *row = plan_row(r);
+        if (!row) return;
+        row[PL_KIND] = PK_CCLM;
+        row[PL_C_IDX] = 1;
+        row[PL_X] = x; row[PL_Y] = y; row[PL_W] = w; row[PL_H] = h;
+        row[PL_MODE] = pmode;
+        row[PL_LA] = avail_l; row[PL_TA] = avail_t;
+        row[PL_AUX0] = ns_top; row[PL_AUX1] = ns_left;
+        row[PL_WAVE] = wave;
+        return;
+    }
     if (!avail_t && !avail_l) {
         for (int c = 1; c <= 2; c++) {
             int32_t *pl = plane_of(rp, c);
@@ -927,6 +976,44 @@ static void itx_2d(Recon *r, const int32_t *tb, const int32_t *coeffs,
 #undef IN
 }
 
+/* ---- plan mode (device intra planner, ops/intra_device.py) -------------- */
+
+static int32_t *plan_row(Recon *r)
+{
+    if (r->plan_n >= r->plan_cap) { r->err = 5; return 0; }
+    int32_t *row = r->plan_buf + r->plan_n * PLAN_STRIDE;
+    r->plan_n++;
+    memset(row, 0, PLAN_STRIDE * sizeof(int32_t));
+    return row;
+}
+
+static int plan_strip_max(const int32_t *map, int H, int W, int y0, int y1,
+                          int x0, int x1)
+{
+    int m = 0;
+    if (y0 < 0) y0 = 0;
+    if (x0 < 0) x0 = 0;
+    if (y1 > H) y1 = H;
+    if (x1 > W) x1 = W;
+    for (int y = y0; y < y1; y++) {
+        const int32_t *rw = map + (long)y * W;
+        for (int x = x0; x < x1; x++)
+            if (rw[x] > m) m = rw[x];
+    }
+    return m;
+}
+
+static void plan_fill(int32_t *map, int H, int W, int y0, int h, int x0,
+                      int w, int v)
+{
+    int y1 = imin(H, y0 + h), x1 = imin(W, x0 + w);
+    for (int y = imax(0, y0); y < y1; y++) {
+        int32_t *rw = map + (long)y * W;
+        for (int x = imax(0, x0); x < x1; x++)
+            rw[x] = v;
+    }
+}
+
 /* ---- intra prediction driver (recon.py:334-392 intra_pred) -------------- */
 
 void vvcr_intra_pred(Recon *r, const int32_t *cu, int x0, int y0,
@@ -982,14 +1069,10 @@ void vvcr_intra_pred(Recon *r, const int32_t *cu, int x0, int y0,
     int la = left_avail(r, cu[CU_Y0], x, y, unf_left, c_idx);
     int ta = top_avail(r, cu[CU_X0], x, y, unf_top, c_idx);
 
-    if (is_mip) {
-        pred_mip(r, cu, plane, stride, x, y, w, h, c_idx);
-        return;
-    }
     /* _filter_flag (recon.py:618) */
     int filter_flag = 0;
-    if (mode != INTRA_PLANAR && mode != INTRA_DC && !rff && !ref_idx &&
-        cu[CU_ISP] == ISP_NO_SPLIT) {
+    if (!is_mip && mode != INTRA_PLANAR && mode != INTRA_DC && !rff &&
+        !ref_idx && cu[CU_ISP] == ISP_NO_SPLIT) {
         int d50 = mode - 50, d18 = mode - 18;
         if (d50 < 0) d50 = -d50;
         if (d18 < 0) d18 = -d18;
@@ -999,9 +1082,55 @@ void vvcr_intra_pred(Recon *r, const int32_t *cu, int x0, int y0,
         filter_flag = min_dist > thres[ntbs - 2];
     }
     int nscale = 0;
-    if (pdpc && mode != INTRA_PLANAR && mode != INTRA_DC &&
+    if (!is_mip && pdpc && mode != INTRA_PLANAR && mode != INTRA_DC &&
         mode != INTRA_VERT && mode != INTRA_HORZ)
         nscale = nscale_derive(w, h, mode);
+
+    if (r->plan_mode) {
+        /* emit a descriptor instead of predicting; wave = 1 + max wave
+         * over the reference strips the gather reads (left column
+         * x+rl rows [y+rl, y+la); top row y+rl cols [x+rl, x+ta) —
+         * substitution/extension entries COPY indices inside these) */
+        int Hp = rp->height >> vs, Wp = rp->width >> hs;
+        int32_t *map = c_idx ? r->plan_wc : r->plan_wl;
+        int rl = -1 - ref_idx;
+        int wave = plan_strip_max(map, Hp, Wp, y + rl, y + la,
+                                  x + rl, x + rl + 1);
+        int wt = plan_strip_max(map, Hp, Wp, y + rl, y + rl + 1,
+                                x + rl, x + ta);
+        if (wt > wave) wave = wt;
+        wave += 1;
+        plan_fill(map, Hp, Wp, y, h, x, w, wave);
+        int32_t *row = plan_row(r);
+        if (!row) return;
+        row[PL_KIND] = is_mip ? PK_MIP :
+            (mode == INTRA_PLANAR || mode == INTRA_DC ||
+             mode == INTRA_VERT || mode == INTRA_HORZ) ? PK_SIMPLE :
+            (mode >= INTRA_DIAG ? PK_ANG_V : PK_ANG_H);
+        row[PL_C_IDX] = c_idx;
+        row[PL_X] = x; row[PL_Y] = y; row[PL_W] = w; row[PL_H] = h;
+        row[PL_MODE] = mode; row[PL_ANGLE] = angle;
+        row[PL_INV_ANGLE] = inv_angle; row[PL_REF_IDX] = ref_idx;
+        row[PL_FF] = filter_flag; row[PL_PDPC] = pdpc;
+        row[PL_NSCALE] = nscale;
+        row[PL_LA] = la; row[PL_TA] = ta;
+        row[PL_CUL] = r->na_cand_up_left;
+        row[PL_UNF_LEFT] = unf_left; row[PL_UNF_TOP] = unf_top;
+        row[PL_REFW] = refw; row[PL_REFH] = refh;
+        row[PL_LEFT_SIZE] = left_size;
+        row[PL_RFFFSM] = rff && filter_smoothing;
+        if (is_mip) {
+            row[PL_AUX0] = cu[CU_MIP_MODE];
+            row[PL_AUX1] = cu[CU_MIP_T];
+        }
+        row[PL_WAVE] = wave;
+        return;
+    }
+
+    if (is_mip) {
+        pred_mip(r, cu, plane, stride, x, y, w, h, c_idx);
+        return;
+    }
     vvc_intra_pred(plane, stride, x, y, w, h, c_idx, mode, ref_idx, pdpc,
                    rff && filter_smoothing, left_size, top_size, unf_left,
                    unf_top, refw, refh, angle, inv_angle, filter_flag,
@@ -1207,7 +1336,8 @@ static void recon_cu(Recon *r, const int32_t *cu, const int32_t *tu_recs,
                     add_ra(r, 1, px, py, pw, ph);
                 }
             }
-            itransform_tu(r, cu, tu, tbs, coeff_pool, ch_type);
+            if (!r->plan_mode)
+                itransform_tu(r, cu, tu, tbs, coeff_pool, ch_type);
             if (r->err)
                 return;
         }
@@ -1228,6 +1358,7 @@ int recon_ctu(const ReconParams *rp, const InterParams *ip, int rx, int ry,
     r.err = 0;
     r.na_cand_up_left = 0;
     r.residual_only = 0;
+    r.plan_mode = 0;
     recon_neighbour(&r, rx, ry, rs);
     for (int i = 0; i < n_cu; i++) {
         recon_cu(&r, cu_recs + i * CU_STRIDE, tu_recs, tb_recs, coeff_pool);
@@ -1275,6 +1406,7 @@ int recon_residual_ctus(const ReconParams *rp, int n,
     r.rp = rp;
     r.ip = 0;
     r.residual_only = 1;
+    r.plan_mode = 0;
     r.res_planes[0] = res0;
     r.res_planes[1] = res1;
     r.res_planes[2] = res2;
@@ -1297,6 +1429,51 @@ int recon_residual_ctus(const ReconParams *rp, int n,
         }
     }
     return 0;
+}
+
+/* plan-mode walk (device intra planner, ops/intra_device.py): same record
+ * walk as recon_ctus but emits PLAN_STRIDE-int32 descriptors per predict
+ * unit into plan_buf (geometry + availability + wave) instead of
+ * predicting; wl/wc are caller-zeroed pixel wave maps (luma [H, W],
+ * shared-chroma [Hc, Wc]).  Returns the unit count, or -err. */
+long plan_intra_ctus(const ReconParams *rp, int n,
+                     const int32_t *rxs, const int32_t *rys,
+                     const int32_t *rss, const int64_t *cu_ps,
+                     const int32_t *n_cus, const int64_t *tu_ps,
+                     const int64_t *tb_ps,
+                     int32_t *plan_buf, long cap,
+                     int32_t *wl, int32_t *wc)
+{
+    static _Thread_local Recon r;
+    r.rp = rp;
+    r.ip = 0;
+    r.residual_only = 0;
+    r.plan_mode = 1;
+    r.plan_buf = plan_buf;
+    r.plan_cap = cap;
+    r.plan_n = 0;
+    r.plan_wl = wl;
+    r.plan_wc = wc;
+    for (int i = 0; i < n; i++) {
+        if (!n_cus[i])
+            continue;
+        const int32_t *cu_recs = (const int32_t *)(intptr_t)cu_ps[i];
+        const int32_t *tu_recs = (const int32_t *)(intptr_t)tu_ps[i];
+        const int32_t *tb_recs = (const int32_t *)(intptr_t)tb_ps[i];
+        r.n_ras[0] = r.n_ras[1] = 0;
+        r.err = 0;
+        r.na_cand_up_left = 0;
+        recon_neighbour(&r, rxs[i], rys[i], rss[i]);
+        for (int c = 0; c < n_cus[i]; c++) {
+            recon_cu(&r, cu_recs + c * CU_STRIDE, tu_recs, tb_recs, 0);
+            if (r.err) {
+                r.plan_mode = 0;
+                return -r.err;
+            }
+        }
+    }
+    r.plan_mode = 0;
+    return r.plan_n;
 }
 
 int vvcr_sizeof_recon_params(void) { return (int)sizeof(ReconParams); }

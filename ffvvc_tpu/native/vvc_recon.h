@@ -102,7 +102,29 @@ typedef struct {
      * adding them to the pixel planes */
     int residual_only;
     int32_t *res_planes[3];
+    /* plan mode (device intra planner, ops/intra_device.py): walk the
+     * records exactly like recon but emit one descriptor row per predict
+     * unit (geometry + availability + a wavefront index) instead of
+     * predicting.  plan_wl / plan_wc are pixel-granular wave maps (luma /
+     * shared-chroma); a unit's wave = 1 + max wave over the positions its
+     * reference gather reads (conservative strip maxes). */
+    int plan_mode;
+    int32_t *plan_buf;
+    long plan_n, plan_cap;
+    int32_t *plan_wl, *plan_wc;
 } Recon;
+
+/* plan descriptor layout (int32 x PLAN_STRIDE per unit) */
+#define PLAN_STRIDE 26
+enum {
+    PK_SIMPLE = 0, PK_ANG_V = 1, PK_ANG_H = 2, PK_MIP = 3, PK_CCLM = 4,
+};
+enum {
+    PL_KIND, PL_C_IDX, PL_X, PL_Y, PL_W, PL_H, PL_MODE, PL_ANGLE,
+    PL_INV_ANGLE, PL_REF_IDX, PL_FF, PL_PDPC, PL_NSCALE, PL_LA, PL_TA,
+    PL_CUL, PL_UNF_LEFT, PL_UNF_TOP, PL_REFW, PL_REFH, PL_LEFT_SIZE,
+    PL_RFFFSM, PL_AUX0, PL_AUX1, PL_WAVE, PL_RSVD,
+};
 
 /* vvc_recon.c helpers shared with vvc_inter.c */
 int32_t *vvcr_plane_of(const ReconParams *rp, int c);

@@ -252,13 +252,14 @@ def _chain(meta, a):
     pix_max = (1 << bd) - 1
     cs = m["cs"]
     nc = m["nc"]
-    planes = [a["p0"]]
-    if nc == 3:
-        planes += [a["p1"], a["p2"]]
+    # planes ride the wire as uint16 (samples <= 12-bit), residuals as
+    # int16 (spec residual range): half the host<->device traffic
+    planes = [a[f"p{c}"].astype(jnp.int32) for c in range(nc)]
     # --- residual add (deferred inter recon) ---
     if m["has_res"]:
         for c in range(nc):
-            planes[c] = jnp.clip(planes[c] + a[f"res{c}"], 0, pix_max)
+            planes[c] = jnp.clip(
+                planes[c] + a[f"res{c}"].astype(jnp.int32), 0, pix_max)
     # --- LMCS inverse (luma) ---
     if m["has_lmcs"]:
         H, W = planes[0].shape
@@ -349,7 +350,7 @@ def _chain(meta, a):
             out = _cc_filter(out, P3l, a["cc_row"], a["cc_skip"], cf_px,
                              m["hs"], half, pix_max)
         planes[c] = out
-    return tuple(planes)
+    return tuple(p.astype(jnp.uint16) for p in planes)
 
 
 # ---------------------------------------------------------------------------
@@ -613,13 +614,16 @@ def fused_frame_filters(sps, pps, tabs, fb, sh_list, alf_list, lmcs,
             "hs": sps.hshift[1] if nc == 3 else 0,
             "vs": sps.vshift[1] if nc == 3 else 0}
     arrs = {}
-    # --- planes (+ deferred residual) ---
+    # --- planes (+ deferred residual); uint16/int16 on the wire ---
     for c in range(nc):
-        arrs[f"p{c}"] = _up(np.asarray(fb.planes[c], np.int32))
+        arrs[f"p{c}"] = _up(np.asarray(fb.planes[c], np.uint16))
     meta["has_res"] = res_planes is not None
     if res_planes is not None:
+        # spec residual range is [-2^15, 2^15-1] == int16 — except under
+        # sps_extended_precision_flag (range up to +-2^20)
+        rdt = np.int32 if sps.r.sps_extended_precision_flag else np.int16
         for c in range(nc):
-            arrs[f"res{c}"] = _up(res_planes[c])
+            arrs[f"res{c}"] = _up(np.asarray(res_planes[c], rdt))
     # --- LMCS ---
     meta["has_lmcs"] = False
     if lmcs is not None:

@@ -148,22 +148,24 @@ def _collect_yuvs(result):
 
 
 def decode_parallel(data: bytes, workers: int = None,
-                    config: DecoderConfig = None):
+                    config: DecoderConfig = None, force_pool: bool = False):
     """Decode Annex-B bytes with GOP-parallel worker processes; returns the
     YUV bytes of every frame in output order.  Falls back to in-process
-    decode when the stream has a single segment or workers <= 1."""
+    decode when the stream has a single segment or workers <= 1
+    (force_pool=True keeps the pool + shm transport even at workers=1 —
+    matched machinery for scaling measurements)."""
     from .decoder import VVCDecoder
     config = config or DecoderConfig()
     if workers is None:
         workers = os.cpu_count() or 1
     segments = segment_stream(data)
-    if workers <= 1 or len(segments) <= 1:
+    if (workers <= 1 and not force_pool) or len(segments) <= 1:
         out = []
         for f in VVCDecoder(config).decode(data):
             out.append(f.to_yuv_bytes())
             f.recycle()
         return out
-    n_workers = min(workers, len(segments))
+    n_workers = min(max(workers, 1), len(segments))
     oversub = n_workers * 2 > (os.cpu_count() or 1)
     jobs = [(i, prefix + seg, config, oversub)
             for i, (prefix, seg) in enumerate(segments)]

@@ -337,12 +337,14 @@ def test_fused_chain_transfer_budget():
     VVCDecoder(DecoderConfig(device_pipeline=True)).decode(s)
     n = fd.stats["frames"]
     assert n == 3
-    plane_set = (W * H + 2 * (W // 2) * (H // 2)) * 4   # int32 bytes
-    # downloads: exactly the output planes
+    plane_set = (W * H + 2 * (W // 2) * (H // 2)) * 2   # uint16 wire bytes
+    # downloads: exactly the output planes (uint16 on the wire)
     assert fd.stats["down_bytes"] == n * plane_set
-    # uploads: the input planes + per-CTB/segment params; the params must
-    # stay well under one plane-set (they are KB-scale on real frames)
-    assert fd.stats["up_bytes"] < n * plane_set * 2
+    # uploads: the input planes + per-CTB/segment params.  At this tiny
+    # frame size the fixed-size params weigh ~1 plane-set; at real sizes
+    # they amortize to ~1/3 (1080p measured: 4 MB params vs 6.2 MB
+    # planes, printed by the bench device leg)
+    assert fd.stats["up_bytes"] < n * plane_set * 2.5
 
 
 def test_row_pipeline_lmcs_domain():
