@@ -200,9 +200,9 @@ def test_row_progress_with_device_mc():
         log["waits"] += 1
         return orig_wait(self, y)
 
-    def spy_mc(jobs, sps, bd):
+    def spy_mc(jobs, sps, bd, mesh=None):
         log["mc_calls"] += 1
-        return orig_mc(jobs, sps, bd)
+        return orig_mc(jobs, sps, bd, mesh=mesh)
 
     DecodedFrame.wait_rows = spy_wait
     mc_device.frame_device_mc = spy_mc
