@@ -299,6 +299,14 @@ def main():
             "best = time.monotonic() - t0\n"
             "import hashlib\n"
             "yuv = b''.join(f.to_yuv_bytes() for f in frames)\n"
+            # device-intra PLANNER time at 1080p (C plan walk + vectorized
+            # bucket build; plan-only mode consumes no state, decode
+            # falls through to the host recon)
+            "from ffvvc_tpu.ops import intra_device as idv\n"
+            "os.environ['FFVVC_INTRA_PLAN_ONLY'] = '1'\n"
+            "idv.last_plan_s = -1.0\n"
+            "VVCDecoder(DecoderConfig(device_intra=True)).decode(s)\n"
+            "del os.environ['FFVVC_INTRA_PLAN_ONLY']\n"
             "n = max(1, fd.stats['frames'])\n"
             "print(json.dumps({'fps': len(frames) / best,\n"
             "                  'md5': hashlib.md5(yuv).hexdigest(),\n"
@@ -307,7 +315,9 @@ def main():
             "                      round(fd.stats['up_bytes'] / n / 1e6, 3),\n"
             "                  'down_MB_per_frame':\n"
             "                      round(fd.stats['down_bytes'] / n / 1e6,\n"
-            "                            3)}))\n"
+            "                            3),\n"
+            "                  'intra_plan_ms':\n"
+            "                      round(idv.last_plan_s * 1e3, 2)}))\n"
         ) % os.path.dirname(os.path.abspath(__file__))
 
         def _wire_from(out):
@@ -336,7 +346,7 @@ def main():
                     "device-path decode NOT bit-exact vs oracle"
             extra["device_fps"] = round(dev["fps"], 4)
             for k in ("fused_frames", "up_MB_per_frame",
-                      "down_MB_per_frame"):
+                      "down_MB_per_frame", "intra_plan_ms"):
                 if k in dev:
                     extra[f"device_{k}"] = dev[k]
         except subprocess.TimeoutExpired as e:

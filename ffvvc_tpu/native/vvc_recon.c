@@ -496,16 +496,16 @@ static void cclm_pred(Recon *r, const int32_t *cu, int x0, int y0,
          * window (conservative rects) */
         int Hc = rp->height >> vs, Wc = rp->width >> hs;
         int ext = imin(w, h);
-        int wave = plan_strip_max(r->plan_wc, Hc, Wc, y - 1, y,
-                                  x - 1, x + w + ext);
+        int dep = plan_strip_max(r->plan_wc, Hc, Wc, y - 1, y,
+                                 x - 1, x + w + ext);
         int wl2 = plan_strip_max(r->plan_wc, Hc, Wc, y - 1, y + h + ext,
                                  x - 1, x);
-        if (wl2 > wave) wave = wl2;
+        if (wl2 > dep) dep = wl2;
         int lw = plan_strip_max(r->plan_wl, rp->height, rp->width,
                                 y0 - 3, y0 + ((h + ext) << vs) + 2,
                                 x0 - 3, x0 + ((w + ext) << hs) + 2);
-        if (lw > wave) wave = lw;
-        wave += 1;
+        if (lw > dep) dep = lw;
+        int wave = dep + 1;
         plan_fill(r->plan_wc, Hc, Wc, y, h, x, w, wave);
         int32_t *row = plan_row(r);
         if (!row) return;
@@ -1094,19 +1094,23 @@ void vvcr_intra_pred(Recon *r, const int32_t *cu, int x0, int y0,
         int Hp = rp->height >> vs, Wp = rp->width >> hs;
         int32_t *map = c_idx ? r->plan_wc : r->plan_wl;
         int rl = -1 - ref_idx;
-        int wave = plan_strip_max(map, Hp, Wp, y + rl, y + la,
-                                  x + rl, x + rl + 1);
+        int dep = plan_strip_max(map, Hp, Wp, y + rl, y + la,
+                                 x + rl, x + rl + 1);
         int wt = plan_strip_max(map, Hp, Wp, y + rl, y + rl + 1,
                                 x + rl, x + ta);
-        if (wt > wave) wave = wt;
-        wave += 1;
-        plan_fill(map, Hp, Wp, y, h, x, w, wave);
-        int32_t *row = plan_row(r);
-        if (!row) return;
-        row[PL_KIND] = is_mip ? PK_MIP :
+        if (wt > dep) dep = wt;
+        /* wavefront depth scheduling: units of one wave are mutually
+         * independent and batch per shape (the anti-diagonal grouping a
+         * decode-order greedy cannot see) */
+        int kind0 = is_mip ? PK_MIP :
             (mode == INTRA_PLANAR || mode == INTRA_DC ||
              mode == INTRA_VERT || mode == INTRA_HORZ) ? PK_SIMPLE :
             (mode >= INTRA_DIAG ? PK_ANG_V : PK_ANG_H);
+        int wave = dep + 1;
+        plan_fill(map, Hp, Wp, y, h, x, w, wave);
+        int32_t *row = plan_row(r);
+        if (!row) return;
+        row[PL_KIND] = kind0;
         row[PL_C_IDX] = c_idx;
         row[PL_X] = x; row[PL_Y] = y; row[PL_W] = w; row[PL_H] = h;
         row[PL_MODE] = mode; row[PL_ANGLE] = angle;
@@ -1442,7 +1446,7 @@ long plan_intra_ctus(const ReconParams *rp, int n,
                      const int32_t *n_cus, const int64_t *tu_ps,
                      const int64_t *tb_ps,
                      int32_t *plan_buf, long cap,
-                     int32_t *wl, int32_t *wc)
+                     int32_t *wl, int32_t *wc, int32_t *batch_state)
 {
     static _Thread_local Recon r;
     r.rp = rp;
@@ -1454,6 +1458,7 @@ long plan_intra_ctus(const ReconParams *rp, int n,
     r.plan_n = 0;
     r.plan_wl = wl;
     r.plan_wc = wc;
+    r.plan_batch = batch_state;
     for (int i = 0; i < n; i++) {
         if (!n_cus[i])
             continue;

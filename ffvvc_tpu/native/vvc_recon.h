@@ -112,6 +112,8 @@ typedef struct {
     int32_t *plan_buf;
     long plan_n, plan_cap;
     int32_t *plan_wl, *plan_wc;
+    int32_t *plan_batch;   /* [1 + 1024]: [0]=counter, rest open-batch ids
+                              per shape key (kind|c|log2w|log2h) */
 } Recon;
 
 /* plan descriptor layout (int32 x PLAN_STRIDE per unit) */

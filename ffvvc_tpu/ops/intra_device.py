@@ -872,12 +872,10 @@ def _stackpad(arrs, B):
     return a
 
 
-def frame_device_intra(recon_jobs, sps, pps, tabs, fb):
-    """Device-resident intra reconstruction of an all-intra frame.
-
-    Returns True when the frame was reconstructed (fb.planes updated),
-    False when ineligible (caller falls back to the native C walk; no
-    state has been touched in that case)."""
+def _frame_device_intra_py(recon_jobs, sps, pps, tabs, fb):
+    """Python-planner path (round-3/4): golden-walk planning, per-unit
+    numpy gather plans.  Kept as the fallback / A-B oracle for the C
+    planner (FFVVC_INTRA_PLANNER=py forces it)."""
     jobs = []
     for rec, ctus in recon_jobs:
         nr = rec.native_recon
@@ -1020,3 +1018,495 @@ def frame_device_intra(recon_jobs, sps, pps, tabs, fb):
         fb.planes[1][:] = cc[0]
         fb.planes[2][:] = cc[1]
     return True
+
+
+# ===================== C planner driver (round 5) ==========================
+# plan_intra_ctus (native/vvc_recon.c) walks the records in C, emitting one
+# 26-int32 descriptor per predict unit (geometry + availability + wave);
+# the per-bucket gather plans (Lidx/Tidx/filter masks/projections) are then
+# built VECTORIZED over all units of a bucket — replacing the per-unit
+# Python walk (round-4 planner, ~50us/unit) with array-at-once
+# construction.  Descriptor field indices mirror vvc_recon.h PL_*.
+
+(PL_KIND, PL_C_IDX, PL_X, PL_Y, PL_W, PL_H, PL_MODE, PL_ANGLE,
+ PL_INV_ANGLE, PL_REF_IDX, PL_FF, PL_PDPC, PL_NSCALE, PL_LA, PL_TA,
+ PL_CUL, PL_UNF_LEFT, PL_UNF_TOP, PL_REFW, PL_REFH, PL_LEFT_SIZE,
+ PL_RFFFSM, PL_AUX0, PL_AUX1, PL_WAVE, PL_RSVD) = range(26)
+
+# planning wall time of the last planned frame (seconds); the bench
+# device leg prints it
+last_plan_s = 0.0
+
+
+def _cclm_plan_from_desc(sps, fb, x, y, w, h, avail_t, avail_l, ns_top,
+                         ns_left, mode):
+    """IntraPlanner._cclm_plan driven by C-emitted scalars (availability
+    runs resolved natively) instead of the golden neighbour walk."""
+    hs, vs = sps.hshift[1], sps.vshift[1]
+    x0, y0 = x << hs, y << vs
+    Hl, Wl = fb.planes[0].shape
+    Hc, Wc = fb.planes[1].shape
+    plan = {"noneigh": 0}
+    mid = 1 << (sps.bit_depth - 1)
+    if not hs and not vs:
+        xm1 = x0 + np.arange(w)
+        xc = x0 + np.arange(w)
+        r0 = y0 + np.arange(h)
+        rt = r0
+    else:
+        xm1 = x0 + 2 * np.arange(w) - 1
+        xm1[0] = x0 - avail_l
+        xc = x0 + 2 * np.arange(w)
+        if not vs:
+            r0 = y0 + np.arange(h)
+            rt = r0
+        else:
+            r0 = y0 + 2 * np.arange(h)
+            rt = r0 - 1
+            rt[0] = y0 - avail_t
+    plan["xm1"] = np.clip(xm1, 0, Wl - 1)
+    plan["xc"] = np.clip(xc, 0, Wl - 1 if (not hs and not vs)
+                         else max(Wl - 2, 0))
+    plan["r0"] = np.clip(r0, 0, Hl - 1 if not vs else max(Hl - 2, 0))
+    plan["rt"] = np.clip(rt, 0, Hl - 1)
+
+    if not ns_top and not ns_left:
+        plan["noneigh"] = 1
+        plan["selY_idx"] = np.zeros((4, 6), np.int64)
+        plan["selY_w"] = np.zeros((4, 6), np.int64)
+        plan["selY_add"] = np.zeros(4, np.int64)
+        plan["selY_sh"] = np.zeros(4, np.int64)
+        plan["selC_idx"] = np.full((2, 4), -1, np.int64)
+        plan["mid"] = mid
+        return plan
+    num_is4 = int(not avail_t or not avail_l or mode != INTRA_LT_CCLM)
+    cnt, pos = [0, 0], [[], []]
+    for side, ns in enumerate((ns_top, ns_left)):
+        start = ns >> (2 + num_is4)
+        step = max(1, ns >> (1 + num_is4))
+        cnt[side] = min(ns, (1 + num_is4) << 1)
+        pos[side] = [start + c * step for c in range(cnt[side])]
+
+    taps = []
+    coll = sps.r.sps_chroma_vertical_collocated_flag
+    b_ctu_boundary = not (y0 & ((1 << sps.ctb_log2_size_y) - 1))
+
+    def lflat(yy, xx):
+        return yy * Wl + xx
+
+    if not hs and not vs:
+        for p in pos[0]:
+            taps.append(([lflat(y0 - avail_t, x0 + p)] + [0] * 5,
+                         [1, 0, 0, 0, 0, 0], 0, 0))
+        for p in pos[1]:
+            taps.append(([lflat(y0 + p, x0 - avail_l)] + [0] * 5,
+                         [1, 0, 0, 0, 0, 0], 0, 0))
+    else:
+        for p in pos[0]:        # top row(s)
+            xx = p << hs
+            xl = x0 + xx - 1 if (xx or avail_l) else x0 + xx
+            if vs and not b_ctu_boundary:
+                yb = y0 - 2
+                if coll:
+                    taps.append((
+                        [lflat(yb - 1, x0 + xx), lflat(yb, xl),
+                         lflat(yb, x0 + xx), lflat(yb, x0 + xx + 1),
+                         lflat(yb + 1, x0 + xx), 0],
+                        [1, 1, 4, 1, 1, 0], 4, 3))
+                else:
+                    taps.append((
+                        [lflat(yb, xl), lflat(yb + 1, xl),
+                         lflat(yb, x0 + xx), lflat(yb + 1, x0 + xx),
+                         lflat(yb, x0 + xx + 1),
+                         lflat(yb + 1, x0 + xx + 1)],
+                        [1, 1, 2, 2, 1, 1], 4, 3))
+            else:
+                yb = y0 - 1
+                taps.append((
+                    [lflat(yb, xl), lflat(yb, x0 + xx),
+                     lflat(yb, x0 + xx + 1), 0, 0, 0],
+                    [1, 2, 1, 0, 0, 0], 2, 2))
+        x_src = x0 - (1 + hs) * avail_l
+        x_l = x_src - avail_l
+        for p in pos[1]:        # left column
+            yy = y0 + (p << vs)
+            if not vs:
+                taps.append((
+                    [lflat(yy, x_l), lflat(yy, x_src),
+                     lflat(yy, x_src + 1), 0, 0, 0],
+                    [1, 2, 1, 0, 0, 0], 2, 2))
+            elif coll:
+                ty = yy - 1 if ((p << vs) or avail_t) else yy
+                taps.append((
+                    [lflat(yy, x_l), lflat(ty, x_src),
+                     lflat(yy, x_src), lflat(yy, x_src + 1),
+                     lflat(yy + 1, x_src), 0],
+                    [1, 1, 4, 1, 1, 0], 4, 3))
+            else:
+                taps.append((
+                    [lflat(yy, x_l), lflat(yy + 1, x_l),
+                     lflat(yy, x_src), lflat(yy + 1, x_src),
+                     lflat(yy, x_src + 1), lflat(yy + 1, x_src + 1)],
+                    [1, 1, 2, 2, 1, 1], 4, 3))
+
+    selc = [[], []]
+    for p in pos[0]:
+        for ci in range(2):
+            selc[ci].append(ci * Hc * Wc + (y - 1) * Wc + (x + p))
+    for p in pos[1]:
+        for ci in range(2):
+            selc[ci].append(ci * Hc * Wc + (y + p) * Wc + (x - 1))
+    if cnt[0] + cnt[1] == 2:
+        taps = [taps[1], taps[0], taps[1], taps[0]]
+        selc = [[s[1], s[0], s[1], s[0]] for s in selc]
+    plan["selY_idx"] = np.array([t[0] for t in taps], np.int64)
+    plan["selY_w"] = np.array([t[1] for t in taps], np.int64)
+    plan["selY_add"] = np.array([t[2] for t in taps], np.int64)
+    plan["selY_sh"] = np.array([t[3] for t in taps], np.int64)
+    plan["selC_idx"] = np.array(selc, np.int64)
+    plan["mid"] = mid
+    return plan
+
+
+def frame_device_intra(recon_jobs, sps, pps, tabs, fb):
+    """Device-resident intra reconstruction of an all-intra frame.
+
+    Planning runs in C (plan_intra_ctus record walk emitting descriptor
+    rows + waves) and the per-bucket gather plans build vectorized —
+    array-at-once over every unit of a bucket (VERDICT r4 item 2; the
+    round-4 per-unit Python planner remains as _frame_device_intra_py,
+    forced with FFVVC_INTRA_PLANNER=py).  Returns True when the frame
+    was reconstructed (fb.planes updated), False when ineligible
+    (caller falls back to the native C walk; no state touched)."""
+    import os as _os
+    import time as _time
+    if _os.environ.get("FFVVC_INTRA_PLANNER") == "py":
+        return _frame_device_intra_py(recon_jobs, sps, pps, tabs, fb)
+    jobs = []
+    for rec, ctus in recon_jobs:
+        nr = rec.native_recon
+        if nr is None or not hasattr(nr.lib, "plan_intra_ctus"):
+            return False
+        jobs.append((rec, nr, ctus))
+    global last_plan_s
+    H, W = fb.planes[0].shape
+    chroma_on = bool(sps.chroma_format_idc)
+    Hc, Wc = fb.planes[1].shape if chroma_on else (0, 0)
+    wl = np.zeros((H, W), np.int32)
+    wc = np.zeros((Hc, Wc), np.int32) if chroma_on else None
+
+    # --- 1. C plan walk (consumes no record state: clean fallback) -------
+    t0 = _time.perf_counter()
+    cap = max(8192, (pps.width // 2) * (pps.height // 2) // 8)
+    while True:
+        wl[:] = 0
+        if wc is not None:
+            wc[:] = 0
+        batch_state = np.zeros(1 + 1024, np.int32)
+        buf = np.empty((cap, 26), np.int32)
+        off = 0
+        grown = False
+        try:
+            for rec, nr, ctus in jobs:
+                off += nr.plan_ctus(ctus, buf[off:], wl, wc, batch_state)
+        except ValueError as e:
+            if "err=5" in str(e):      # descriptor buffer overflow
+                cap *= 4
+                grown = True
+            else:
+                return False           # unsupported CU: native C recon
+        if not grown:
+            break
+    D = buf[:off]
+    t_walk = _time.perf_counter() - t0
+    if not off:
+        return False
+
+    # --- 2. vectorized bucket construction, ordered by wave --------------
+    t1 = _time.perf_counter()
+    bd = sps.bit_depth
+    coll = int(sps.r.sps_chroma_vertical_collocated_flag)
+    hs, vs = (sps.hshift[1], sps.vshift[1]) if chroma_on else (1, 1)
+    variant = 3 if (not hs and not vs) else (2 if not vs else
+                                             (1 if coll else 0))
+    i32 = np.int32
+    launches = []     # (kernel_id, payload tuple), wave-ordered
+    # ONE sort up front: buckets are contiguous runs of equal
+    # (wave, kind, w, h, is-chroma); wave stays the most significant key
+    # so launch order respects dependencies.  Per-unit plans never
+    # materialize on host — the kernels build the [B, NREF] gather index
+    # arrays in-jit from the 21-scalar geo rows (_edge_idx_jnp).
+    isc0 = (D[:, PL_C_IDX] > 0).astype(i32)
+    order = np.lexsort((isc0, D[:, PL_H], D[:, PL_W], D[:, PL_KIND],
+                        D[:, PL_WAVE]))
+    Ds = D[order].astype(i32)
+    isc = isc0[order]
+    N = Ds.shape[0]
+    keys = np.stack([Ds[:, PL_WAVE], Ds[:, PL_KIND], Ds[:, PL_W],
+                     Ds[:, PL_H], isc], axis=1)
+    bnd = np.flatnonzero(np.any(keys[1:] != keys[:-1], axis=1)) + 1
+    starts = np.concatenate([[0], bnd])
+    ends = np.concatenate([bnd, [N]])
+    kind_all = Ds[:, PL_KIND]
+    # geo pack [N, 21] (G_* columns; pad rows re-run unit 0)
+    geo_all = np.zeros((N, 21), i32)
+    geo_all[:, G_X] = Ds[:, PL_X]
+    geo_all[:, G_Y] = Ds[:, PL_Y]
+    geo_all[:, G_YF] = Ds[:, PL_Y] + np.where(
+        isc > 0, (Ds[:, PL_C_IDX] - 1) * Hc, 0)
+    geo_all[:, G_BASE] = np.where(
+        isc > 0, (Ds[:, PL_C_IDX] - 1) * (Hc * Wc), 0)
+    geo_all[:, G_LA] = Ds[:, PL_LA]
+    geo_all[:, G_TA] = Ds[:, PL_TA]
+    geo_all[:, G_CUL] = Ds[:, PL_CUL]
+    geo_all[:, G_REF] = Ds[:, PL_REF_IDX]
+    geo_all[:, G_UNFL] = Ds[:, PL_UNF_LEFT]
+    geo_all[:, G_UNFT] = Ds[:, PL_UNF_TOP]
+    geo_all[:, G_REFW] = Ds[:, PL_REFW]
+    geo_all[:, G_REFH] = Ds[:, PL_REFH]
+    geo_all[:, G_LSIZE] = Ds[:, PL_LEFT_SIZE]
+    geo_all[:, G_RFFFSM] = Ds[:, PL_RFFFSM]
+    geo_all[:, G_ANGLE] = Ds[:, PL_ANGLE]
+    geo_all[:, G_INV] = Ds[:, PL_INV_ANGLE]
+    geo_all[:, G_FF] = Ds[:, PL_FF]
+    geo_all[:, G_PDPC] = Ds[:, PL_PDPC]
+    geo_all[:, G_NSCALE] = Ds[:, PL_NSCALE]
+    m = kind_all == K_SIMPLE
+    if m.any():
+        sel_lut = np.zeros(67, i32)
+        sel_lut[INTRA_PLANAR] = 0
+        sel_lut[INTRA_DC] = 1
+        sel_lut[INTRA_VERT] = 2
+        sel_lut[INTRA_HORZ] = 3
+        geo_all[m, G_A0] = sel_lut[Ds[m, PL_MODE]]
+    m = kind_all == K_MIP
+    if m.any():
+        geo_all[m, G_A0] = Ds[m, PL_AUX0]
+        geo_all[m, G_A1] = Ds[m, PL_AUX1]
+    # vectorized pow2 padding for every bucket at once: one big gather
+    # (pad rows re-run unit 0 of their bucket)
+    b0s = (ends - starts).astype(np.int64)
+    bps = 1 << np.ceil(np.log2(np.maximum(b0s, 1))).astype(np.int64)
+    offs_pad = np.concatenate([[0], np.cumsum(bps)])
+    rows_cat = np.repeat(starts, bps)
+    fill = np.arange(int(b0s.sum())) - np.repeat(np.cumsum(b0s) - b0s,
+                                                 b0s)
+    pos = np.repeat(offs_pad[:-1], b0s) + fill
+    rows_cat[pos] = np.repeat(starts, b0s) + fill
+    geo_pad = np.ascontiguousarray(geo_all[rows_cat])
+    for bi, (s0, s1) in enumerate(zip(starts, ends)):
+        kind = int(kind_all[s0])
+        w = int(Ds[s0, PL_W])
+        h = int(Ds[s0, PL_H])
+        is_luma = not isc[s0]
+        B0 = int(s1 - s0)
+        B = int(bps[bi])
+        o0 = int(offs_pad[bi])
+        if kind == K_CCLM:
+            crows = []
+            for j in range(s0, s1):
+                d = Ds[j]
+                pl = _cclm_plan_from_desc(
+                    sps, fb, int(d[PL_X]), int(d[PL_Y]), w, h,
+                    int(d[PL_TA]), int(d[PL_LA]),
+                    int(d[PL_AUX0]), int(d[PL_AUX1]), int(d[PL_MODE]))
+                crows.append(np.concatenate([
+                    pl["selY_idx"].reshape(-1), pl["selY_w"].reshape(-1),
+                    pl["selY_add"], pl["selY_sh"],
+                    pl["selC_idx"].reshape(-1),
+                    np.array([pl["noneigh"], d[PL_X], d[PL_Y]], np.int64),
+                    pl["xm1"].astype(np.int64),
+                    pl["xc"].astype(np.int64),
+                    pl["r0"].astype(np.int64),
+                    pl["rt"].astype(np.int64)]))
+            blob = np.stack(crows)
+            if B != B0:
+                blob = np.concatenate(
+                    [blob, np.repeat(blob[:1], B - B0, axis=0)])
+            launches.append(("cclm", (blob, w, h)))
+            continue
+        geo = geo_pad[o0:o0 + B]
+        Wp = W if is_luma else Wc
+        if kind in (K_ANG_V, K_ANG_H):
+            launches.append(("ang", (geo, w, h, Wp, kind == K_ANG_H,
+                                     is_luma)))
+        elif kind == K_SIMPLE:
+            launches.append(("simple", (geo, w, h, Wp, is_luma)))
+        else:
+            if w == 4 and h == 4:
+                size_id = 0
+            elif w == 4 or h == 4 or (w == 8 and h == 8):
+                size_id = 1
+            else:
+                size_id = 2
+            launches.append(("mip", (geo, w, h, Wp, size_id, is_luma)))
+    last_plan_s = t_walk + (_time.perf_counter() - t1)
+    if _os.environ.get("FFVVC_PLAN_DEBUG"):
+        print(f"plan: walk={t_walk*1e3:.2f}ms "
+              f"build={(_time.perf_counter() - t1)*1e3:.2f}ms "
+              f"units={off} launches={len(launches)}", flush=True)
+    if _os.environ.get("FFVVC_INTRA_PLAN_ONLY"):
+        # measurement mode: plan consumed no record state; the caller
+        # reconstructs on the host as if ineligible
+        return False
+
+    # --- 3. residuals via the native record walk (consumes coefficient
+    # state — no fallback past here) -------------------------------------
+    res_planes = [np.zeros_like(p) for p in fb.planes]
+    for _rec, nr, ctus in jobs:
+        nr.residual_ctus(ctus, res_planes)
+
+    # --- 4. device execution -------------------------------------------
+    luma = jnp.asarray(fb.planes[0].reshape(-1))
+    resl = jnp.asarray(res_planes[0].reshape(-1))
+    chroma = resc = None
+    if chroma_on:
+        chroma = jnp.asarray(np.stack([fb.planes[1],
+                                       fb.planes[2]]).reshape(-1))
+        resc = jnp.asarray(np.stack([res_planes[1],
+                                     res_planes[2]]).reshape(-1))
+    for tag, payload in launches:
+        if tag == "cclm":
+            blob, w, h = payload
+            chroma = k_cclm_p(luma, chroma, resc, jnp.asarray(blob),
+                              int(w), int(h), int(W), int(Wc), int(bd),
+                              int(variant))
+            continue
+        if tag == "simple":
+            geo, w, h, Wp, is_luma = payload
+            pix = luma if is_luma else chroma
+            rs_ = resl if is_luma else resc
+            out = k_simple_g(pix, rs_, jnp.asarray(geo),
+                             int(w), int(h), int(Wp), int(bd))
+        elif tag == "ang":
+            geo, w, h, Wp, is_h, is_luma = payload
+            pix = luma if is_luma else chroma
+            rs_ = resl if is_luma else resc
+            out = k_angular_g(pix, rs_, jnp.asarray(geo),
+                              int(w), int(h), int(Wp), int(bd),
+                              bool(is_h), bool(is_luma))
+        else:   # mip
+            geo, w, h, Wp, size_id, is_luma = payload
+            pix = luma if is_luma else chroma
+            rs_ = resl if is_luma else resc
+            out = k_mip_g(pix, rs_, jnp.asarray(geo), int(w), int(h),
+                          int(Wp), int(bd), size_id)
+        if is_luma:
+            luma = out
+        else:
+            chroma = out
+
+    fb.planes[0][:] = np.asarray(luma).reshape(H, W)
+    if chroma_on:
+        cc = np.asarray(chroma).reshape(2, Hc, Wc)
+        fb.planes[1][:] = cc[0]
+        fb.planes[2][:] = cc[1]
+    return True
+
+
+# ---- on-device gather-plan construction (round 5, stage 2) ---------------
+# The [B, NREF] Lidx/Tidx/filter-mask/projection arrays build INSIDE jit
+# from ~20 scalars per unit (the array form of IntraPlanner._edge_plan /
+# _proj_plan) — the host never materializes per-unit index arrays.
+
+(G_X, G_Y, G_YF, G_BASE, G_LA, G_TA, G_CUL, G_REF, G_UNFL, G_UNFT,
+ G_REFW, G_REFH, G_LSIZE, G_RFFFSM, G_ANGLE, G_INV, G_FF, G_PDPC,
+ G_NSCALE, G_A0, G_A1) = range(21)
+
+
+def _edge_idx_jnp(g, W: int):
+    """geo [B, 21] int32 -> (Lidx, Tidx [B, NREF] int32, fmL, fmT bool)."""
+    ii = (jnp.arange(NREF, dtype=jnp.int32) - PAD)[None, :]
+    x = g[:, G_X, None]
+    y = g[:, G_Y, None]
+    la = g[:, G_LA, None]
+    ta = g[:, G_TA, None]
+    cul = g[:, G_CUL, None]
+    rl = -1 - g[:, G_REF, None]
+    unf_l = g[:, G_UNFL, None]
+    unf_t = g[:, G_UNFT, None]
+    b = g[:, G_BASE, None]
+    corner_common = jnp.where(
+        la > 0, b + y * W + (x + rl),
+        jnp.where(ta > 0, b + (y + rl) * W + x, -1))
+    cornerL = jnp.where(cul != 0, b + (y + ii) * W + (x + rl),
+                        corner_common)
+    cornerT = jnp.where(cul != 0, b + (y + rl) * W + (x + ii),
+                        corner_common)
+    corner_m1_L = jnp.where(cul != 0, b + (y - 1) * W + (x + rl),
+                            corner_common)
+    corner_m1_T = jnp.where(cul != 0, b + (y + rl) * W + (x - 1),
+                            corner_common)
+    ip = jnp.minimum(jnp.maximum(ii, 0), jnp.maximum(la - 1, 0))
+    Lmain = jnp.where(la > 0, b + (y + ip) * W + (x + rl), corner_m1_L)
+    tp = jnp.minimum(jnp.maximum(ii, 0), jnp.maximum(ta - 1, 0))
+    Tmain = jnp.where(ta > 0, b + (y + rl) * W + (x + tp), corner_m1_T)
+    Lidx = jnp.where(ii >= unf_l, -1,
+                     jnp.where(ii >= 0, Lmain,
+                               jnp.where(ii >= rl, cornerL, -1)))
+    Tidx = jnp.where(ii >= unf_t, -1,
+                     jnp.where(ii >= 0, Tmain,
+                               jnp.where(ii >= rl, cornerT, -1)))
+    fsm = g[:, G_RFFFSM, None] != 0
+    ul = (g[:, G_LSIZE, None] == unf_l).astype(jnp.int32)
+    fmL = fsm & ((ii == -1) | ((ii >= 0) & (ii < unf_l - ul)))
+    fmT = fsm & ((ii == -1) | ((ii >= 0) & (ii < unf_t - ul)))
+    return Lidx, Tidx, fmL, fmT
+
+
+def _proj_idx_jnp(g, w: int, h: int, is_v: bool):
+    """geo [B, 21] -> (projL, projT [B, NREF] int32)."""
+    B = g.shape[0]
+    ii = (jnp.arange(NREF, dtype=jnp.int32) - PAD)[None, :]
+    angle = g[:, G_ANGLE, None]
+    inv_angle = g[:, G_INV, None]
+    ref_idx = g[:, G_REF, None]
+    refw = g[:, G_REFW, None]
+    refh = g[:, G_REFH, None]
+    projL = jnp.broadcast_to(jnp.arange(NREF, dtype=jnp.int32)[None, :],
+                             (B, NREF))
+    projT = projL + NREF
+    xx = ii + ref_idx + 1
+    if is_v:
+        idxs = -1 - ref_idx + jnp.minimum((xx * inv_angle + 256) >> 9, h)
+        neg = (angle < 0) & (xx >= -h) & (xx < 0)
+        hi = refw + max(1, w // h) * ref_idx + 2
+        pos = (angle >= 0) & (ii >= refw) & (ii < hi)
+        projT = jnp.where(neg, PAD + idxs,
+                          jnp.where(pos, NREF + PAD + refw - 1, projT))
+    else:
+        idxs = -1 - ref_idx + jnp.minimum((xx * inv_angle + 256) >> 9, w)
+        neg = (angle < 0) & (xx >= -w) & (xx < 0)
+        hi = refh + max(1, h // w) * ref_idx + 2
+        pos = (angle >= 0) & (ii >= refh) & (ii < hi)
+        projL = jnp.where(neg, NREF + PAD + idxs,
+                          jnp.where(pos, PAD + refh - 1, projL))
+    return projL, projT
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "W", "bd"))
+def k_simple_g(pix, res, geo, w, h, W, bd):
+    Lidx, Tidx, fmL, fmT = _edge_idx_jnp(geo, W)
+    return _simple_impl(pix, res, Lidx, Tidx, fmL, fmT,
+                        geo[:, G_X], geo[:, G_YF], geo[:, G_A0],
+                        geo[:, G_PDPC], w, h, W, bd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("w", "h", "W", "bd", "is_h", "is_luma"))
+def k_angular_g(pix, res, geo, w, h, W, bd, is_h, is_luma):
+    Lidx, Tidx, fmL, fmT = _edge_idx_jnp(geo, W)
+    projL, projT = _proj_idx_jnp(geo, w, h, not is_h)
+    return _angular_impl(pix, res, Lidx, Tidx, fmL, fmT, projL, projT,
+                         geo[:, G_X], geo[:, G_YF], geo[:, G_ANGLE],
+                         geo[:, G_INV], geo[:, G_REF], geo[:, G_FF],
+                         geo[:, G_PDPC], geo[:, G_NSCALE],
+                         w, h, W, bd, is_h, is_luma)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "W", "bd", "size_id"))
+def k_mip_g(pix, res, geo, w, h, W, bd, size_id):
+    Lidx, Tidx, fmL, fmT = _edge_idx_jnp(geo, W)
+    return _mip_impl(pix, res, Lidx, Tidx, fmL, fmT,
+                     geo[:, G_X], geo[:, G_YF], geo[:, G_A0],
+                     geo[:, G_A1], w, h, W, bd, size_id)

@@ -99,3 +99,25 @@ def test_device_intra_falls_back_on_inter(tmp_path):
     host = _decode(stream)
     dev = _decode(stream, device_intra=True)
     assert dev == host
+
+
+def test_c_planner_engages_and_matches_python():
+    """Round-5: the C planner (plan_intra_ctus + vectorized bucket
+    build) must actually engage (not silently fall back) and produce
+    byte-identical output to the round-4 Python planner across
+    CCLM/MIP/ISP/MRL-bearing content."""
+    import os
+    from ffvvc_tpu.ops import intra_device as idv
+    for case in ("tools10", "cclm_coll", "dualtree", "422"):
+        s = _forge(case)
+        os.environ["FFVVC_INTRA_PLANNER"] = "py"
+        try:
+            py = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+                DecoderConfig(device_intra=True)).decode(s))
+        finally:
+            del os.environ["FFVVC_INTRA_PLANNER"]
+        idv.last_plan_s = -1.0
+        cp = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+            DecoderConfig(device_intra=True)).decode(s))
+        assert cp == py, case
+        assert idv.last_plan_s >= 0, f"C planner fell back on {case}"
