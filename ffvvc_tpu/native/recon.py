@@ -108,7 +108,7 @@ def load_lib():
     lib.recon_residual_ctus.restype = _I
     lib.plan_intra_ctus.argtypes = [ctypes.POINTER(_ReconParams), _I,
                                     _P, _P, _P, _P, _P, _P, _P,
-                                    _P, ctypes.c_long, _P, _P, _P]
+                                    _P, ctypes.c_long, _P, _P]
     lib.plan_intra_ctus.restype = ctypes.c_long
     lib.inter_ctus.argtypes = [ctypes.POINTER(_ReconParams),
                                ctypes.POINTER(_InterParams), _I,
@@ -452,7 +452,7 @@ class NativeRecon:
 
     PLAN_STRIDE = 26
 
-    def plan_ctus(self, ctus, plan_buf, wl, wc, batch_state):
+    def plan_ctus(self, ctus, plan_buf, wl, wc):
         """Device-intra planner: walk the records in plan mode, emitting
         PLAN_STRIDE-int32 descriptor rows per predict unit (geometry +
         availability + wave) into plan_buf.  wl/wc are caller-zeroed
@@ -467,8 +467,7 @@ class NativeRecon:
             cu_ps.ctypes.data, n_cus.ctypes.data,
             tu_ps.ctypes.data, tb_ps.ctypes.data,
             plan_buf.ctypes.data, plan_buf.shape[0],
-            wl.ctypes.data, wc.ctypes.data if wc is not None else 0,
-            batch_state.ctypes.data)
+            wl.ctypes.data, wc.ctypes.data if wc is not None else 0)
         if n < 0:
             raise ValueError(f"native plan_intra_ctus failed (err={-n})")
         return int(n)

@@ -1446,7 +1446,7 @@ long plan_intra_ctus(const ReconParams *rp, int n,
                      const int32_t *n_cus, const int64_t *tu_ps,
                      const int64_t *tb_ps,
                      int32_t *plan_buf, long cap,
-                     int32_t *wl, int32_t *wc, int32_t *batch_state)
+                     int32_t *wl, int32_t *wc)
 {
     static _Thread_local Recon r;
     r.rp = rp;
@@ -1458,7 +1458,6 @@ long plan_intra_ctus(const ReconParams *rp, int n,
     r.plan_n = 0;
     r.plan_wl = wl;
     r.plan_wc = wc;
-    r.plan_batch = batch_state;
     for (int i = 0; i < n; i++) {
         if (!n_cus[i])
             continue;

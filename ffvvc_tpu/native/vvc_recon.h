@@ -107,13 +107,12 @@ typedef struct {
      * unit (geometry + availability + a wavefront index) instead of
      * predicting.  plan_wl / plan_wc are pixel-granular wave maps (luma /
      * shared-chroma); a unit's wave = 1 + max wave over the positions its
-     * reference gather reads (conservative strip maxes). */
+     * reference gather reads (conservative strip maxes — anti-diagonal
+     * levels batch far better than any decode-order greedy). */
     int plan_mode;
     int32_t *plan_buf;
     long plan_n, plan_cap;
     int32_t *plan_wl, *plan_wc;
-    int32_t *plan_batch;   /* [1 + 1024]: [0]=counter, rest open-batch ids
-                              per shape key (kind|c|log2w|log2h) */
 } Recon;
 
 /* plan descriptor layout (int32 x PLAN_STRIDE per unit) */

@@ -1202,13 +1202,12 @@ def frame_device_intra(recon_jobs, sps, pps, tabs, fb):
         wl[:] = 0
         if wc is not None:
             wc[:] = 0
-        batch_state = np.zeros(1 + 1024, np.int32)
         buf = np.empty((cap, 26), np.int32)
         off = 0
         grown = False
         try:
             for rec, nr, ctus in jobs:
-                off += nr.plan_ctus(ctus, buf[off:], wl, wc, batch_state)
+                off += nr.plan_ctus(ctus, buf[off:], wl, wc)
         except ValueError as e:
             if "err=5" in str(e):      # descriptor buffer overflow
                 cap *= 4
