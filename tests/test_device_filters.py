@@ -365,3 +365,33 @@ def test_row_pipeline_lmcs_domain():
     plain = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
         DecoderConfig(pipeline_frames=False)).decode(s))
     assert rowed == plain
+
+
+def test_fused_chain_fallback_paths():
+    """Streams outside the fused chain's eligibility (loop-filter-across
+    disabled at slice/tile boundaries — SAO/ALF restore regions) must
+    fall back to the host stages and stay byte-exact; eligible streams
+    in the same decode still run fused."""
+    from forge import forge_tiled_stream, forge_subpic_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    from ffvvc_tpu.ops import fused_device as fd
+    # across-disabled tiles: ineligible -> host fallback
+    s = forge_tiled_stream(seed=2, nframes=2, width=96, height=96,
+                           lf_across_tiles=0, lf_across_slices=0,
+                           sps_sao_enabled_flag=1, sps_alf_enabled_flag=1)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    fd.reset_stats()
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_pipeline=True)).decode(s))
+    assert host == dev
+    assert fd.stats["frames"] == 0, "ineligible stream ran fused"
+    # across-enabled subpic stream: eligible, runs fused
+    s = forge_subpic_stream(seed=0, width=128, height=64, qp=30,
+                            sps_sao_enabled_flag=1)
+    host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+    fd.reset_stats()
+    dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(
+        DecoderConfig(device_pipeline=True)).decode(s))
+    assert host == dev
+    assert fd.stats["frames"] > 0
