@@ -395,3 +395,29 @@ def test_fused_chain_fallback_paths():
         DecoderConfig(device_pipeline=True)).decode(s))
     assert host == dev
     assert fd.stats["frames"] > 0
+
+
+def test_all_device_toggles_compose():
+    """device_pipeline + device_mc + device_intra together: the full
+    device configuration stays byte-exact on inter (DMVR/BDOF) and
+    all-intra content."""
+    from forge import forge_hier_stream, forge_inter_stream
+    from ffvvc_tpu.decoder import VVCDecoder
+    from ffvvc_tpu.config import DecoderConfig
+    cfg = DecoderConfig(device_pipeline=True, device_mc=True,
+                        device_intra=True)
+    for s in (forge_hier_stream(seed=2, width=96, height=64, qp=32,
+                                ngops=2, deblock=True,
+                                sps_sao_enabled_flag=1,
+                                sps_alf_enabled_flag=1,
+                                sps_temporal_mvp_enabled_flag=1,
+                                sps_dmvr_enabled_flag=1,
+                                sps_bdof_enabled_flag=1),
+              forge_inter_stream(slice_type=2, nframes=2, width=96,
+                                 height=96, seed=3, deblock=True,
+                                 sps_sao_enabled_flag=1,
+                                 sps_alf_enabled_flag=1,
+                                 sps_ccalf_enabled_flag=1)):
+        host = b"".join(f.to_yuv_bytes() for f in VVCDecoder().decode(s))
+        dev = b"".join(f.to_yuv_bytes() for f in VVCDecoder(cfg).decode(s))
+        assert host == dev
