@@ -23,11 +23,17 @@ def _cache_key() -> str:
 
 try:
     import jax
-    _cache_dir = os.environ.get(
-        "FFVVC_JAX_CACHE",
-        os.path.expanduser("~/.ffvvc_jax_cache-" + _cache_key()))
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # the persistent cache exists for the tunneled-chip path (remote
+    # compiles cost tens of seconds); on the forced-CPU backend (tests,
+    # virtual meshes) CPU compiles are fast and CPU AOT entries carry the
+    # machine-feature-mismatch hazard — observed as a deterministic
+    # SIGSEGV deserializing an entry mid-suite — so skip the cache there
+    if os.environ.get("JAX_PLATFORMS") != "cpu":
+        _cache_dir = os.environ.get(
+            "FFVVC_JAX_CACHE",
+            os.path.expanduser("~/.ffvvc_jax_cache-" + _cache_key()))
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:
     pass

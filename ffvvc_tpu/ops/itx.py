@@ -23,16 +23,11 @@ import jax.numpy as jnp
 
 from . import data as D
 
-# persistent compilation cache: the axon remote-compile path costs seconds
-# per shape; cache executables across processes
-try:
-    _cache_dir = os.environ.get("FFVVC_JAX_CACHE",
-                                os.path.expanduser("~/.ffvvc_jax_cache"))
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:
-    pass
+# NOTE: the persistent compilation cache is configured ONCE by
+# ffvvc_tpu/ops/__init__.py (machine-keyed dir, skipped on the forced-CPU
+# backend).  A second unconditional config here once overrode it with an
+# UNKEYED dir shared across machine hops — foreign CPU-AOT entries then
+# SIGSEGV'd in deserialize_executable mid-suite.  Don't re-add.
 
 DCT2, DST7, DCT8 = 0, 1, 2
 _MATS = {DCT2: D.dct2_matrix, DST7: D.dst7_matrix, DCT8: D.dct8_matrix}

@@ -634,6 +634,13 @@ def _expand_subblocks(d, rpl, native_jobs, nc, hs, vs, add_put, entries,
                                     sbh >> vs, slots, wparams(c), False))
 
 
+def _pad_pow2_b(n):
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
 def frame_device_mc(native_jobs, sps, bd, mesh=None):
     """Whole-frame batched device MC for the regular (non-subblock) blocks
     of every native inter job, including explicit-weighted-prediction /
@@ -807,30 +814,40 @@ def frame_device_mc(native_jobs, sps, bd, mesh=None):
             f[1].append(val_of(slots[1]))
             f[2].append(wp)
             f[3].append(wb)
+    def _p2(arrs):
+        # pow2-pad the batch (repeat entry 0): shape-stable jits across
+        # frames/rows — far fewer compiles; pad rows never write back
+        a = np.stack(arrs) if isinstance(arrs, list) else np.asarray(arrs)
+        B0 = a.shape[0]
+        B = _pad_pow2_b(B0)
+        if B != B0:
+            a = np.concatenate([a, np.repeat(a[:1], B - B0, axis=0)])
+        return a
+
     for (wc, hc, kind), (s0, s1, wps, wbs) in finals.items():
         if kind == "bi":
-            out = mc_avg_batch(np.stack(s0), np.stack(s1), bd)
+            out = mc_avg_batch(_p2(s0), _p2(s1), bd)
         elif kind == "uni":
-            out = mc_uni_batch(np.stack(s0), bd)
+            out = mc_uni_batch(_p2(s0), bd)
         elif kind == "gpm":
             out = np.asarray(_mc_gpm_batch(
-                jnp.asarray(np.stack(s0)), jnp.asarray(np.stack(s1)),
-                jnp.asarray(np.stack([wgt for _, wgt in wps])), int(bd)))
+                jnp.asarray(_p2(s0)), jnp.asarray(_p2(s1)),
+                jnp.asarray(_p2([wgt for _, wgt in wps])), int(bd)))
         elif kind == "bdof":
             out = np.asarray(_bdof_full_batch(
-                jnp.asarray(np.stack(s0)), jnp.asarray(np.stack(s1)),
-                jnp.asarray(np.stack([val_of(r0) for _, r0, _ in wps])),
-                jnp.asarray(np.stack([val_of(r1) for _, _, r1 in wps])),
+                jnp.asarray(_p2(s0)), jnp.asarray(_p2(s1)),
+                jnp.asarray(_p2([val_of(r0) for _, r0, _ in wps])),
+                jnp.asarray(_p2([val_of(r1) for _, _, r1 in wps])),
                 wc, hc, int(bd)))
         elif kind == "bi_w":
-            wa = np.asarray(wps, np.int32)
+            wa = _p2(np.asarray(wps, np.int32))
             out = np.asarray(_mc_w_avg_batch(
-                jnp.asarray(np.stack(s0)), jnp.asarray(np.stack(s1)),
+                jnp.asarray(_p2(s0)), jnp.asarray(_p2(s1)),
                 *(jnp.asarray(wa[:, i]) for i in range(5)), int(bd)))
         else:                          # uni_w: (denom, w0, _, o0, _)
-            wa = np.asarray(wps, np.int32)
+            wa = _p2(np.asarray(wps, np.int32))
             out = np.asarray(_mc_uni_w_batch(
-                jnp.asarray(np.stack(s0)), jnp.asarray(wa[:, 0]),
+                jnp.asarray(_p2(s0)), jnp.asarray(wa[:, 0]),
                 jnp.asarray(wa[:, 1]), jnp.asarray(wa[:, 3]), int(bd)))
         for i, (plane, xc, yc, lut) in enumerate(wbs):
             blk = out[i]
